@@ -1,0 +1,337 @@
+"""Circuit operators: the tractable-operator suite over symbolic circuits.
+
+Rebuild of ``cirkit/symbolic/functional.py:31-651``. Every operator produces
+a *new* symbolic circuit whose parameters are shared with the operands via
+ReferenceParameters, and records provenance so that the pipeline can compile
+operand circuits first and share parameter-store slots.
+"""
+
+from __future__ import annotations
+
+import heapq
+import itertools
+from collections.abc import Sequence
+from numbers import Number
+
+import numpy as np
+
+from cirkit_tpu.symbolic.circuit import (
+    Circuit,
+    CircuitBlock,
+    CircuitOperation,
+    CircuitOperator,
+    StructuralPropertyError,
+    are_compatible,
+)
+from cirkit_tpu.symbolic.layers import (
+    EvidenceLayer,
+    InputLayer,
+    KroneckerLayer,
+    Layer,
+    LayerOperator,
+    ProductLayer,
+    SumLayer,
+)
+from cirkit_tpu.symbolic.parameters import ConstantParameter, Parameter
+from cirkit_tpu.symbolic.registry import OPERATOR_REGISTRY, OperatorRegistry
+from cirkit_tpu.utils.scope import Scope
+
+
+def _ambient_registry(registry: OperatorRegistry | None) -> OperatorRegistry:
+    return OPERATOR_REGISTRY.get() if registry is None else registry
+
+
+def concatenate(
+    scs: Sequence[Circuit], *, registry: OperatorRegistry | None = None
+) -> Circuit:
+    """Concatenate circuits: a circuit whose outputs are all operand outputs.
+    No structural property is required."""
+    blocks: list[CircuitBlock] = []
+    in_blocks: dict[CircuitBlock, list[CircuitBlock]] = {}
+    output_blocks: list[CircuitBlock] = []
+    for sc in scs:
+        block_of: dict[Layer, CircuitBlock] = {}
+        for sl in sc.topological_ordering():
+            b = CircuitBlock.from_layer(sl.copyref())
+            blocks.append(b)
+            in_blocks[b] = [block_of[sli] for sli in sc.layer_inputs(sl)]
+            block_of[sl] = b
+        output_blocks.extend(block_of[sl] for sl in sc.outputs)
+    return Circuit.from_operation(
+        blocks,
+        in_blocks,
+        output_blocks,
+        operation=CircuitOperation(CircuitOperator.CONCATENATE, tuple(scs)),
+    )
+
+
+def evidence(
+    sc: Circuit,
+    obs: dict[int, Number | tuple[Number, ...]],
+    *,
+    registry: OperatorRegistry | None = None,
+) -> Circuit:
+    """Pin some variables to an observation: affected input layers become
+    EvidenceLayers over a constant observation parameter."""
+    scope = Scope(obs.keys())
+    if not scope:
+        raise ValueError("There are no variables to observe")
+    if not scope <= sc.scope:
+        raise ValueError("The observed variables must be a subset of the circuit scope")
+
+    blocks: list[CircuitBlock] = []
+    in_blocks: dict[CircuitBlock, list[CircuitBlock]] = {}
+    block_of: dict[Layer, CircuitBlock] = {}
+
+    for sl in sc.topological_ordering():
+        if isinstance(sl, InputLayer) and sl.scope & scope:
+            if not sl.scope <= scope:
+                raise NotImplementedError(
+                    "Only complete evidence of multivariate input layers is supported"
+                )
+            values = np.array([obs[v] for v in sorted(sl.scope)])
+            obs_param = Parameter.from_input(
+                ConstantParameter(len(sl.scope), value=values)
+            )
+            b = CircuitBlock.from_layer(EvidenceLayer(sl.copyref(), observation=obs_param))
+        else:
+            b = CircuitBlock.from_layer(sl.copyref())
+            in_blocks[b] = [block_of[sli] for sli in sc.layer_inputs(sl)]
+        blocks.append(b)
+        block_of[sl] = b
+
+    return Circuit.from_operation(
+        blocks,
+        in_blocks,
+        [block_of[sl] for sl in sc.outputs],
+        operation=CircuitOperation(CircuitOperator.EVIDENCE, (sc,), {"scope": scope}),
+    )
+
+
+def integrate(
+    sc: Circuit,
+    scope: Scope | None = None,
+    *,
+    registry: OperatorRegistry | None = None,
+) -> Circuit:
+    """Integrate (marginalize) a smooth decomposable circuit over a scope:
+    affected input layers are replaced via per-type INTEGRATION rules."""
+    if not sc.is_smooth or not sc.is_decomposable:
+        raise StructuralPropertyError(
+            "Only smooth and decomposable circuits can be efficiently integrated"
+        )
+    if scope is None:
+        scope = sc.scope
+    if not scope:
+        raise ValueError("There are no variables to integrate over")
+    if not scope <= sc.scope:
+        raise ValueError("The integration scope must be a subset of the circuit scope")
+    registry = _ambient_registry(registry)
+
+    blocks: list[CircuitBlock] = []
+    in_blocks: dict[CircuitBlock, list[CircuitBlock]] = {}
+    block_of: dict[Layer, CircuitBlock] = {}
+
+    for sl in sc.topological_ordering():
+        if isinstance(sl, InputLayer) and sl.scope & scope:
+            rule = registry.retrieve_rule(LayerOperator.INTEGRATION, type(sl))
+            b = rule(sl, scope=scope)
+        else:
+            b = CircuitBlock.from_layer(sl.copyref())
+            in_blocks[b] = [block_of[sli] for sli in sc.layer_inputs(sl)]
+        blocks.append(b)
+        block_of[sl] = b
+
+    return Circuit.from_operation(
+        blocks,
+        in_blocks,
+        [block_of[sl] for sl in sc.outputs],
+        operation=CircuitOperation(CircuitOperator.INTEGRATION, (sc,), {"scope": scope}),
+    )
+
+
+def multiply(sc1: Circuit, sc2: Circuit, *, registry: OperatorRegistry | None = None) -> Circuit:
+    """Multiply two compatible circuits: pairwise layer products driven by the
+    MULTIPLICATION rule registry; disjoint-scope pairs get a fresh Kronecker
+    layer (ref: ``symbolic/functional.py:259-415``)."""
+    if sc1.scope != sc2.scope:
+        raise NotImplementedError("Only products of circuits over the same scope are supported")
+    if not are_compatible(sc1, sc2):
+        raise StructuralPropertyError("Only compatible circuits can be multiplied")
+    registry = _ambient_registry(registry)
+
+    prod_block: dict[tuple[Layer, Layer], CircuitBlock] = {}
+    blocks: list[CircuitBlock] = []
+    in_blocks: dict[CircuitBlock, list[CircuitBlock]] = {}
+
+    stack: list[tuple[Layer, Layer]] = list(itertools.product(sc1.outputs, sc2.outputs))
+    while stack:
+        pair = stack[-1]
+        if pair in prod_block:
+            stack.pop()
+            continue
+        l1, l2 = pair
+
+        # Disjoint scopes: splice in copies of both sub-circuits and combine
+        # their roots with a fresh Kronecker product layer.
+        if not sc1.layer_scope(l1) & sc2.layer_scope(l2):
+            if l1.num_output_units != l2.num_output_units:
+                raise NotImplementedError(
+                    "Disjoint-scope layers can only be multiplied when they have equal size"
+                )
+            root_blocks: list[CircuitBlock] = []
+            for sc, root in ((sc1, l1), (sc2, l2)):
+                sub = sc.subgraph(root)
+                sub_blocks = {l: CircuitBlock.from_layer(l.copyref()) for l in sub.layers}
+                blocks.extend(sub_blocks.values())
+                in_blocks.update(
+                    (b, [sub_blocks[li] for li in sc.layer_inputs(l)])
+                    for l, b in sub_blocks.items()
+                )
+                root_blocks.append(sub_blocks[root])
+            kb = CircuitBlock.from_layer(KroneckerLayer(l1.num_output_units, arity=2))
+            blocks.append(kb)
+            in_blocks[kb] = root_blocks
+            prod_block[pair] = kb
+            stack.pop()
+            continue
+
+        # Overlapping scopes: recurse into matched input pairs first.
+        if isinstance(l1, InputLayer):
+            children: list[tuple[Layer, Layer]] = []
+        elif isinstance(l1, SumLayer):
+            children = list(itertools.product(sc1.layer_inputs(l1), sc2.layer_inputs(l2)))
+        elif isinstance(l1, ProductLayer):
+            ins1 = sorted(sc1.layer_inputs(l1), key=lambda l: tuple(sc1.layer_scope(l)))
+            ins2 = sorted(sc2.layer_inputs(l2), key=lambda l: tuple(sc2.layer_scope(l)))
+            if len(ins1) != len(ins2):
+                raise NotImplementedError(
+                    "Only products of equal-arity product layers are supported"
+                )
+            children = list(zip(ins1, ins2))
+        else:
+            raise TypeError(f"Unexpected layer type {type(l1).__name__}")
+
+        missing = [p for p in children if p not in prod_block]
+        if missing:
+            stack.extend(missing)
+            continue
+
+        rule = registry.retrieve_rule(LayerOperator.MULTIPLICATION, type(l1), type(l2))
+        b = rule(l1, l2)
+        blocks.append(b)
+        in_blocks[b] = [prod_block[p] for p in children]
+        prod_block[pair] = b
+        stack.pop()
+
+    output_blocks = [
+        prod_block[(l1, l2)] for l1, l2 in itertools.product(sc1.outputs, sc2.outputs)
+    ]
+    return Circuit.from_operation(
+        blocks,
+        in_blocks,
+        output_blocks,
+        operation=CircuitOperation(CircuitOperator.MULTIPLICATION, (sc1, sc2)),
+    )
+
+
+def differentiate(
+    sc: Circuit, order: int = 1, *, registry: OperatorRegistry | None = None
+) -> Circuit:
+    """Differentiate a smooth decomposable circuit wrt each variable in its
+    scope: sum rule through sum layers, product rule through product layers
+    (ref: ``symbolic/functional.py:429-591``). The resulting circuit has, per
+    original output, one output per scope variable plus a copy of the output."""
+    if not sc.is_smooth or not sc.is_decomposable:
+        raise StructuralPropertyError(
+            "Only smooth and decomposable circuits can be efficiently differentiated"
+        )
+    if order <= 0:
+        raise ValueError("The order of differentiation must be positive")
+    registry = _ambient_registry(registry)
+
+    # For each layer, a list of blocks: the diff wrt each scope variable in
+    # ascending id order, followed by a plain copy of the layer at [-1].
+    diffs: dict[Layer, list[CircuitBlock]] = {}
+    in_blocks: dict[CircuitBlock, Sequence[CircuitBlock]] = {}
+
+    for sl in sc.topological_ordering():
+        sl_ins = sc.layer_inputs(sl)
+        if isinstance(sl, InputLayer):
+            rule = registry.retrieve_rule(LayerOperator.DIFFERENTIATION, type(sl))
+            blocks = [rule(sl, var_idx=i, order=order) for i in range(len(sl.scope))]
+        elif isinstance(sl, SumLayer):
+            # d/dv (W @ x) = W @ dx/dv: one copy of the sum per variable,
+            # wired to the matching diffs of every input.
+            per_var_inputs = zip(*(diffs[sli][:-1] for sli in sl_ins))
+            blocks = []
+            for var_inputs in per_var_inputs:
+                b = CircuitBlock.from_layer(sl.copyref())
+                in_blocks[b] = list(var_inputs)
+                blocks.append(b)
+        elif isinstance(sl, ProductLayer):
+            # Product rule under decomposability: the diff wrt v (in input
+            # j's scope) replaces input j with its diff and keeps the rest.
+            per_input: list[list[tuple[int, CircuitBlock, list[CircuitBlock]]]] = []
+            for j, cur in enumerate(sl_ins):
+                entries = []
+                for var, dcur in zip(sorted(sc.layer_scope(cur)), diffs[cur][:-1]):
+                    b = CircuitBlock.from_layer(sl.copyref())
+                    wired = [
+                        dcur if i == j else diffs[other][-1]
+                        for i, other in enumerate(sl_ins)
+                    ]
+                    entries.append((var, b, wired))
+                per_input.append(entries)
+            merged = list(heapq.merge(*per_input, key=lambda e: e[0]))
+            blocks = []
+            for _, b, wired in merged:
+                in_blocks[b] = wired
+                blocks.append(b)
+        else:
+            raise TypeError(f"Unexpected layer type {type(sl).__name__}")
+
+        copy_b = CircuitBlock.from_layer(sl.copyref())
+        in_blocks[copy_b] = [diffs[sli][-1] for sli in sl_ins]
+        blocks.append(copy_b)
+        diffs[sl] = blocks
+
+    all_blocks = [b for bs in diffs.values() for b in bs]
+    output_blocks = [b for sl in sc.outputs for b in diffs[sl]]
+    return Circuit.from_operation(
+        all_blocks,
+        in_blocks,
+        output_blocks,
+        operation=CircuitOperation(
+            CircuitOperator.DIFFERENTIATION, (sc,), {"order": order}
+        ),
+    )
+
+
+def conjugate(sc: Circuit, *, registry: OperatorRegistry | None = None) -> Circuit:
+    """Complex-conjugate a circuit: product layers pass through, sum/input
+    layers are conjugated via CONJUGATION rules."""
+    registry = _ambient_registry(registry)
+
+    blocks: list[CircuitBlock] = []
+    in_blocks: dict[CircuitBlock, list[CircuitBlock]] = {}
+    block_of: dict[Layer, CircuitBlock] = {}
+
+    for sl in sc.topological_ordering():
+        if isinstance(sl, ProductLayer):
+            b = CircuitBlock.from_layer(sl)
+        else:
+            if not isinstance(sl, (InputLayer, SumLayer)):
+                raise TypeError(f"Unexpected layer type {type(sl).__name__}")
+            rule = registry.retrieve_rule(LayerOperator.CONJUGATION, type(sl))
+            b = rule(sl)
+        blocks.append(b)
+        block_of[sl] = b
+        in_blocks[b] = [block_of[sli] for sli in sc.layer_inputs(sl)]
+
+    return Circuit.from_operation(
+        blocks,
+        in_blocks,
+        [block_of[sl] for sl in sc.outputs],
+        operation=CircuitOperation(CircuitOperator.CONJUGATION, (sc,)),
+    )

@@ -1,0 +1,179 @@
+"""Symbolic-operator tests with enumeration oracles (ref:
+``tests/symbolic/test_circuit_operators.py``)."""
+
+import numpy as np
+import pytest
+
+import cirkit_tpu.symbolic.functional as SF
+from cirkit_tpu.symbolic import (
+    ConstantValueLayer,
+    EvidenceLayer,
+    HadamardLayer,
+    KroneckerLayer,
+    PolynomialLayer,
+    StructuralPropertyError,
+    SumLayer,
+)
+from cirkit_tpu.utils import Scope
+
+from tests.fixtures import (
+    build_bivariate_categorical_pc,
+    build_multivariate_categorical_pc,
+    const_param,
+)
+from tests.reference_eval import enumerate_worlds, eval_circuit, partition_function
+
+
+def test_integrate_replaces_input_layers():
+    sc = build_bivariate_categorical_pc()
+    isc = SF.integrate(sc)
+    assert all(
+        isinstance(sl, (ConstantValueLayer, HadamardLayer, SumLayer)) for sl in isc.layers
+    )
+    # the integral circuit computes the exhaustive-sum partition function
+    z_enum = partition_function(sc, num_states=3)
+    z_circ = eval_circuit(isc, np.zeros((1, 0)))[0]
+    assert np.allclose(z_circ, z_enum, rtol=1e-12)
+
+
+def test_integrate_partial_scope():
+    sc = build_multivariate_categorical_pc(num_variables=4)
+    isc = SF.integrate(sc, Scope([1, 3]))
+    worlds = enumerate_worlds(4, 2)
+    full = eval_circuit(sc, worlds).reshape(2, 2, 2, 2)
+    marg = full.sum(axis=(1, 3))  # sum over vars 1 and 3
+    # evaluate the integral circuit on the remaining vars 0 and 2
+    for a in range(2):
+        for c in range(2):
+            x = np.zeros((1, 4), dtype=np.int64)
+            x[0, 0], x[0, 2] = a, c
+            got = eval_circuit(isc, x)[0, 0, 0]
+            assert np.isclose(got, marg[a, c], rtol=1e-12)
+
+
+def test_integrate_requires_structural_properties():
+    from cirkit_tpu.symbolic import CategoricalLayer, Circuit
+
+    x0 = CategoricalLayer(Scope([0]), 2, num_categories=2)
+    x0b = CategoricalLayer(Scope([0]), 2, num_categories=2)
+    h = HadamardLayer(2, arity=2)
+    sc = Circuit([x0, x0b, h], {h: [x0, x0b]}, [h])
+    with pytest.raises(StructuralPropertyError):
+        SF.integrate(sc)
+
+
+@pytest.mark.parametrize("product", ["hadamard", "kronecker"])
+def test_multiply_matches_pointwise_product(product):
+    rng1 = np.random.default_rng(1)
+    rng2 = np.random.default_rng(2)
+    sc1 = build_bivariate_categorical_pc(product=product, rng=rng1)
+    sc2 = build_bivariate_categorical_pc(product=product, rng=rng2)
+    psc = SF.multiply(sc1, sc2)
+    worlds = enumerate_worlds(2, 3)
+    v1 = eval_circuit(sc1, worlds)[:, 0, 0]
+    v2 = eval_circuit(sc2, worlds)[:, 0, 0]
+    vp = eval_circuit(psc, worlds)[:, 0, 0]
+    assert np.allclose(vp, v1 * v2, rtol=1e-10)
+    assert psc.is_smooth and psc.is_decomposable
+
+
+def test_multiply_then_integrate_expectation():
+    sc1 = build_multivariate_categorical_pc(rng=np.random.default_rng(3))
+    sc2 = build_multivariate_categorical_pc(rng=np.random.default_rng(4))
+    psc = SF.multiply(sc1, sc2)
+    ipsc = SF.integrate(psc)
+    worlds = enumerate_worlds(4, 2)
+    expected = (
+        eval_circuit(sc1, worlds)[:, 0, 0] * eval_circuit(sc2, worlds)[:, 0, 0]
+    ).sum()
+    got = eval_circuit(ipsc, np.zeros((1, 0)))[0, 0, 0]
+    assert np.isclose(got, expected, rtol=1e-10)
+
+
+def test_multiply_incompatible_raises():
+    # different vtrees: ((0,1),(2,3)) vs ((0,(1,2)),3)-ish via different splits
+    sc1 = build_multivariate_categorical_pc(num_variables=3)
+    sc2 = build_multivariate_categorical_pc(num_variables=4)
+    with pytest.raises((StructuralPropertyError, NotImplementedError)):
+        SF.multiply(sc1, sc2)
+
+
+def test_evidence_pins_observation():
+    sc = build_bivariate_categorical_pc()
+    esc = SF.evidence(sc, {0: 1, 1: 2})
+    assert any(isinstance(sl, EvidenceLayer) for sl in esc.layers)
+    x = np.array([[1, 2]])
+    want = eval_circuit(sc, x)[0, 0, 0]
+    got = eval_circuit(esc, np.zeros((1, 0)))[0, 0, 0]
+    assert np.isclose(got, want, rtol=1e-12)
+
+
+def _poly_pc():
+    c0 = const_param(np.array([[1.0, 2.0, 1.0], [0.5, 0.0, 1.0]]))
+    c1 = const_param(np.array([[0.0, 1.0], [2.0, 3.0]]))
+    x0 = PolynomialLayer(Scope([0]), 2, degree=2, coeff=c0)
+    x1 = PolynomialLayer(Scope([1]), 2, degree=1, coeff=c1)
+    h = HadamardLayer(2, arity=2)
+    s = SumLayer(2, 1, weight=const_param(np.array([[1.0, 0.5]])))
+    from cirkit_tpu.symbolic import Circuit
+
+    return Circuit([x0, x1, h, s], {h: [x0, x1], s: [h]}, [s])
+
+
+def test_differentiate_polynomial_circuit():
+    sc = _poly_pc()
+    dsc = SF.differentiate(sc)
+    assert len(dsc.outputs) == 3  # d/dx0, d/dx1, plus a copy of the circuit
+    xs = np.array([[0.3, -1.2], [1.5, 0.7]])
+    eps = 1e-6
+    vals = eval_circuit(dsc, xs)[:, :, 0]  # (B, 3)
+    for i, x in enumerate(xs):
+        f = lambda a, b: eval_circuit(sc, np.array([[a, b]]))[0, 0, 0]
+        d0 = (f(x[0] + eps, x[1]) - f(x[0] - eps, x[1])) / (2 * eps)
+        d1 = (f(x[0], x[1] + eps) - f(x[0], x[1] - eps)) / (2 * eps)
+        assert np.isclose(vals[i, 0], d0, rtol=1e-5)
+        assert np.isclose(vals[i, 1], d1, rtol=1e-5)
+        assert np.isclose(vals[i, 2], f(*x), rtol=1e-10)
+
+
+def test_multiply_polynomials():
+    sc1, sc2 = _poly_pc(), _poly_pc()
+    psc = SF.multiply(sc1, sc2)
+    xs = np.array([[0.3, -1.2], [1.5, 0.7]])
+    v = eval_circuit(sc1, xs)[:, 0, 0]
+    vp = eval_circuit(psc, xs)[:, 0, 0]
+    assert np.allclose(vp, v * v, rtol=1e-10)
+
+
+def test_concatenate_stacks_outputs():
+    sc1 = build_bivariate_categorical_pc(rng=np.random.default_rng(5))
+    sc2 = build_bivariate_categorical_pc(rng=np.random.default_rng(6))
+    csc = SF.concatenate([sc1, sc2])
+    worlds = enumerate_worlds(2, 3)
+    got = eval_circuit(csc, worlds)
+    assert got.shape == (9, 2, 1)
+    assert np.allclose(got[:, 0], eval_circuit(sc1, worlds)[:, 0])
+    assert np.allclose(got[:, 1], eval_circuit(sc2, worlds)[:, 0])
+
+
+def test_conjugate_real_circuit_is_identity():
+    sc = build_bivariate_categorical_pc()
+    csc = SF.conjugate(sc)
+    worlds = enumerate_worlds(2, 3)
+    assert np.allclose(
+        eval_circuit(csc, worlds), eval_circuit(sc, worlds), rtol=1e-12
+    )
+
+
+def test_multiply_kronecker_permutation():
+    """The Kronecker x Kronecker product rule emits a constant permutation sum
+    layer; check the composed circuit computes the true pointwise product."""
+    sc1 = build_bivariate_categorical_pc(product="kronecker", rng=np.random.default_rng(7))
+    sc2 = build_bivariate_categorical_pc(product="kronecker", rng=np.random.default_rng(8))
+    psc = SF.multiply(sc1, sc2)
+    assert any(isinstance(sl, KroneckerLayer) for sl in psc.layers)
+    worlds = enumerate_worlds(2, 3)
+    v1 = eval_circuit(sc1, worlds)[:, 0, 0]
+    v2 = eval_circuit(sc2, worlds)[:, 0, 0]
+    vp = eval_circuit(psc, worlds)[:, 0, 0]
+    assert np.allclose(vp, v1 * v2, rtol=1e-10)
