@@ -1,0 +1,19 @@
+from cirkit_tpu.backend.jax.circuit import JaxCircuit
+from cirkit_tpu.backend.jax.compiler import JaxCompiler
+from cirkit_tpu.backend.jax.semiring import (
+    ComplexLSESumSemiring,
+    LSESumSemiring,
+    Semiring,
+    SemiringImpl,
+    SumProductSemiring,
+)
+
+__all__ = [
+    "ComplexLSESumSemiring",
+    "JaxCircuit",
+    "JaxCompiler",
+    "LSESumSemiring",
+    "Semiring",
+    "SemiringImpl",
+    "SumProductSemiring",
+]

@@ -1,0 +1,278 @@
+"""The compiled circuit: a static evaluation plan executed under jit.
+
+Replaces the reference's nn.Module graph + Python interpreter loop
+(``cirkit/backend/torch/graph/modules.py:239-335`` and ``circuits.py``) with
+a **compile-to-plan** design: the folded circuit is lowered to a static list
+of plan entries — (layer, input gather indices) — executed by one traced
+function. All gather indices are numpy constants baked into the XLA graph,
+so inter-layer routing compiles to fused gathers/reshapes; there is no
+per-step Python overhead at run time (the loop unrolls at trace time).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping, Sequence
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cirkit_tpu.backend.jax.layers import (
+    JaxConstantInputLayer,
+    JaxInnerLayer,
+    JaxInputLayer,
+    JaxLayer,
+)
+from cirkit_tpu.backend.jax.parameters import JaxTensorSlot, Store
+from cirkit_tpu.backend.jax.semiring import Semiring
+from cirkit_tpu.symbolic.circuit import StructuralProperties
+from cirkit_tpu.utils.scope import Scope
+
+# For every layer: per fold, the ordered (producer layer index, fold within
+# producer) pairs feeding each operand slot. Input layers have no entries.
+FoldInputs = list[list[tuple[int, int]]]
+
+# A module evaluation override: (layer, store, gathered_input) -> output.
+ModuleFn = Callable[[JaxLayer, Store, Any], jnp.ndarray]
+
+
+@dataclass
+class PlanEntry:
+    """One step of the evaluation plan."""
+
+    layer: JaxLayer
+    # Inner layers: producer plan indices + either a (F, H) gather into the
+    # fold-concatenation of their outputs, or None for the identity unsqueeze
+    # special case (ref: ``graph/folding.py:232-241``).
+    in_ids: list[int] = field(default_factory=list)
+    fold_idx: np.ndarray | None = None
+
+
+@dataclass
+class OutputSpec:
+    """How circuit outputs are assembled from plan outputs."""
+
+    out_ids: list[int]
+    fold_idx: np.ndarray | None  # (O,) into the fold-concatenation
+
+
+def _build_gather(
+    producers: FoldInputs, plan_index: Mapping[int, int], layer_folds: Mapping[int, int]
+) -> tuple[list[int], np.ndarray | None]:
+    """Compute (in_ids, fold_idx) for a layer's fold-input spec."""
+    in_ids: list[int] = []
+    offsets: dict[int, int] = {}
+    total = 0
+    for per_fold in producers:
+        for mod, _ in per_fold:
+            if mod not in offsets:
+                offsets[mod] = total
+                total += layer_folds[mod]
+                in_ids.append(mod)
+    fold_idx = np.array(
+        [[offsets[mod] + k for mod, k in per_fold] for per_fold in producers],
+        dtype=np.int32,
+    )
+    f, h = fold_idx.shape
+    if len(in_ids) == 1 and h == 1 and np.array_equal(fold_idx[:, 0], np.arange(f)):
+        if layer_folds[in_ids[0]] == f:
+            return [plan_index[m] for m in in_ids], None
+    return [plan_index[m] for m in in_ids], fold_idx
+
+
+class JaxCircuit:
+    """A compiled circuit: layers + static plan, evaluated functionally.
+
+    The circuit itself holds no arrays: parameters live in a *store* pytree
+    (dict slot name -> (F, ...) array) created by :meth:`initialize` and
+    threaded through every call, so optax/orbax/shard_map apply directly.
+    """
+
+    def __init__(
+        self,
+        scope: Scope,
+        num_variables: int,
+        layers: Sequence[JaxLayer],
+        fold_inputs: Mapping[int, FoldInputs],
+        fold_outputs: FoldInputs,
+        *,
+        properties: StructuralProperties,
+        semiring: Semiring,
+    ):
+        self.scope = scope
+        self.num_variables = num_variables
+        self.layers = list(layers)
+        self.properties = properties
+        self.semiring = semiring
+        self._fold_inputs = dict(fold_inputs)
+        self._fold_outputs = fold_outputs
+
+        # -- build the plan ----------------------------------------------------
+        layer_folds = {i: l.num_folds for i, l in enumerate(self.layers)}
+        plan_index = {i: i for i in range(len(self.layers))}
+        self._entries: list[PlanEntry] = []
+        for i, layer in enumerate(self.layers):
+            if isinstance(layer, JaxInputLayer):
+                self._entries.append(PlanEntry(layer))
+                continue
+            in_ids, fold_idx = _build_gather(fold_inputs[i], plan_index, layer_folds)
+            self._entries.append(PlanEntry(layer, in_ids, fold_idx))
+        # flatten the (module, fold) output pairs into a single gather
+        out_ids, out_fold = _build_gather(
+            [[p] for p in fold_outputs], plan_index, layer_folds
+        )
+        self._outputs = OutputSpec(out_ids, None if out_fold is None else out_fold[:, 0])
+        self.num_outputs = len(fold_outputs)
+
+        # -- collect the parameter store specification -------------------------
+        self._slots: dict[str, JaxTensorSlot] = {}
+        used: set[str] = set()
+        for layer in self.layers:
+            for node in _iter_param_nodes(layer):
+                if isinstance(node, JaxTensorSlot):
+                    self._slots.setdefault(node.slot, node)
+                    used.add(node.slot)
+                elif hasattr(node, "slot"):
+                    used.add(node.slot)
+        self._used_slots: tuple[str, ...] = tuple(sorted(used))
+
+        self._jit_cache: dict[Any, Callable] = {}
+
+    # -- parameter store -------------------------------------------------------
+    @property
+    def slots(self) -> Mapping[str, JaxTensorSlot]:
+        """The parameter-store slot specification of this circuit."""
+        return self._slots
+
+    @property
+    def learnable_slots(self) -> frozenset[str]:
+        return frozenset(s for s, n in self._slots.items() if n.learnable)
+
+    def initialize(self, key: jax.Array | None = None) -> dict[str, jnp.ndarray]:
+        """Build a freshly-initialized parameter store (a flat pytree)."""
+        slots = sorted(self._slots)
+        if key is None:
+            keys = {s: None for s in slots}
+        else:
+            ks = jax.random.split(key, len(slots))
+            keys = dict(zip(slots, ks))
+        return {s: self._slots[s].initialize(keys[s]) for s in slots}
+
+    def num_parameters(self, store: Store | None = None, *, learnable_only: bool = False) -> int:
+        total = 0
+        for s, node in self._slots.items():
+            if learnable_only and not node.learnable:
+                continue
+            total += node.num_folds * int(np.prod(node.shape))
+        return total
+
+    # -- evaluation --------------------------------------------------------------
+    def evaluate(
+        self,
+        store: Store,
+        x: jnp.ndarray | None = None,
+        *,
+        batch_size: int | None = None,
+        module_fn: ModuleFn | None = None,
+    ) -> jnp.ndarray:
+        """Run the plan: (B, D) inputs -> (B, O, K) outputs.
+
+        ``module_fn`` overrides per-layer evaluation — the hook used by
+        queries (ref: ``graph/modules.py:303-335`` module_fn path).
+        """
+        if x is not None:
+            b = x.shape[0]
+        elif batch_size is not None:
+            b = batch_size
+        else:
+            raise ValueError("Either an input batch or a batch size is required")
+
+        fn: ModuleFn = (lambda layer, st, xin: layer(st, xin)) if module_fn is None else module_fn
+
+        outs: list[jnp.ndarray] = []
+        for entry in self._entries:
+            layer = entry.layer
+            if isinstance(layer, JaxConstantInputLayer):
+                y = fn(layer, store, b)
+            elif isinstance(layer, JaxInputLayer):
+                # (B, D_total) -> (F, B, D) via the static scope gather
+                xin = x[:, layer.scope_idx]  # (B, F, D)
+                xin = jnp.transpose(xin, (1, 0, 2))
+                y = fn(layer, store, xin)
+            else:
+                cat = (
+                    outs[entry.in_ids[0]]
+                    if len(entry.in_ids) == 1
+                    else jnp.concatenate([outs[i] for i in entry.in_ids], axis=0)
+                )
+                if entry.fold_idx is None:
+                    xin = cat[:, None]  # identity gather -> unsqueeze arity axis
+                else:
+                    xin = cat[entry.fold_idx]  # (F, H, B, K)
+                y = fn(layer, store, xin)
+            outs.append(y)
+
+        cat = (
+            outs[self._outputs.out_ids[0]]
+            if len(self._outputs.out_ids) == 1
+            else jnp.concatenate([outs[i] for i in self._outputs.out_ids], axis=0)
+        )
+        y = cat if self._outputs.fold_idx is None else cat[self._outputs.fold_idx]
+        return jnp.transpose(y, (1, 0, 2))  # (B, O, K)
+
+    def __call__(self, *args, **kwargs) -> jnp.ndarray:
+        """Jit-compiled forward: ``cc(store, x)``, or ``cc(x)`` using the
+        pipeline context's shared store (set at compile time)."""
+        if args and isinstance(args[0], Mapping):
+            store, *rest = args
+        else:
+            store = getattr(self, "default_store", None)
+            if store is None:
+                raise ValueError(
+                    "No parameter store bound: call as cc(store, x) or compile "
+                    "through a PipelineContext"
+                )
+            rest = list(args)
+        x = rest[0] if rest else None
+        return self.jit_evaluate(store, x, **kwargs)
+
+    @property
+    def used_slots(self) -> tuple[str, ...]:
+        """Every store slot this circuit reads (own tensors + shared pointers)."""
+        return self._used_slots
+
+    def restrict_store(self, store: Store) -> dict[str, jnp.ndarray]:
+        """Project a (possibly larger shared) store onto the used slots."""
+        return {s: store[s] for s in self._used_slots}
+
+    def jit_evaluate(
+        self, store: Store, x: jnp.ndarray | None = None, *, batch_size: int | None = None
+    ) -> jnp.ndarray:
+        store = self.restrict_store(store)
+        key = "fwd" if batch_size is None else ("const", batch_size)
+        if key not in self._jit_cache:
+            if batch_size is None:
+                self._jit_cache[key] = jax.jit(lambda st, xx: self.evaluate(st, xx))
+            else:
+                self._jit_cache[key] = jax.jit(
+                    lambda st: self.evaluate(st, None, batch_size=batch_size)
+                )
+        fn = self._jit_cache[key]
+        return fn(store, x) if batch_size is None else fn(store)
+
+    # -- introspection -----------------------------------------------------------
+    def __repr__(self) -> str:
+        lines = [f"{type(self).__name__}(scope={self.scope}, semiring={self.semiring.__name__})"]
+        for i, e in enumerate(self._entries):
+            src = "" if not e.in_ids else f" <- {e.in_ids}"
+            lines.append(f"  [{i}] {e.layer!r}{src}")
+        return "\n".join(lines)
+
+
+def _iter_param_nodes(layer: JaxLayer):
+    for p in layer.params.values():
+        yield from p.nodes
+    for sub in layer.sub_modules.values():
+        yield from _iter_param_nodes(sub)

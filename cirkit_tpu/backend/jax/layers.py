@@ -1,0 +1,602 @@
+"""Compiled layers for the JAX backend.
+
+Rebuild of ``cirkit/backend/torch/layers/`` redesigned as pure functions
+over the parameter store:
+
+- inner layers:  ``forward(store, x)`` with ``x: (F, H, B, Ki) -> (F, B, Ko)``
+- input layers:  ``forward(store, x)`` with ``x: (F, B, D)  -> (F, B, K)``
+- constant layers: ``forward(store, batch_size)``
+
+F is the fold axis (homogeneous layers vectorized into one kernel launch,
+the reference's main performance lever), H the arity, B the batch. All
+methods are jit-traceable; parameters are read through compiled parameter
+graphs so reparameterizations fuse into the layer einsum under XLA.
+"""
+
+from __future__ import annotations
+
+import math
+from abc import ABC, abstractmethod
+from collections.abc import Mapping
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cirkit_tpu.backend.jax.parameters import JaxParameter, Store
+from cirkit_tpu.backend.jax.semiring import (
+    LSESumSemiring,
+    Semiring,
+    SumProductSemiring,
+)
+
+
+class JaxLayer(ABC):
+    """The abstract compiled layer."""
+
+    def __init__(
+        self,
+        num_input_units: int,
+        num_output_units: int,
+        *,
+        arity: int = 1,
+        num_folds: int = 1,
+        semiring: Semiring | None = None,
+    ):
+        self.num_input_units = num_input_units
+        self.num_output_units = num_output_units
+        self.arity = arity
+        self.num_folds = num_folds
+        self.semiring: Semiring = SumProductSemiring if semiring is None else semiring
+
+    @property
+    @abstractmethod
+    def config(self) -> Mapping[str, Any]:
+        """Static hyperparameters (folding groups on these)."""
+
+    @property
+    def params(self) -> Mapping[str, JaxParameter]:
+        """Compiled parameter graphs by name."""
+        return {}
+
+    @property
+    def sub_modules(self) -> Mapping[str, "JaxLayer"]:
+        """Nested layers (e.g. the inner layer of an evidence layer)."""
+        return {}
+
+    @property
+    def fold_settings(self) -> tuple[Any, ...]:
+        """Hashable key: layers fold together iff these match."""
+        psig = tuple((n, p.fold_settings) for n, p in self.params.items())
+        msig = tuple((n, m.fold_settings) for n, m in self.sub_modules.items())
+        return (type(self).__name__, *sorted(self.config.items()), psig, msig)
+
+    @abstractmethod
+    def forward(self, store: Store, x) -> jnp.ndarray: ...
+
+    def __call__(self, store: Store, x) -> jnp.ndarray:
+        return self.forward(store, x)
+
+    def num_parameters(self, store: Store) -> int:
+        return sum(
+            int(np.prod(store[slot.slot].shape))
+            for p in self.params.values()
+            for slot in p.tensor_slots()
+        )
+
+    def __repr__(self) -> str:
+        return (
+            f"{type(self).__name__}(F={self.num_folds}, arity={self.arity}, "
+            f"Ki={self.num_input_units}, Ko={self.num_output_units})"
+        )
+
+
+# --------------------------------------------------------------------------- #
+# Inner layers
+# --------------------------------------------------------------------------- #
+
+
+class JaxInnerLayer(JaxLayer, ABC):
+    """A sum or product layer: (F, H, B, Ki) -> (F, B, Ko)."""
+
+    def sample_routing(self, store: Store, key, mixture_idx: jnp.ndarray) -> jnp.ndarray:
+        """Backward-sampling routing: given indices of the sampled output
+        units (F, B), return per-operand indices of the sampled input units
+        (F, H, B). Only defined for layers where this is meaningful."""
+        raise TypeError(f"Sampling is not supported for {type(self).__name__}")
+
+
+class JaxHadamardLayer(JaxInnerLayer):
+    """Elementwise semiring product over the arity axis."""
+
+    def __init__(self, num_input_units: int, *, arity: int = 2, num_folds: int = 1, semiring=None):
+        super().__init__(
+            num_input_units, num_input_units, arity=arity, num_folds=num_folds, semiring=semiring
+        )
+
+    @property
+    def config(self) -> Mapping[str, Any]:
+        return {"num_input_units": self.num_input_units, "arity": self.arity}
+
+    def forward(self, store: Store, x) -> jnp.ndarray:
+        return self.semiring.prod(x, dim=1)
+
+
+class JaxKroneckerLayer(JaxInnerLayer):
+    """Iterated semiring outer product, flattened row-major (the unit for
+    inputs (i_1, ..., i_H) sits at index i_1 * Ki^(H-1) + ... + i_H)."""
+
+    def __init__(self, num_input_units: int, *, arity: int = 2, num_folds: int = 1, semiring=None):
+        super().__init__(
+            num_input_units,
+            int(num_input_units**arity),
+            arity=arity,
+            num_folds=num_folds,
+            semiring=semiring,
+        )
+
+    @property
+    def config(self) -> Mapping[str, Any]:
+        return {"num_input_units": self.num_input_units, "arity": self.arity}
+
+    def forward(self, store: Store, x) -> jnp.ndarray:
+        out = x[:, 0]  # (F, B, Ki)
+        for h in range(1, self.arity):
+            out = self.semiring.mul(out[..., :, None], x[:, h][..., None, :])
+            out = out.reshape(out.shape[0], out.shape[1], -1)
+        return out
+
+
+class JaxSumLayer(JaxInnerLayer):
+    """The dense sum layer: a semiring einsum contracting (H, Ki) against a
+    (F, Ko, H*Ki) weight. The log-space path is the framework's hottest op
+    (ref contract: ``backend/torch/layers/inner.py:200-273``)."""
+
+    def __init__(
+        self,
+        num_input_units: int,
+        num_output_units: int,
+        *,
+        arity: int = 1,
+        weight: JaxParameter,
+        num_folds: int = 1,
+        semiring=None,
+    ):
+        super().__init__(
+            num_input_units, num_output_units, arity=arity, num_folds=num_folds, semiring=semiring
+        )
+        assert weight.shape == (num_output_units, arity * num_input_units), (
+            weight.shape,
+            (num_output_units, arity * num_input_units),
+        )
+        self.weight = weight
+
+    @property
+    def config(self) -> Mapping[str, Any]:
+        return {
+            "num_input_units": self.num_input_units,
+            "num_output_units": self.num_output_units,
+            "arity": self.arity,
+        }
+
+    @property
+    def params(self) -> Mapping[str, JaxParameter]:
+        return {"weight": self.weight}
+
+    def forward(self, store: Store, x) -> jnp.ndarray:
+        f, h, b, ki = x.shape
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(f, b, h * ki)
+        w = self.weight(store)  # (F, Ko, H*Ki)
+        return self.semiring.einsum(
+            "fbi,foi->fbo", inputs=(x,), operands=(w,), dim=-1, keepdim=True
+        )
+
+    def sample_routing(self, store, key, mixture_idx):
+        # mixture_idx: (F, B) output-unit choices -> sample an input index
+        # from the categorical given by the (normalized) weight rows.
+        w = self.weight(store)  # (F, Ko, H*Ki)
+        logits = jnp.log(w)
+        sel = jnp.take_along_axis(
+            logits, mixture_idx[:, :, None], axis=1
+        )  # (F, B, H*Ki)
+        idx = jax.random.categorical(key, sel, axis=-1)  # (F, B) in [0, H*Ki)
+        h_idx = idx // self.num_input_units
+        k_idx = idx % self.num_input_units
+        return h_idx, k_idx
+
+
+# --------------------------------------------------------------------------- #
+# Input layers
+# --------------------------------------------------------------------------- #
+
+
+class JaxInputLayer(JaxLayer, ABC):
+    """An input layer: consumes the gathered data slice (F, B, D)."""
+
+    def __init__(
+        self,
+        scope_idx: np.ndarray,
+        num_output_units: int,
+        *,
+        num_folds: int = 1,
+        semiring=None,
+    ):
+        scope_idx = np.atleast_2d(np.asarray(scope_idx, dtype=np.int32))
+        assert scope_idx.shape[0] == num_folds, (scope_idx.shape, num_folds)
+        super().__init__(
+            scope_idx.shape[1], num_output_units, arity=1, num_folds=num_folds, semiring=semiring
+        )
+        self.scope_idx = scope_idx
+
+    @property
+    def num_variables(self) -> int:
+        return self.num_input_units
+
+    @property
+    def fold_settings(self) -> tuple[Any, ...]:
+        return (self.num_variables, *super().fold_settings)
+
+    def integrate(self, store: Store) -> jnp.ndarray:
+        """The layer's integral over its variables' domain: (F, K)."""
+        raise TypeError(f"Integration is not supported for {type(self).__name__}")
+
+    def sample(self, store: Store, key, num_samples: int) -> jnp.ndarray:
+        """Sample the encoded distribution: (F, K, N)."""
+        raise TypeError(f"Sampling is not supported for {type(self).__name__}")
+
+
+class JaxConstantInputLayer(JaxInputLayer, ABC):
+    """An input layer over the empty scope: forward takes the batch size."""
+
+    def __init__(self, num_output_units: int, *, num_folds: int = 1, semiring=None):
+        super().__init__(
+            np.empty((num_folds, 0), dtype=np.int32),
+            num_output_units,
+            num_folds=num_folds,
+            semiring=semiring,
+        )
+
+
+class JaxExpFamilyLayer(JaxInputLayer, ABC):
+    """Exponential-family input layers: define the (possibly unnormalized)
+    log likelihood and log partition function."""
+
+    def forward(self, store: Store, x) -> jnp.ndarray:
+        ll = self.log_unnormalized_likelihood(store, x)
+        return self.semiring.map_from(ll, LSESumSemiring)
+
+    def integrate(self, store: Store) -> jnp.ndarray:
+        log_z = self.log_partition_function(store)
+        return self.semiring.map_from(log_z, LSESumSemiring)
+
+    @abstractmethod
+    def log_unnormalized_likelihood(self, store: Store, x) -> jnp.ndarray: ...
+
+    @abstractmethod
+    def log_partition_function(self, store: Store) -> jnp.ndarray: ...
+
+
+class JaxCategoricalLayer(JaxExpFamilyLayer):
+    """Categorical units: normalized under probs, unnormalized under logits."""
+
+    def __init__(
+        self,
+        scope_idx: np.ndarray,
+        num_output_units: int,
+        *,
+        num_categories: int,
+        probs: JaxParameter | None = None,
+        logits: JaxParameter | None = None,
+        num_folds: int = 1,
+        semiring=None,
+    ):
+        super().__init__(scope_idx, num_output_units, num_folds=num_folds, semiring=semiring)
+        if (logits is None) == (probs is None):
+            raise ValueError("Exactly one of 'logits' and 'probs' must be given")
+        self.num_categories = num_categories
+        self.probs = probs
+        self.logits = logits
+
+    @property
+    def config(self) -> Mapping[str, Any]:
+        return {
+            "num_output_units": self.num_output_units,
+            "num_categories": self.num_categories,
+        }
+
+    @property
+    def params(self) -> Mapping[str, JaxParameter]:
+        if self.logits is None:
+            return {"probs": self.probs}
+        return {"logits": self.logits}
+
+    def _log_probs(self, store: Store) -> jnp.ndarray:
+        if self.logits is None:
+            return jnp.log(self.probs(store))
+        return self.logits(store)
+
+    def log_unnormalized_likelihood(self, store, x):
+        xi = x[..., 0].astype(jnp.int32)  # (F, B)
+        logits = self._log_probs(store)  # (F, K, N)
+        return jnp.take_along_axis(
+            jnp.transpose(logits, (0, 2, 1)), xi[:, :, None], axis=1
+        )  # gather category -> (F, B, K)
+
+    def log_partition_function(self, store):
+        if self.logits is None:
+            p = self.probs(store)
+            return jnp.zeros((self.num_folds, self.num_output_units), dtype=p.dtype)
+        return jax.nn.logsumexp(self.logits(store), axis=2)
+
+    def sample(self, store, key, num_samples):
+        logits = self._log_probs(store)  # (F, K, N)
+        samples = jax.random.categorical(
+            key, jnp.broadcast_to(logits, (num_samples, *logits.shape)), axis=-1
+        )  # (N, F, K)
+        return jnp.transpose(samples, (1, 2, 0))
+
+
+class JaxEmbeddingLayer(JaxInputLayer):
+    """Embedding units: look up one weight column per observed state."""
+
+    def __init__(
+        self,
+        scope_idx: np.ndarray,
+        num_output_units: int,
+        *,
+        num_states: int = 2,
+        weight: JaxParameter,
+        num_folds: int = 1,
+        semiring=None,
+    ):
+        super().__init__(scope_idx, num_output_units, num_folds=num_folds, semiring=semiring)
+        self.num_states = num_states
+        self.weight = weight
+
+    @property
+    def config(self) -> Mapping[str, Any]:
+        return {
+            "num_output_units": self.num_output_units,
+            "num_states": self.num_states,
+        }
+
+    @property
+    def params(self) -> Mapping[str, JaxParameter]:
+        return {"weight": self.weight}
+
+    def forward(self, store, x):
+        xi = x[..., 0].astype(jnp.int32)  # (F, B)
+        w = self.weight(store)  # (F, K, N)
+        out = jnp.take_along_axis(jnp.transpose(w, (0, 2, 1)), xi[:, :, None], axis=1)
+        return self.semiring.map_from(out, SumProductSemiring)
+
+    def integrate(self, store):
+        value = self.weight(store).sum(axis=2)  # (F, K)
+        return self.semiring.map_from(value, SumProductSemiring)
+
+
+class JaxBinomialLayer(JaxExpFamilyLayer):
+    """Binomial units (always normalized)."""
+
+    def __init__(
+        self,
+        scope_idx: np.ndarray,
+        num_output_units: int,
+        *,
+        total_count: int = 1,
+        probs: JaxParameter | None = None,
+        logits: JaxParameter | None = None,
+        num_folds: int = 1,
+        semiring=None,
+    ):
+        super().__init__(scope_idx, num_output_units, num_folds=num_folds, semiring=semiring)
+        if (logits is None) == (probs is None):
+            raise ValueError("Exactly one of 'logits' and 'probs' must be given")
+        self.total_count = total_count
+        self.probs = probs
+        self.logits = logits
+
+    @property
+    def config(self) -> Mapping[str, Any]:
+        return {
+            "num_output_units": self.num_output_units,
+            "total_count": self.total_count,
+        }
+
+    @property
+    def params(self) -> Mapping[str, JaxParameter]:
+        if self.logits is None:
+            return {"probs": self.probs}
+        return {"logits": self.logits}
+
+    def _logits(self, store) -> jnp.ndarray:
+        if self.logits is None:
+            p = self.probs(store)
+            return jnp.log(p) - jnp.log1p(-p)
+        return self.logits(store)
+
+    def log_unnormalized_likelihood(self, store, x):
+        n = self.total_count
+        k = x[..., 0]  # (F, B), counts
+        logits = self._logits(store)[:, None, :]  # (F, 1, K)
+        kf = k.astype(logits.dtype)[:, :, None]  # (F, B, 1)
+        log_comb = (
+            jax.scipy.special.gammaln(n + 1.0)
+            - jax.scipy.special.gammaln(kf + 1.0)
+            - jax.scipy.special.gammaln(n - kf + 1.0)
+        )
+        # log pmf = log C(n,k) + k*logits - n*log(1+exp(logits))
+        return log_comb + kf * logits - n * jax.nn.softplus(logits)
+
+    def log_partition_function(self, store):
+        ref = self._logits(store)
+        return jnp.zeros((self.num_folds, self.num_output_units), dtype=ref.dtype)
+
+    def sample(self, store, key, num_samples):
+        p = jax.nn.sigmoid(self._logits(store))  # (F, K)
+        u = jax.random.uniform(
+            key, (num_samples, self.total_count, *p.shape), dtype=p.dtype
+        )
+        samples = (u < p[None, None]).sum(axis=1)  # (N, F, K)
+        return jnp.transpose(samples, (1, 2, 0))
+
+
+class JaxGaussianLayer(JaxExpFamilyLayer):
+    """Gaussian units, optionally unnormalized via a log-partition parameter."""
+
+    def __init__(
+        self,
+        scope_idx: np.ndarray,
+        num_output_units: int,
+        *,
+        mean: JaxParameter,
+        stddev: JaxParameter,
+        log_partition: JaxParameter | None = None,
+        num_folds: int = 1,
+        semiring=None,
+    ):
+        super().__init__(scope_idx, num_output_units, num_folds=num_folds, semiring=semiring)
+        self.mean = mean
+        self.stddev = stddev
+        self.log_partition = log_partition
+
+    @property
+    def config(self) -> Mapping[str, Any]:
+        return {"num_output_units": self.num_output_units}
+
+    @property
+    def params(self) -> Mapping[str, JaxParameter]:
+        p = {"mean": self.mean, "stddev": self.stddev}
+        if self.log_partition is not None:
+            p["log_partition"] = self.log_partition
+        return p
+
+    def log_unnormalized_likelihood(self, store, x):
+        mean = self.mean(store)[:, None, :]  # (F, 1, K)
+        stddev = self.stddev(store)[:, None, :]
+        xi = x[..., :1]  # (F, B, 1)
+        z = (xi - mean) / stddev
+        ll = -0.5 * jnp.square(z) - jnp.log(stddev) - 0.5 * math.log(2.0 * math.pi)
+        if self.log_partition is not None:
+            ll = ll + self.log_partition(store)[:, None, :]
+        return ll
+
+    def log_partition_function(self, store):
+        if self.log_partition is None:
+            ref = self.mean(store)
+            return jnp.zeros((self.num_folds, self.num_output_units), dtype=ref.dtype)
+        return self.log_partition(store)
+
+    def sample(self, store, key, num_samples):
+        mean = self.mean(store)  # (F, K)
+        stddev = self.stddev(store)
+        eps = jax.random.normal(key, (num_samples, *mean.shape), dtype=mean.dtype)
+        samples = mean[None] + stddev[None] * eps  # (N, F, K)
+        return jnp.transpose(samples, (1, 2, 0))
+
+
+class JaxConstantValueLayer(JaxConstantInputLayer):
+    """A constant vector, possibly encoded in log-space."""
+
+    def __init__(
+        self,
+        num_output_units: int,
+        *,
+        log_space: bool = False,
+        value: JaxParameter,
+        num_folds: int = 1,
+        semiring=None,
+    ):
+        super().__init__(num_output_units, num_folds=num_folds, semiring=semiring)
+        self.value = value
+        self.log_space = log_space
+        self._source = LSESumSemiring if log_space else SumProductSemiring
+
+    @property
+    def config(self) -> Mapping[str, Any]:
+        return {"num_output_units": self.num_output_units, "log_space": self.log_space}
+
+    @property
+    def params(self) -> Mapping[str, JaxParameter]:
+        return {"value": self.value}
+
+    def forward(self, store, batch_size: int):
+        v = self.value(store)  # (F, K)
+        v = jnp.broadcast_to(v[:, None, :], (v.shape[0], batch_size, v.shape[1]))
+        return self.semiring.map_from(v, self._source)
+
+
+class JaxEvidenceLayer(JaxConstantInputLayer):
+    """Evaluates a wrapped input layer on a stored observation."""
+
+    def __init__(
+        self,
+        layer: JaxInputLayer,
+        *,
+        observation: JaxParameter,
+        num_folds: int = 1,
+        semiring=None,
+    ):
+        super().__init__(layer.num_output_units, num_folds=num_folds, semiring=semiring)
+        self.layer = layer
+        self.observation = observation
+
+    @property
+    def config(self) -> Mapping[str, Any]:
+        return {}
+
+    @property
+    def params(self) -> Mapping[str, JaxParameter]:
+        return {"observation": self.observation}
+
+    @property
+    def sub_modules(self) -> Mapping[str, JaxLayer]:
+        return {"layer": self.layer}
+
+    def forward(self, store, batch_size: int):
+        obs = self.observation(store)[:, None, :]  # (F, 1, D)
+        out = self.layer.forward(store, obs)  # (F, 1, K)
+        return jnp.broadcast_to(out, (out.shape[0], batch_size, out.shape[2]))
+
+    def sample(self, store, key, num_samples):
+        obs = self.observation(store)  # (F, 1)
+        return jnp.broadcast_to(
+            obs[:, :, None], (self.num_folds, self.num_output_units, num_samples)
+        )
+
+
+class JaxPolynomialLayer(JaxInputLayer):
+    """Univariate polynomials evaluated by Horner's method."""
+
+    def __init__(
+        self,
+        scope_idx: np.ndarray,
+        num_output_units: int,
+        *,
+        degree: int,
+        coeff: JaxParameter,
+        num_folds: int = 1,
+        semiring=None,
+    ):
+        super().__init__(scope_idx, num_output_units, num_folds=num_folds, semiring=semiring)
+        self.degree = degree
+        self.coeff = coeff
+
+    @property
+    def config(self) -> Mapping[str, Any]:
+        return {"num_output_units": self.num_output_units, "degree": self.degree}
+
+    @property
+    def params(self) -> Mapping[str, JaxParameter]:
+        return {"coeff": self.coeff}
+
+    def forward(self, store, x):
+        coeff = self.coeff(store)  # (F, K, deg+1)
+        xi = x[..., :1]  # (F, B, 1)
+        if jnp.issubdtype(coeff.dtype, jnp.complexfloating):
+            xi = xi.astype(coeff.dtype)
+        out = jnp.zeros((xi.shape[0], xi.shape[1], coeff.shape[1]), dtype=coeff.dtype)
+        for d in range(coeff.shape[-1] - 1, -1, -1):
+            out = out * xi + coeff[:, None, :, d]
+        return self.semiring.map_from(out, SumProductSemiring)

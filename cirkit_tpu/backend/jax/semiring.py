@@ -1,0 +1,310 @@
+"""Pluggable evaluation semirings.
+
+Rebuild of ``cirkit/backend/torch/semiring.py:19-514``: a (⊕, ⊗) algebra the
+compiled plan evaluates under, with a string registry and cross-semiring
+morphisms. The log-space semirings implement the numerically-stable
+max-shift log-einsum-exp: shift each semiring operand by its clamped max
+along the contracted axis, exponentiate, run the einsum in linear space on
+the MXU, then take the log and add the shifts back. On TPU the hot shapes of
+this contraction are additionally served by a fused Pallas kernel
+(``cirkit_tpu/ops/lse_einsum.py``).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from collections.abc import Callable, Iterable, Sequence
+from functools import reduce
+from typing import ClassVar, Protocol
+
+import jax.numpy as jnp
+
+from cirkit_tpu.backend.jax.utils import csafelog, default_real_dtype, to_complex_dtype
+
+Semiring = type["SemiringImpl"]
+
+
+class EinsumFunc(Protocol):
+    def __call__(self, *xs: jnp.ndarray) -> jnp.ndarray: ...
+
+
+def _finfo_clamp(x: jnp.ndarray) -> jnp.ndarray:
+    info = jnp.finfo(x.dtype)
+    return jnp.clip(x, info.min, info.max)
+
+
+class SemiringImpl(ABC):
+    """Base class for semiring implementations over jnp arrays."""
+
+    _registry: ClassVar[dict[str, Semiring]] = {}
+    _morphisms: ClassVar[dict[tuple[Semiring, Semiring], Callable]] = {}
+
+    def __new__(cls) -> "SemiringImpl":
+        raise TypeError("Semirings are static namespaces and cannot be instantiated")
+
+    # -- registry -------------------------------------------------------------
+    @staticmethod
+    def register(name: str) -> Callable[[Semiring], Semiring]:
+        def _decorator(cls: Semiring) -> Semiring:
+            SemiringImpl._registry[name] = cls
+            return cls
+
+        return _decorator
+
+    @classmethod
+    def register_map_from(cls, other: Semiring) -> Callable[[Callable], Callable]:
+        def _decorator(func: Callable) -> Callable:
+            SemiringImpl._morphisms[(other, cls)] = func
+            return func
+
+        return _decorator
+
+    @staticmethod
+    def list() -> Iterable[str]:
+        return iter(SemiringImpl._registry)
+
+    @staticmethod
+    def from_name(name: str) -> Semiring:
+        if name not in SemiringImpl._registry:
+            raise IndexError(
+                f"Unknown semiring '{name}'; register one with "
+                f"@SemiringImpl.register('{name}')"
+            )
+        return SemiringImpl._registry[name]
+
+    @classmethod
+    def map_from(cls, x: jnp.ndarray, semiring: Semiring) -> jnp.ndarray:
+        """Map values represented in another semiring into this one."""
+        if cls is semiring:
+            return x
+        func = SemiringImpl._morphisms.get((semiring, cls))
+        if func is None:
+            raise NotImplementedError(
+                f"No morphism from '{semiring.__name__}' to '{cls.__name__}'"
+            )
+        return func(x)
+
+    # -- generic einsum -------------------------------------------------------
+    @classmethod
+    def einsum(
+        cls,
+        equation: str | Sequence[Sequence[int]],
+        *,
+        inputs: tuple[jnp.ndarray, ...] | None = None,
+        operands: tuple[jnp.ndarray, ...] | None = None,
+        dim: int,
+        keepdim: bool,
+    ) -> jnp.ndarray:
+        """An einsum whose additions/multiplications follow this semiring.
+
+        ``inputs`` are semiring-represented values (e.g. log-space); the extra
+        ``operands`` (e.g. sum-layer weights) are linear-space and only cast.
+        ``dim`` is the axis of the inputs that is contracted (used for the
+        max-shift); ``keepdim`` keeps that axis as size 1 in the output.
+        """
+        inputs = () if inputs is None else inputs
+        operands = () if operands is None else operands
+
+        if isinstance(equation, str):
+
+            def func(*xs: jnp.ndarray) -> jnp.ndarray:
+                return jnp.einsum(equation, *xs, *(cls.cast(o) for o in operands))
+
+        else:
+
+            def func(*xs: jnp.ndarray) -> jnp.ndarray:
+                args: list = []
+                all_ops = xs + tuple(cls.cast(o) for o in operands)
+                for op, spec in zip(all_ops, equation[:-1]):
+                    args.extend((op, list(spec)))
+                args.append(list(equation[-1]))
+                return jnp.einsum(*args)
+
+        return cls.apply_reduce(func, *inputs, dim=dim, keepdim=keepdim)
+
+    # -- abstract algebra ------------------------------------------------------
+    @classmethod
+    @abstractmethod
+    def cast(cls, x: jnp.ndarray) -> jnp.ndarray:
+        """Cast to the value dtype of this semiring."""
+
+    @classmethod
+    @abstractmethod
+    def sum(cls, x: jnp.ndarray, dim: int, *, keepdim: bool = False) -> jnp.ndarray:
+        """Semiring sum-reduce along an axis."""
+
+    @classmethod
+    @abstractmethod
+    def add(cls, *xs: jnp.ndarray) -> jnp.ndarray:
+        """Semiring addition of broadcastable arrays."""
+
+    @classmethod
+    @abstractmethod
+    def prod(cls, x: jnp.ndarray, dim: int, *, keepdim: bool = False) -> jnp.ndarray:
+        """Semiring product-reduce along an axis."""
+
+    @classmethod
+    @abstractmethod
+    def mul(cls, *xs: jnp.ndarray) -> jnp.ndarray:
+        """Semiring multiplication of broadcastable arrays."""
+
+    @classmethod
+    @abstractmethod
+    def apply_reduce(
+        cls, func: EinsumFunc, *xs: jnp.ndarray, dim: int, keepdim: bool
+    ) -> jnp.ndarray:
+        """Apply a linear-space sum-like function to semiring-space inputs."""
+
+
+@SemiringImpl.register("sum-product")
+class SumProductSemiring(SemiringImpl):
+    """Plain linear-space evaluation."""
+
+    @classmethod
+    def cast(cls, x: jnp.ndarray) -> jnp.ndarray:
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x
+        if jnp.issubdtype(x.dtype, jnp.complexfloating):
+            raise ValueError(f"Cannot cast dtype '{x.dtype}' to {cls.__name__}")
+        return x.astype(default_real_dtype())
+
+    @classmethod
+    def sum(cls, x, dim, *, keepdim=False):
+        return x.sum(axis=dim, keepdims=keepdim)
+
+    @classmethod
+    def add(cls, *xs):
+        return reduce(jnp.add, xs)
+
+    @classmethod
+    def prod(cls, x, dim, *, keepdim=False):
+        return x.prod(axis=dim, keepdims=keepdim)
+
+    @classmethod
+    def mul(cls, *xs):
+        return reduce(jnp.multiply, xs)
+
+    @classmethod
+    def apply_reduce(cls, func, *xs, dim, keepdim):
+        return func(*xs)
+
+
+@SemiringImpl.register("lse-sum")
+class LSESumSemiring(SemiringImpl):
+    """Log-space evaluation: (logsumexp, +)."""
+
+    @classmethod
+    def cast(cls, x: jnp.ndarray) -> jnp.ndarray:
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x
+        if jnp.issubdtype(x.dtype, jnp.complexfloating):
+            raise ValueError(f"Cannot cast dtype '{x.dtype}' to {cls.__name__}")
+        return x.astype(default_real_dtype())
+
+    @classmethod
+    def sum(cls, x, dim, *, keepdim=False):
+        m = _finfo_clamp(jnp.max(x, axis=dim, keepdims=True))
+        out = jnp.log(jnp.sum(jnp.exp(x - m), axis=dim, keepdims=keepdim))
+        return out + (m if keepdim else m.squeeze(dim))
+
+    @classmethod
+    def add(cls, *xs):
+        return reduce(jnp.logaddexp, xs)
+
+    @classmethod
+    def prod(cls, x, dim, *, keepdim=False):
+        return x.sum(axis=dim, keepdims=keepdim)
+
+    @classmethod
+    def mul(cls, *xs):
+        return reduce(jnp.add, xs)
+
+    @classmethod
+    def apply_reduce(cls, func, *xs, dim, keepdim):
+        # The max-shift trick (ref: semiring.py:383-408): shift by the clamped
+        # max along the contracted axis so exp() never overflows, contract in
+        # linear space (MXU), then log and add the shifts back.
+        maxs = [_finfo_clamp(jnp.max(x, axis=dim, keepdims=True)) for x in xs]
+        exps = [jnp.exp(x - m) for x, m in zip(xs, maxs)]
+        out = func(*exps)
+        shift = reduce(jnp.add, maxs)
+        if not keepdim:
+            shift = shift.squeeze(dim)
+        return jnp.log(out) + shift
+
+
+@SemiringImpl.register("complex-lse-sum")
+class ComplexLSESumSemiring(SemiringImpl):
+    """Complex log-space evaluation (for squared / SoS circuits)."""
+
+    @classmethod
+    def cast(cls, x: jnp.ndarray) -> jnp.ndarray:
+        if jnp.issubdtype(x.dtype, jnp.complexfloating):
+            return x
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(to_complex_dtype(x.dtype))
+        return x.astype(to_complex_dtype(default_real_dtype()))
+
+    @classmethod
+    def sum(cls, x, dim, *, keepdim=False):
+        m = _finfo_clamp(jnp.max(x.real, axis=dim, keepdims=True))
+        out = csafelog(jnp.sum(jnp.exp(x - m), axis=dim, keepdims=keepdim))
+        return out + (m if keepdim else m.squeeze(dim))
+
+    @classmethod
+    def add(cls, *xs):
+        def _logaddexp(a, b):
+            m = _finfo_clamp(jnp.maximum(a.real, b.real))
+            return csafelog(jnp.exp(a - m) + jnp.exp(b - m)) + m
+
+        return reduce(_logaddexp, (cls.cast(x) for x in xs))
+
+    @classmethod
+    def prod(cls, x, dim, *, keepdim=False):
+        return x.sum(axis=dim, keepdims=keepdim)
+
+    @classmethod
+    def mul(cls, *xs):
+        return reduce(jnp.add, xs)
+
+    @classmethod
+    def apply_reduce(cls, func, *xs, dim, keepdim):
+        xs = tuple(cls.cast(x) for x in xs)
+        maxs = [_finfo_clamp(jnp.max(x.real, axis=dim, keepdims=True)) for x in xs]
+        exps = [jnp.exp(x - m) for x, m in zip(xs, maxs)]
+        out = func(*exps)
+        shift = reduce(jnp.add, maxs)
+        if not keepdim:
+            shift = shift.squeeze(dim)
+        return csafelog(out) + shift
+
+
+@SumProductSemiring.register_map_from(LSESumSemiring)
+def _lse_to_linear(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.exp(x)
+
+
+@SumProductSemiring.register_map_from(ComplexLSESumSemiring)
+def _clse_to_linear(x: jnp.ndarray) -> jnp.ndarray:
+    # Imaginary parts are assumed to cancel; keep the real exponential.
+    return jnp.exp(x).real
+
+
+@LSESumSemiring.register_map_from(SumProductSemiring)
+def _linear_to_lse(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.log(x)
+
+
+@LSESumSemiring.register_map_from(ComplexLSESumSemiring)
+def _clse_to_lse(x: jnp.ndarray) -> jnp.ndarray:
+    return x.real
+
+
+@ComplexLSESumSemiring.register_map_from(SumProductSemiring)
+def _linear_to_clse(x: jnp.ndarray) -> jnp.ndarray:
+    return csafelog(ComplexLSESumSemiring.cast(x))
+
+
+@ComplexLSESumSemiring.register_map_from(LSESumSemiring)
+def _lse_to_clse(x: jnp.ndarray) -> jnp.ndarray:
+    return ComplexLSESumSemiring.cast(x)

@@ -17,6 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment may preset jax_platforms (e.g. to a TPU tunnel plugin) in a
+# way that overrides JAX_PLATFORMS; force the virtual-device CPU platform.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import random  # noqa: E402
