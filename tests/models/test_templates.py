@@ -1,0 +1,223 @@
+"""Template tests: compiled CP/Tucker/TT circuits reproduce numpy tensor
+contractions entry by entry; image/tabular/pgm circuits compile and evaluate
+(ref: ``tests/templates/test_tensor_factorizations.py``, ``test_pgms.py``,
+``tests/data_modalities/test_tabular_data.py``)."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from cirkit_tpu.models import (
+    Parameterization,
+    cp,
+    fully_factorized,
+    hmm,
+    image_data,
+    tabular_data,
+    tensor_train,
+    tucker,
+)
+from cirkit_tpu.pipeline import PipelineContext
+
+from tests.reference_eval import enumerate_worlds
+
+
+def _all_entries(cc, shape):
+    worlds = np.array(list(itertools.product(*(range(d) for d in shape))), dtype=np.int64)
+    return np.asarray(cc(worlds))[:, 0, 0].reshape(shape), worlds
+
+
+def _materialized_weight(ctx, param):
+    """Evaluate a symbolic parameter via a reference into the live store."""
+    jp = ctx._compiler.compile_parameter(param.ref())
+    return np.asarray(jp(ctx.parameters))[0]
+
+
+def test_cp_matches_numpy_einsum():
+    shape, rank = (3, 4, 5), 6
+    sc = cp(shape, rank)
+    ctx = PipelineContext(semiring="sum-product", fold=True)
+    cc = ctx.compile(sc)
+    got, worlds = _all_entries(cc, shape)
+    # reconstruct the CP tensor from the materialized factor matrices
+    from cirkit_tpu.symbolic.layers import EmbeddingLayer, SumLayer
+
+    factors = [
+        _materialized_weight(ctx, sl.weight)  # (R, I_j)
+        for sl in sc.layers
+        if isinstance(sl, EmbeddingLayer)
+    ]
+    (w,) = [
+        _materialized_weight(ctx, sl.weight)
+        for sl in sc.layers
+        if isinstance(sl, SumLayer)
+    ]  # (1, R)
+    want = np.einsum("r,ra,rb,rc->abc", w[0], *factors)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_probabilistic_cp_sums_to_one():
+    shape, rank = (3, 4), 5
+    sc = cp(
+        shape,
+        rank,
+        input_layer="categorical",
+        input_params={"probs": Parameterization(activation="softmax")},
+        weight_param=Parameterization(activation="softmax"),
+    )
+    ctx = PipelineContext(semiring="sum-product", fold=True)
+    cc = ctx.compile(sc)
+    got, _ = _all_entries(cc, shape)
+    np.testing.assert_allclose(got.sum(), 1.0, rtol=1e-9)
+    assert (got >= 0).all()
+
+
+def test_tucker_matches_core_contraction():
+    shape, rank = (3, 4), 3
+    sc = tucker(shape, rank)
+    ctx = PipelineContext(semiring="sum-product", fold=True)
+    cc = ctx.compile(sc)
+    got, worlds = _all_entries(cc, shape)
+    from cirkit_tpu.symbolic.layers import EmbeddingLayer, SumLayer
+
+    factors = [
+        _materialized_weight(ctx, sl.weight)
+        for sl in sc.layers
+        if isinstance(sl, EmbeddingLayer)
+    ]  # each (R, I_j)
+    (core,) = [
+        _materialized_weight(ctx, sl.weight)
+        for sl in sc.layers
+        if isinstance(sl, SumLayer)
+    ]  # (1, R**n), row-major Kronecker order (r1-major)
+    core = core.reshape(rank, rank)
+    want = np.einsum("rs,ra,sb->ab", core, *factors)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_tensor_train_matches_explicit_contraction():
+    shape, rank = (3, 4, 5), 2
+    sc = tensor_train(shape, rank)
+    ctx = PipelineContext(semiring="sum-product", fold=True)
+    cc = ctx.compile(sc)
+    got, worlds = _all_entries(cc, shape)
+    # extract the TT cores from the symbolic constant/learned parameters by
+    # evaluating the embedding layers directly through the compiled store
+    from cirkit_tpu.symbolic.layers import EmbeddingLayer
+
+    embs = [sl for sl in sc.layers if isinstance(sl, EmbeddingLayer)]
+    # order: first (var 0), last (var n-1), then inner vars x rank
+    first, last, inner = embs[0], embs[1], embs[2:]
+    store = ctx.parameters
+
+    def weight_of(sl):
+        cc_layer = None
+        # evaluate the symbolic parameter graph through the compiler mapping
+        compiler = ctx._compiler
+        jp = compiler.compile_parameter(sl.weight.ref())
+        return np.asarray(jp(store))[0]  # (K, N)
+
+    v_first = weight_of(first)  # (R, I0)
+    v_last = weight_of(last)  # (R, In)
+    # inner cores: var i has R embeddings of shape (R, Ii): core[r_prev, x, r]
+    n_inner = len(shape) - 2
+    cores = []
+    for i in range(n_inner):
+        mats = [weight_of(inner[i * rank + r]) for r in range(rank)]  # each (R, Ii)
+        # mats[r][r_prev... wait: embedding j feeds hadamard with prior state r_j
+        cores.append(np.stack(mats, axis=0))  # (R_cur, R_prev, Ii)? verified below
+
+    def tt_value(idx):
+        vec = v_first[:, idx[0]]  # (R,)
+        for i in range(n_inner):
+            # block-diagonal sum layer: out_j = sum_r vec[r] * W_j[r, x]
+            vec = np.array(
+                [float((vec * cores[i][j][:, idx[i + 1]]).sum()) for j in range(rank)]
+            )
+        return float((vec * v_last[:, idx[-1]]).sum())
+
+    want = np.array([tt_value(w) for w in worlds]).reshape(shape)
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
+def test_image_data_circuit():
+    sc = image_data(
+        (1, 4, 4),
+        "quad-graph",
+        input_layer="categorical",
+        num_input_units=4,
+        sum_product_layer="cp",
+        num_sum_units=4,
+    )
+    assert sc.is_smooth and sc.is_decomposable
+    assert sc.num_variables == 16
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    x = np.random.default_rng(0).integers(0, 256, size=(8, 16))
+    ll = np.asarray(cc(x))
+    assert ll.shape == (8, 1, 1) and np.isfinite(ll).all()
+    # normalized circuit: softmax weights + categorical probs => log Z = 0
+    icc = ctx.integrate(cc)
+    np.testing.assert_allclose(float(icc(batch_size=1)[0, 0, 0]), 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("sum_product", ["cp", "cp-t", "tucker"])
+@pytest.mark.parametrize("rg", ["quad-tree-2", "quad-graph"])
+def test_image_data_variants(sum_product, rg):
+    sc = image_data(
+        (1, 4, 4),
+        rg,
+        input_layer="categorical",
+        num_input_units=3,
+        sum_product_layer=sum_product,
+        num_sum_units=3,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    x = np.random.default_rng(1).integers(0, 256, size=(4, 16))
+    assert np.isfinite(np.asarray(cc(x))).all()
+
+
+def test_tabular_data_heterogeneous():
+    rng = np.random.default_rng(2)
+    data = np.concatenate(
+        [rng.integers(0, 5, size=(100, 2)).astype(float), rng.normal(size=(100, 2))], axis=1
+    )
+    sc = tabular_data(
+        "chow-liu-tree",
+        data=data,
+        input_layers=[
+            {"name": "categorical", "args": {"num_categories": 5}},
+            {"name": "categorical", "args": {"num_categories": 5}},
+            {"name": "gaussian", "args": {}},
+            {"name": "gaussian", "args": {}},
+        ],
+        num_input_units=3,
+        sum_product_layer="cp",
+        num_sum_units=3,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    assert np.isfinite(np.asarray(cc(data[:8]))).all()
+
+
+def test_hmm_is_normalized():
+    sc = hmm(
+        list(range(4)), num_latent_states=3, input_layer_kwargs={"num_categories": 2}
+    )
+    assert sc.is_smooth and sc.is_decomposable and sc.is_structured_decomposable
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    worlds = enumerate_worlds(4, 2)
+    lls = np.asarray(cc(worlds))[:, 0, 0]
+    np.testing.assert_allclose(np.exp(lls).sum(), 1.0, rtol=1e-9)
+
+
+def test_fully_factorized_is_normalized():
+    sc = fully_factorized(3, input_layer_kwargs={"num_categories": 4})
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    worlds = enumerate_worlds(3, 4)
+    lls = np.asarray(cc(worlds))[:, 0, 0]
+    np.testing.assert_allclose(np.exp(lls).sum(), 1.0, rtol=1e-9)
