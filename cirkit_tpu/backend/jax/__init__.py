@@ -1,5 +1,6 @@
 from cirkit_tpu.backend.jax.circuit import JaxCircuit
 from cirkit_tpu.backend.jax.compiler import JaxCompiler
+from cirkit_tpu.backend.jax.queries import IntegrateQuery, Query, SamplingQuery
 from cirkit_tpu.backend.jax.semiring import (
     ComplexLSESumSemiring,
     LSESumSemiring,
@@ -16,4 +17,7 @@ __all__ = [
     "Semiring",
     "SemiringImpl",
     "SumProductSemiring",
+    "IntegrateQuery",
+    "Query",
+    "SamplingQuery",
 ]

@@ -182,12 +182,28 @@ class JaxCircuit:
         ``module_fn`` overrides per-layer evaluation — the hook used by
         queries (ref: ``graph/modules.py:303-335`` module_fn path).
         """
+        out = self.evaluate_raw(store, x, batch_size=batch_size, module_fn=module_fn)
+        return jnp.transpose(out, (1, 0, 2))  # (B, O, K)
+
+    def evaluate_raw(
+        self,
+        store: Store,
+        x: jnp.ndarray | None = None,
+        *,
+        batch_size: int | None = None,
+        module_fn: ModuleFn | None = None,
+    ) -> jnp.ndarray:
+        """Run the plan returning the raw output stack (O, ...). When ``x``
+        is None and ``module_fn`` is given, input layers receive None (the
+        hook used by sampling, which needs no data batch)."""
         if x is not None:
             b = x.shape[0]
         elif batch_size is not None:
             b = batch_size
-        else:
+        elif module_fn is None:
             raise ValueError("Either an input batch or a batch size is required")
+        else:
+            b = None
 
         fn: ModuleFn = (lambda layer, st, xin: layer(st, xin)) if module_fn is None else module_fn
 
@@ -197,10 +213,13 @@ class JaxCircuit:
             if isinstance(layer, JaxConstantInputLayer):
                 y = fn(layer, store, b)
             elif isinstance(layer, JaxInputLayer):
-                # (B, D_total) -> (F, B, D) via the static scope gather
-                xin = x[:, layer.scope_idx]  # (B, F, D)
-                xin = jnp.transpose(xin, (1, 0, 2))
-                y = fn(layer, store, xin)
+                if x is None:
+                    y = fn(layer, store, None)
+                else:
+                    # (B, D_total) -> (F, B, D) via the static scope gather
+                    xin = x[:, layer.scope_idx]  # (B, F, D)
+                    xin = jnp.transpose(xin, (1, 0, 2))
+                    y = fn(layer, store, xin)
             else:
                 cat = (
                     outs[entry.in_ids[0]]
@@ -219,8 +238,7 @@ class JaxCircuit:
             if len(self._outputs.out_ids) == 1
             else jnp.concatenate([outs[i] for i in self._outputs.out_ids], axis=0)
         )
-        y = cat if self._outputs.fold_idx is None else cat[self._outputs.fold_idx]
-        return jnp.transpose(y, (1, 0, 2))  # (B, O, K)
+        return cat if self._outputs.fold_idx is None else cat[self._outputs.fold_idx]
 
     def __call__(self, *args, **kwargs) -> jnp.ndarray:
         """Jit-compiled forward: ``cc(store, x)``, or ``cc(x)`` using the

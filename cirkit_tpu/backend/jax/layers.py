@@ -100,10 +100,11 @@ class JaxLayer(ABC):
 class JaxInnerLayer(JaxLayer, ABC):
     """A sum or product layer: (F, H, B, Ki) -> (F, B, Ko)."""
 
-    def sample_routing(self, store: Store, key, mixture_idx: jnp.ndarray) -> jnp.ndarray:
-        """Backward-sampling routing: given indices of the sampled output
-        units (F, B), return per-operand indices of the sampled input units
-        (F, H, B). Only defined for layers where this is meaningful."""
+    def sample(self, store: Store, key, x: jnp.ndarray):
+        """Route samples upward: x has shape (F, H, K, N, D) of per-unit
+        variable assignments; returns ((F, Ko, N, D), mixture indices or
+        None) — the reference's ancestral-sampling step
+        (ref: ``layers/inner.py:129,189,275``)."""
         raise TypeError(f"Sampling is not supported for {type(self).__name__}")
 
 
@@ -121,6 +122,10 @@ class JaxHadamardLayer(JaxInnerLayer):
 
     def forward(self, store: Store, x) -> jnp.ndarray:
         return self.semiring.prod(x, dim=1)
+
+    def sample(self, store, key, x):
+        # Disjoint scopes: add the zero-padded per-operand assignments.
+        return x.sum(axis=1), None
 
 
 class JaxKroneckerLayer(JaxInnerLayer):
@@ -146,6 +151,15 @@ class JaxKroneckerLayer(JaxInnerLayer):
             out = self.semiring.mul(out[..., :, None], x[:, h][..., None, :])
             out = out.reshape(out.shape[0], out.shape[1], -1)
         return out
+
+    def sample(self, store, key, x):
+        # x: (F, H, K, N, D); combine all unit pairings by addition
+        out = x[:, 0]
+        for h in range(1, self.arity):
+            f, k, n, d = out.shape
+            out = out[:, :, None] + x[:, h][:, None]  # (F, K, Ki, N, D)
+            out = out.reshape(f, -1, n, d)
+        return out, None
 
 
 class JaxSumLayer(JaxInnerLayer):
@@ -192,18 +206,23 @@ class JaxSumLayer(JaxInnerLayer):
             "fbi,foi->fbo", inputs=(x,), operands=(w,), dim=-1, keepdim=True
         )
 
-    def sample_routing(self, store, key, mixture_idx):
-        # mixture_idx: (F, B) output-unit choices -> sample an input index
-        # from the categorical given by the (normalized) weight rows.
+    def sample(self, store, key, x):
+        # Latent-variable semantics: each output unit mixes over its H*Ki
+        # inputs; draw one input per (fold, unit, sample) and gather its
+        # assignment. Requires normalized non-negative weights.
         w = self.weight(store)  # (F, Ko, H*Ki)
-        logits = jnp.log(w)
-        sel = jnp.take_along_axis(
-            logits, mixture_idx[:, :, None], axis=1
-        )  # (F, B, H*Ki)
-        idx = jax.random.categorical(key, sel, axis=-1)  # (F, B) in [0, H*Ki)
-        h_idx = idx // self.num_input_units
-        k_idx = idx % self.num_input_units
-        return h_idx, k_idx
+        f, h, k, n, d = x.shape
+        x = x.reshape(f, h * k, n, d)
+        logits = jnp.log(w)  # (F, Ko, H*Ki)
+        mix = jax.random.categorical(
+            key, jnp.broadcast_to(logits[:, :, None, :], (f, w.shape[1], n, w.shape[2])),
+            axis=-1,
+        )  # (F, Ko, N)
+        # gather along the H*Ki axis for each (f, n): use advanced indexing
+        fold_idx = jnp.arange(f)[:, None, None]
+        n_idx = jnp.arange(n)[None, None, :]
+        out = x[fold_idx, mix, n_idx]  # (F, Ko, N, D)
+        return out, mix
 
 
 # --------------------------------------------------------------------------- #

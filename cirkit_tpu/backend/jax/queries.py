@@ -1,0 +1,184 @@
+"""Queries over compiled circuits: per-sample marginals and sampling.
+
+Rebuild of ``cirkit/backend/torch/queries.py:19-275``, jit-native: both
+queries compile to *plan variants* of the same evaluation plan — the same
+step list with input-layer steps swapped. The integration mask is a runtime
+argument, so one jitted function serves all per-sample marginal queries
+without recompilation.
+"""
+
+from __future__ import annotations
+
+from abc import ABC
+from collections.abc import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cirkit_tpu.backend.jax.circuit import JaxCircuit
+from cirkit_tpu.backend.jax.layers import JaxInnerLayer, JaxInputLayer, JaxLayer
+from cirkit_tpu.backend.jax.parameters import Store
+from cirkit_tpu.utils.scope import Scope
+
+
+class Query(ABC):
+    """A query object over a compiled circuit."""
+
+
+class IntegrateQuery(Query):
+    """Per-sample marginalization without recompiling: input-layer steps
+    select between the layer's output and its integral with a (B, D) boolean
+    mask passed at run time."""
+
+    def __init__(self, circuit: JaxCircuit) -> None:
+        if not (circuit.properties.smooth and circuit.properties.decomposable):
+            raise ValueError(
+                f"The circuit to integrate must be smooth and decomposable, "
+                f"but found {circuit.properties}"
+            )
+        self._circuit = circuit
+        self._jit_fn = None
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        *,
+        integrate_vars: jnp.ndarray | np.ndarray | Scope | Sequence[Scope],
+        store: Store | None = None,
+    ) -> jnp.ndarray:
+        """Evaluate marginals: ``integrate_vars`` is a (B, D) or (D,) boolean
+        mask (True = marginalized), a Scope, or a sequence of Scopes of
+        length 1 or B."""
+        cc = self._circuit
+        if isinstance(integrate_vars, (jnp.ndarray, np.ndarray)):
+            mask = jnp.asarray(integrate_vars)
+            if mask.dtype != jnp.bool_:
+                raise ValueError(f"Expected a boolean mask, found dtype {mask.dtype}")
+            if mask.ndim == 1:
+                mask = mask[None]
+            num_vars = max(cc.scope) + 1
+            if mask.shape[1] != num_vars:
+                raise ValueError(
+                    f"The circuit scope has {num_vars} variables, but the mask "
+                    f"covers {mask.shape[1]}"
+                )
+        else:
+            mask = jnp.asarray(IntegrateQuery.scopes_to_mask(cc, integrate_vars))
+        if mask.shape[0] not in (1, x.shape[0]):
+            raise ValueError(
+                "The number of integration scopes must be 1 (broadcast) or "
+                f"match the batch size: found {mask.shape[0]} != {x.shape[0]}"
+            )
+        if mask.shape[0] == 1:
+            mask = jnp.broadcast_to(mask, (x.shape[0], mask.shape[1]))
+
+        if store is None:
+            store = getattr(cc, "default_store", None)
+            if store is None:
+                raise ValueError("No parameter store bound; pass store=...")
+        store = cc.restrict_store(store)
+
+        if self._jit_fn is None:
+            def _run(st, xx, mk):
+                def layer_fn(layer: JaxLayer, s, xin):
+                    out = layer(s, xin)
+                    if not isinstance(layer, JaxInputLayer) or layer.num_variables == 0:
+                        return out
+                    if layer.num_variables > 1:
+                        raise NotImplementedError(
+                            "Integration of multivariate input layers is not supported"
+                        )
+                    # mask gathered at the layer's scope: (B, F, 1) -> (F, B, 1)
+                    m = jnp.transpose(mk[:, layer.scope_idx[:, 0]], (1, 0))[:, :, None]
+                    return jnp.where(m, layer.integrate(s)[:, None, :], out)
+
+                return cc.evaluate(st, xx, module_fn=layer_fn)
+
+            self._jit_fn = jax.jit(_run)
+        return self._jit_fn(store, jnp.asarray(x), mask)
+
+    @staticmethod
+    def scopes_to_mask(
+        circuit: JaxCircuit, batch_integrate_vars: Scope | Sequence[Scope]
+    ) -> np.ndarray:
+        """Scopes -> (B, num_vars) boolean mask."""
+        if isinstance(batch_integrate_vars, Scope):
+            batch_integrate_vars = [batch_integrate_vars]
+        num_vars = max(circuit.scope) + 1
+        mask = np.zeros((len(batch_integrate_vars), num_vars), dtype=bool)
+        for i, scope in enumerate(batch_integrate_vars):
+            invalid = Scope(scope) - circuit.scope
+            if invalid:
+                raise ValueError(
+                    "The variables to marginalize must be a subset of the circuit "
+                    f"scope; invalid variables: {list(invalid)}"
+                )
+            mask[i, list(scope)] = True
+        return mask
+
+
+class SamplingQuery(Query):
+    """Ancestral sampling through the evaluation plan: input layers sample
+    their units' distributions, product layers combine disjoint assignments,
+    sum layers draw latent mixture indices and route child samples."""
+
+    def __init__(self, circuit: JaxCircuit) -> None:
+        if not (circuit.properties.smooth and circuit.properties.decomposable):
+            raise ValueError(
+                f"The circuit to sample from must be smooth and decomposable, "
+                f"but found {circuit.properties}"
+            )
+        self._circuit = circuit
+        self._jit_cache: dict[int, object] = {}
+
+    def __call__(
+        self, num_samples: int = 1, *, key: jax.Array | None = None, store: Store | None = None
+    ) -> tuple[jnp.ndarray, list[jnp.ndarray]]:
+        """Draw samples: returns (samples of shape (N, D), per-layer latent
+        mixture samples)."""
+        if num_samples <= 0:
+            raise ValueError("The number of samples must be a positive number")
+        cc = self._circuit
+        if key is None:
+            key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        if store is None:
+            store = getattr(cc, "default_store", None)
+            if store is None:
+                raise ValueError("No parameter store bound; pass store=...")
+        store = cc.restrict_store(store)
+        num_vars = max(cc.scope) + 1
+
+        if num_samples not in self._jit_cache:
+
+            def _run(st, k):
+                mixtures: list[jnp.ndarray] = []
+                keys = iter(jax.random.split(k, len(cc.layers)))
+
+                def layer_fn(layer: JaxLayer, s, xin):
+                    lk = next(keys)
+                    if isinstance(layer, JaxInputLayer):
+                        samples = layer.sample(s, lk, num_samples)  # (F, K, N)
+                        return _pad_samples(samples, layer.scope_idx, num_vars)
+                    assert isinstance(layer, JaxInnerLayer)
+                    out, mix = layer.sample(s, lk, xin)
+                    if mix is not None:
+                        mixtures.append(mix)
+                    return out
+
+                out = cc.evaluate_raw(st, None, module_fn=layer_fn)  # (O, K, N, D)
+                return out, tuple(mixtures)
+
+            self._jit_cache[num_samples] = jax.jit(_run)
+        out, mixtures = self._jit_cache[num_samples](store, key)
+        samples = jnp.transpose(out, (2, 0, 1, 3))[:, 0, 0]  # (N, D)
+        return samples, list(mixtures)
+
+
+def _pad_samples(samples: jnp.ndarray, scope_idx: np.ndarray, num_vars: int) -> jnp.ndarray:
+    """Scatter univariate per-unit samples (F, K, N) into zero-padded
+    assignments (F, K, N, D) at the layer's variable positions."""
+    if scope_idx.shape[1] != 1:
+        raise NotImplementedError("Padding is only implemented for univariate samples")
+    one_hot = jax.nn.one_hot(scope_idx[:, 0], num_vars, dtype=samples.dtype)  # (F, D)
+    return samples[:, :, :, None] * one_hot[:, None, None, :]

@@ -1,0 +1,129 @@
+"""Query tests: IntegrateQuery matches the compiled integral circuit, with
+batched/broadcast per-sample scopes and error cases; SamplingQuery's sampled
+world frequencies match the true distribution (ref:
+``tests/backend/torch/test_queries/``)."""
+
+import collections
+
+import jax
+import numpy as np
+import pytest
+
+from cirkit_tpu.backend.jax.queries import IntegrateQuery, SamplingQuery
+from cirkit_tpu.pipeline import PipelineContext
+from cirkit_tpu.utils import Scope
+
+from tests.fixtures import build_bivariate_categorical_pc, build_multivariate_categorical_pc
+from tests.reference_eval import enumerate_worlds, eval_circuit
+
+
+@pytest.mark.parametrize("fold", [False, True])
+def test_integrate_query_equals_integral_circuit(fold):
+    ctx = PipelineContext(semiring="lse-sum", fold=fold)
+    sc = build_multivariate_categorical_pc(num_variables=4, rng=np.random.default_rng(20))
+    cc = ctx.compile(sc)
+    query = IntegrateQuery(cc)
+    worlds = enumerate_worlds(4, 2)
+    # marginalize vars {1, 3} for every sample
+    got = np.asarray(query(worlds, integrate_vars=Scope([1, 3])))
+    full = eval_circuit(sc, worlds)[:, 0, 0].reshape(2, 2, 2, 2)
+    marg = full.sum(axis=(1, 3))  # (2, 2) over vars 0, 2
+    want = np.log(marg[worlds[:, 0], worlds[:, 2]])
+    np.testing.assert_allclose(got[:, 0, 0], want, rtol=1e-9)
+
+
+def test_integrate_query_batched_scopes():
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    sc = build_multivariate_categorical_pc(num_variables=4, rng=np.random.default_rng(21))
+    cc = ctx.compile(sc)
+    query = IntegrateQuery(cc)
+    x = np.array([[0, 1, 0, 1], [1, 0, 1, 0], [0, 0, 1, 1]])
+    scopes = [Scope([0]), Scope([1, 2]), Scope([])]
+    got = np.asarray(query(x, integrate_vars=scopes))[:, 0, 0]
+    worlds = enumerate_worlds(4, 2)
+    full = eval_circuit(sc, worlds)[:, 0, 0].reshape(2, 2, 2, 2)
+    want = [
+        np.log(full[:, x[0, 1], x[0, 2], x[0, 3]].sum()),
+        np.log(full[x[1, 0], :, :, x[1, 3]].sum()),
+        np.log(full[tuple(x[2])]),
+    ]
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_integrate_query_boolean_mask_and_broadcast():
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    sc = build_multivariate_categorical_pc(num_variables=4, rng=np.random.default_rng(22))
+    cc = ctx.compile(sc)
+    query = IntegrateQuery(cc)
+    x = enumerate_worlds(4, 2)
+    mask = np.zeros(4, dtype=bool)
+    mask[2] = True
+    got = np.asarray(query(x, integrate_vars=mask))[:, 0, 0]
+    got_scope = np.asarray(query(x, integrate_vars=Scope([2])))[:, 0, 0]
+    np.testing.assert_allclose(got, got_scope, rtol=1e-12)
+    # full-scope mask equals the partition function everywhere
+    full_mask = np.ones((1, 4), dtype=bool)
+    z = np.asarray(query(x, integrate_vars=full_mask))[:, 0, 0]
+    worlds = enumerate_worlds(4, 2)
+    z_true = np.log(eval_circuit(sc, worlds)[:, 0, 0].sum())
+    np.testing.assert_allclose(z, z_true, rtol=1e-9)
+
+
+def test_integrate_query_errors():
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    sc = build_multivariate_categorical_pc(num_variables=4, rng=np.random.default_rng(23))
+    cc = ctx.compile(sc)
+    query = IntegrateQuery(cc)
+    x = enumerate_worlds(4, 2)
+    with pytest.raises(ValueError, match="subset"):
+        query(x, integrate_vars=Scope([7]))
+    with pytest.raises(ValueError, match="batch size"):
+        query(x, integrate_vars=[Scope([0]), Scope([1])])
+    with pytest.raises(ValueError, match="boolean"):
+        query(x, integrate_vars=np.zeros((1, 4), dtype=np.int32))
+    with pytest.raises(ValueError, match="variables"):
+        query(x, integrate_vars=np.zeros((1, 7), dtype=bool))
+
+
+@pytest.mark.parametrize("fold", [False, True])
+def test_sampling_frequencies_match_distribution(fold):
+    # normalized PC: softmax-ish probs with convex sum weights
+    rng = np.random.default_rng(24)
+    from cirkit_tpu.symbolic import CategoricalLayer, Circuit, HadamardLayer, SumLayer
+    from tests.fixtures import const_param
+
+    layers = []
+    for v in range(2):
+        raw = rng.uniform(0.1, 1.0, (2, 2))
+        probs = raw / raw.sum(axis=1, keepdims=True)
+        layers.append(
+            CategoricalLayer(Scope([v]), 2, num_categories=2, probs=const_param(probs))
+        )
+    h = HadamardLayer(2, arity=2)
+    w = rng.uniform(0.1, 1.0, (1, 2))
+    s = SumLayer(2, 1, weight=const_param(w / w.sum()))
+    sc = Circuit(layers + [h, s], {h: layers, s: [h]}, [s])
+
+    ctx = PipelineContext(semiring="lse-sum", fold=fold)
+    cc = ctx.compile(sc)
+    query = SamplingQuery(cc)
+    n = 20000
+    samples, mixtures = query(n, key=jax.random.PRNGKey(0))
+    samples = np.asarray(samples).astype(int)
+    assert samples.shape == (n, 2)
+    counts = collections.Counter(map(tuple, samples.tolist()))
+    worlds = enumerate_worlds(2, 2)
+    probs = eval_circuit(sc, worlds)[:, 0, 0]
+    probs = probs / probs.sum()
+    for world, p in zip(map(tuple, worlds.tolist()), probs):
+        freq = counts.get(world, 0) / n
+        assert abs(freq - p) < 0.02, (world, freq, p)
+    assert len(mixtures) >= 1  # the root sum layer's latent choices
+
+
+def test_sampling_requires_positive_samples():
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    sc = build_bivariate_categorical_pc(rng=np.random.default_rng(25))
+    cc = ctx.compile(sc)
+    with pytest.raises(ValueError, match="positive"):
+        SamplingQuery(cc)(0)
