@@ -1,0 +1,98 @@
+"""Benchmark: folded forward-evaluation throughput on the MNIST QuadGraph
+circuit, the reference's headline configuration.
+
+Baseline (BASELINE.md): the reference's best (folded+optimized) forward pass
+on the MNIST QuadGraph **Tucker** K=64 circuit takes 38.6 ms for a batch of
+128 on a CUDA GPU => 3316 samples/s (``notebooks/compilation-options.ipynb``).
+The primary metric benches the same circuit shape; the north-star **CP**
+training configuration is reported alongside.
+
+Note: XLA's automatic fusion beats the reference's hand fusions on TPU at
+these sizes, so the default runs the folded-unoptimized plan (still the
+framework's fast path); set BENCH_OPTIMIZE=1 to measure the fusion rules.
+
+Env overrides: BENCH_SUM_PRODUCT (tucker|cp|cp-t), BENCH_UNITS, BENCH_BATCH,
+BENCH_ITERS, BENCH_OPTIMIZE, BENCH_SKIP_CP.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_SAMPLES_PER_SEC = 128 / 0.0386  # reference folded+optimized fwd
+
+
+def bench_config(sum_product: str, num_units: int, batch: int, iters: int, optimize: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from cirkit_tpu.models import image_data
+    from cirkit_tpu.pipeline import PipelineContext
+
+    t0 = time.time()
+    sc = image_data(
+        (1, 28, 28),
+        "quad-graph",
+        input_layer="categorical",
+        num_input_units=num_units,
+        sum_product_layer=sum_product,
+        num_sum_units=num_units,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=optimize)
+    cc = ctx.compile(sc)
+    build_s = time.time() - t0
+
+    store = {k: v for k, v in ctx.parameters.items() if k in cc.used_slots}
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, size=(batch, 784), dtype=np.int64)
+    )
+    fwd = jax.jit(lambda st, xx: cc.evaluate(st, xx))
+
+    t0 = time.time()
+    out = jax.block_until_ready(fwd(store, x))
+    compile_s = time.time() - t0
+    assert np.isfinite(np.asarray(out)).all(), "Non-finite benchmark outputs"
+
+    t0 = time.time()
+    for _ in range(iters):
+        out = fwd(store, x)
+    jax.block_until_ready(out)
+    per_batch = (time.time() - t0) / iters
+    return batch / per_batch, per_batch, build_s, compile_s
+
+
+def main() -> None:
+    import jax
+
+    sum_product = os.environ.get("BENCH_SUM_PRODUCT", "tucker")
+    num_units = int(os.environ.get("BENCH_UNITS", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    optimize = os.environ.get("BENCH_OPTIMIZE", "0") == "1"
+
+    sps, per_batch, build_s, compile_s = bench_config(
+        sum_product, num_units, batch, iters, optimize
+    )
+    result = {
+        "metric": f"mnist_quadgraph_{sum_product}_k{num_units}_folded_fwd",
+        "value": round(sps, 1),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 3),
+        "batch_ms": round(per_batch * 1e3, 2),
+        "trace_build_s": round(build_s, 1),
+        "jit_compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+    }
+    if sum_product != "cp" and os.environ.get("BENCH_SKIP_CP", "0") != "1":
+        cp_sps, cp_per_batch, _, _ = bench_config("cp", num_units, batch, iters, optimize)
+        result["cp_samples_per_sec"] = round(cp_sps, 1)
+        result["cp_batch_ms"] = round(cp_per_batch * 1e3, 2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -139,6 +139,7 @@ class JaxCircuit:
         self._used_slots: tuple[str, ...] = tuple(sorted(used))
 
         self._jit_cache: dict[Any, Callable] = {}
+        self._init_jit: Callable | None = None
 
     # -- parameter store -------------------------------------------------------
     @property
@@ -151,14 +152,47 @@ class JaxCircuit:
         return frozenset(s for s, n in self._slots.items() if n.learnable)
 
     def initialize(self, key: jax.Array | None = None) -> dict[str, jnp.ndarray]:
-        """Build a freshly-initialized parameter store (a flat pytree)."""
-        slots = sorted(self._slots)
-        if key is None:
-            keys = {s: None for s in slots}
-        else:
-            ks = jax.random.split(key, len(slots))
-            keys = dict(zip(slots, ks))
-        return {s: self._slots[s].initialize(keys[s]) for s in slots}
+        """Build a freshly-initialized parameter store (a flat pytree).
+
+        Constant slots materialize in numpy; all random draws run in a single
+        jitted program (one device dispatch per circuit, not per parameter).
+        """
+        const_slots = []
+        random_slots = []
+        for s in sorted(self._slots):
+            node = self._slots[s]
+            if all(getattr(init, "constant", None) is not None for init in node.inits):
+                const_slots.append(s)
+            else:
+                random_slots.append(s)
+        store = {s: self._slots[s].initialize(None) for s in const_slots}
+        if random_slots:
+            if key is None:
+                raise ValueError(
+                    "A PRNG key is required to initialize randomly-initialized parameters"
+                )
+            # Jit the random draws into one program only on accelerators and
+            # when there are few slots (folded circuits): one device dispatch
+            # instead of one per slot. On CPU, and for unfolded circuits with
+            # hundreds of slots, eager batched draws beat the jit compile.
+            if jax.default_backend() != "cpu" and len(random_slots) <= 64:
+                if self._init_jit is None:
+                    slots = tuple(random_slots)
+
+                    def _init_random(k):
+                        ks = jax.random.split(k, len(slots))
+                        return {
+                            s: self._slots[s].initialize(ks[i]) for i, s in enumerate(slots)
+                        }
+
+                    self._init_jit = jax.jit(_init_random)
+                store.update(self._init_jit(key))
+            else:
+                ks = jax.random.split(key, len(random_slots))
+                store.update(
+                    {s: self._slots[s].initialize(ks[i]) for i, s in enumerate(random_slots)}
+                )
+        return store
 
     def num_parameters(self, store: Store | None = None, *, learnable_only: bool = False) -> int:
         total = 0

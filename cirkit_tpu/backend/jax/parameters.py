@@ -121,7 +121,23 @@ class JaxTensorSlot(JaxParameterInput):
         return (type(self).__name__, self._shape, str(self.dtype), self.learnable)
 
     def initialize(self, key: jax.Array | None) -> jnp.ndarray:
-        """Materialize the (F, ...) initial value of this slot."""
+        """Materialize the (F, ...) initial value of this slot.
+
+        Fast paths keep trace/dispatch cost O(1) per slot instead of O(F):
+        constant initializers stack in numpy; folds sharing the same
+        elementwise initializer draw a single (F, ...) sample.
+        """
+        consts = [getattr(init, "constant", None) for init in self.inits]
+        if all(c is not None for c in consts):
+            np_dtype = np.dtype(self.dtype)
+            return jnp.asarray(
+                np.stack(
+                    [np.broadcast_to(np.asarray(c), self._shape) for c in consts]
+                ).astype(np_dtype)
+            )
+        batch_keys = {getattr(init, "batch_key", None) for init in self.inits}
+        if len(batch_keys) == 1 and None not in batch_keys and key is not None:
+            return self.inits[0](key, (self.num_folds, *self._shape), self.dtype)
         if key is None:
             keys = [None] * self.num_folds
         else:
@@ -610,3 +626,48 @@ class JaxParameter(RootedDiAcyclicGraph[JaxParameterNode]):
             in_nodes.update(p.nodes_inputs)
         in_nodes[op] = [p.output for p in ps]
         return cls(nodes, in_nodes, [op])
+
+
+class JaxMatMulParameter(JaxParameterOp):
+    """Matrix product of two parameter matrices (emitted by the sum-collapse
+    fusion: two stacked dense sums fuse into one with W2 @ W1 weights)."""
+
+    def __init__(self, *in_shapes: Shape, num_folds: int = 1):
+        super().__init__(*in_shapes, num_folds=num_folds)
+        if in_shapes[0][0] != in_shapes[1][1]:
+            raise ValueError(
+                f"Cannot matrix-multiply parameter shapes {in_shapes[1]} @ {in_shapes[0]}"
+            )
+
+    @property
+    def shape(self) -> Shape:
+        # inputs are (inner sum weight, outer sum weight): W2 @ W1
+        return (self.in_shapes[1][0], self.in_shapes[0][1])
+
+    def _eval(self, w1, w2):
+        return jnp.einsum("foi,fij->foj", w2, w1)
+
+
+class JaxFlattenParameter(JaxParameterOp):
+    """Flatten a contiguous range of axes of the input parameter."""
+
+    def __init__(self, *in_shapes: Shape, start_dim: int = 0, end_dim: int = -1, num_folds: int = 1):
+        super().__init__(*in_shapes, num_folds=num_folds)
+        rank = len(self.in_shapes[0])
+        self.start_dim = start_dim if start_dim >= 0 else start_dim + rank
+        self.end_dim = end_dim if end_dim >= 0 else end_dim + rank
+
+    @property
+    def config(self) -> dict[str, Any]:
+        return {**super().config, "start_dim": self.start_dim, "end_dim": self.end_dim}
+
+    @property
+    def shape(self) -> Shape:
+        s = self.in_shapes[0]
+        flat = 1
+        for d in s[self.start_dim : self.end_dim + 1]:
+            flat *= d
+        return s[: self.start_dim] + (flat,) + s[self.end_dim + 1 :]
+
+    def _eval(self, x):
+        return x.reshape((x.shape[0], *self.shape))

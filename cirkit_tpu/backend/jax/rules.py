@@ -51,6 +51,7 @@ def compile_constant_tensor_initializer(
     def _init(key, shape, dtype):
         return jnp.broadcast_to(jnp.asarray(value, dtype=dtype), shape)
 
+    _init.constant = np.asarray(value)
     return _init
 
 
@@ -62,6 +63,7 @@ def compile_uniform_initializer(
     def _init(key, shape, dtype):
         return jax.random.uniform(key, shape, dtype=dtype, minval=a, maxval=b)
 
+    _init.batch_key = ("uniform", a, b)
     return _init
 
 
@@ -78,6 +80,7 @@ def compile_normal_initializer(
             return (re + 1j * im).astype(dtype) * stddev + mean
         return jax.random.normal(key, shape, dtype=dtype) * stddev + mean
 
+    _init.batch_key = ("normal", mean, stddev)
     return _init
 
 
@@ -96,6 +99,11 @@ def compile_dirichlet_initializer(
         sample = jax.random.dirichlet(key, a, shape=batch_shape, dtype=dtype)
         return jnp.moveaxis(sample, -1, ax)
 
+    if axis < 0:
+        # Negative axes resolve identically on the fold-extended shape, so a
+        # single (F, ...) draw is valid for the batched-init fast path.
+        alpha_key = tuple(alpha) if isinstance(alpha, list) else alpha
+        _init.batch_key = ("dirichlet", alpha_key, axis)
     return _init
 
 

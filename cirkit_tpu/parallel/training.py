@@ -1,0 +1,161 @@
+"""Distributed training over TPU meshes.
+
+This is a new capability relative to the reference (which is single-device,
+see SURVEY.md §2.7): maximum-likelihood training with the batch dimension
+sharded over the ICI mesh axis and parameters replicated. Shardings are
+declared with ``jax.sharding.NamedSharding`` and the gradient all-reduce is
+inserted by XLA (the collectives ride ICI); no host-side communication code
+is needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cirkit_tpu.backend.jax.circuit import JaxCircuit
+
+Store = dict[str, jax.Array]
+
+
+def default_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
+    """A 1D device mesh over the first ``num_devices`` devices."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def replicate_store(store: Store, mesh: Mesh) -> Store:
+    """Place every parameter replicated across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return {k: jax.device_put(v, sharding) for k, v in store.items()}
+
+
+def shard_batch(x, mesh: Mesh, axis: str = "data"):
+    """Shard the leading (batch) axis of an array over the mesh."""
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(axis)))
+
+
+def data_parallel_step(
+    circuit: JaxCircuit,
+    optimizer: optax.GradientTransformation,
+    *,
+    mesh: Mesh | None = None,
+    axis: str = "data",
+    loss_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+) -> Callable:
+    """Build a jitted data-parallel training step.
+
+    The step takes ``(trainable, frozen, opt_state, batch)`` and returns
+    ``(trainable, opt_state, loss)``. The batch is expected sharded over the
+    mesh ``axis``; parameters replicated. The default loss is the mean
+    negative log-likelihood of the circuit's (B, O, K) output.
+    """
+    if loss_fn is None:
+        loss_fn = lambda ll: -jnp.mean(ll)
+
+    def _loss(trainable: Store, frozen: Store, batch) -> jnp.ndarray:
+        ll = circuit.evaluate({**trainable, **frozen}, batch)
+        return loss_fn(ll)
+
+    def _step(trainable: Store, frozen: Store, opt_state, batch):
+        loss, grads = jax.value_and_grad(_loss)(trainable, frozen, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, loss
+
+    if mesh is None:
+        return jax.jit(_step)
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P(axis))
+    return jax.jit(
+        _step,
+        in_shardings=(replicated, replicated, replicated, batch_sharded),
+        out_shardings=(replicated, replicated, replicated),
+    )
+
+
+def split_trainable(circuit: JaxCircuit, store: Store) -> tuple[Store, Store]:
+    """Split a store into (trainable, frozen) according to the circuit spec."""
+    learnable = circuit.learnable_slots
+    used = set(circuit.used_slots)
+    trainable = {k: v for k, v in store.items() if k in learnable and k in used}
+    frozen = {k: v for k, v in store.items() if k in used and k not in learnable}
+    return trainable, frozen
+
+
+def fit(
+    circuit: JaxCircuit,
+    data: np.ndarray | jnp.ndarray,
+    *,
+    store: Store | None = None,
+    num_epochs: int = 1,
+    batch_size: int = 256,
+    optimizer: optax.GradientTransformation | None = None,
+    mesh: Mesh | None = None,
+    axis: str = "data",
+    key: jax.Array | None = None,
+    shuffle: bool = True,
+    callback: Callable[[int, int, float], Any] | None = None,
+) -> tuple[Store, list[float]]:
+    """Maximum-likelihood training of a compiled circuit.
+
+    A convenience the reference leaves to user-land torch loops
+    (SURVEY.md §3.5); here it also shards the batch over a device mesh.
+    Returns the updated full store and per-step losses. Trailing samples
+    that do not fill a batch are dropped (static shapes keep XLA happy).
+    """
+    if optimizer is None:
+        optimizer = optax.adam(1e-2)
+    if store is None:
+        store = getattr(circuit, "default_store", None)
+        if store is None:
+            raise ValueError("No parameter store bound; pass store=...")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    data = np.asarray(data)
+    if mesh is not None and batch_size % mesh.devices.size != 0:
+        raise ValueError("The batch size must divide evenly across the mesh devices")
+
+    trainable, frozen = split_trainable(circuit, store)
+    if mesh is not None:
+        trainable = replicate_store(trainable, mesh)
+        frozen = replicate_store(frozen, mesh)
+    opt_state = optimizer.init(trainable)
+    step = data_parallel_step(circuit, optimizer, mesh=mesh, axis=axis)
+
+    losses: list[float] = []
+    num_batches = len(data) // batch_size
+    step_idx = 0
+    for epoch in range(num_epochs):
+        if shuffle:
+            key, sub = jax.random.split(key)
+            perm = np.asarray(jax.random.permutation(sub, len(data)))
+            epoch_data = data[perm]
+        else:
+            epoch_data = data
+        for b in range(num_batches):
+            batch = epoch_data[b * batch_size : (b + 1) * batch_size]
+            if mesh is not None:
+                batch = shard_batch(batch, mesh, axis)
+            else:
+                batch = jnp.asarray(batch)
+            trainable, opt_state, loss = step(trainable, frozen, opt_state, batch)
+            loss = float(loss)
+            losses.append(loss)
+            if callback is not None:
+                callback(epoch, step_idx, loss)
+            step_idx += 1
+
+    new_store = dict(store)
+    new_store.update({k: v for k, v in trainable.items()})
+    circuit.default_store = new_store
+    return new_store, losses

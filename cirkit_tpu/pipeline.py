@@ -96,9 +96,11 @@ class PipelineContext(AbstractContextManager):
     # -- compilation + parameter store ----------------------------------------------
     def compile(self, sc: Circuit):
         """Compile a symbolic circuit and initialize its new parameters into
-        the context's shared store."""
+        the context's shared store. Operand circuits compiled implicitly by
+        the pipeline ordering are materialized too."""
         cc = self._compiler.compile(sc)
-        self._materialize(cc)
+        for compiled in getattr(self._compiler, "_compiled_circuits")._fwd.values():
+            self._materialize(compiled)
         return cc
 
     def _materialize(self, cc) -> None:

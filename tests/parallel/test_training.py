@@ -1,0 +1,86 @@
+"""Data-parallel training tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import optax
+import pytest
+
+from cirkit_tpu.models import image_data
+from cirkit_tpu.parallel import default_mesh, fit
+from cirkit_tpu.parallel.training import data_parallel_step, replicate_store, shard_batch, split_trainable
+from cirkit_tpu.pipeline import PipelineContext
+
+
+def _small_image_circuit(ctx):
+    sc = image_data(
+        (1, 4, 4),
+        "quad-tree-2",
+        input_layer="categorical",
+        num_input_units=4,
+        sum_product_layer="cp",
+        num_sum_units=4,
+    )
+    return ctx.compile(sc)
+
+
+def test_mesh_has_8_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_fit_single_device_decreases_nll():
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = _small_image_circuit(ctx)
+    data = np.random.default_rng(0).integers(0, 256, size=(256, 16))
+    store, losses = fit(
+        cc, data, num_epochs=4, batch_size=64, optimizer=optax.adam(5e-2),
+        key=jax.random.PRNGKey(0),
+    )
+    assert losses[-1] < losses[0]
+
+
+def test_fit_multichip_matches_single_chip():
+    """DP training over 8 devices must produce the same losses as 1 device
+    (identical math, batch just sharded)."""
+    data = np.random.default_rng(1).integers(0, 256, size=(128, 16))
+
+    def run(mesh):
+        ctx = PipelineContext(semiring="lse-sum", fold=True, seed=7)
+        cc = _small_image_circuit(ctx)
+        _, losses = fit(
+            cc, data, num_epochs=2, batch_size=32, optimizer=optax.adam(1e-2),
+            mesh=mesh, key=jax.random.PRNGKey(0), shuffle=False,
+        )
+        return losses
+
+    losses_1 = run(None)
+    losses_8 = run(default_mesh(8))
+    np.testing.assert_allclose(losses_1, losses_8, rtol=1e-8)
+
+
+def test_data_parallel_step_shards_batch():
+    mesh = default_mesh(8)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = _small_image_circuit(ctx)
+    trainable, frozen = split_trainable(cc, ctx.parameters)
+    trainable = replicate_store(trainable, mesh)
+    frozen = replicate_store(frozen, mesh)
+    opt = optax.sgd(1e-2)
+    step = data_parallel_step(cc, opt, mesh=mesh)
+    batch = shard_batch(
+        np.random.default_rng(2).integers(0, 256, size=(64, 16)), mesh
+    )
+    # the input really is sharded over the 8 devices
+    assert len(batch.sharding.device_set) == 8
+    trainable2, _, loss = step(trainable, frozen, opt.init(trainable), batch)
+    assert np.isfinite(float(loss))
+    # outputs stay replicated
+    some = next(iter(trainable2.values()))
+    assert len(some.sharding.device_set) == 8
+
+
+def test_fit_batch_not_divisible_raises():
+    mesh = default_mesh(8)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = _small_image_circuit(ctx)
+    with pytest.raises(ValueError, match="divide"):
+        fit(cc, np.zeros((64, 16), dtype=np.int64), batch_size=31, mesh=mesh)
