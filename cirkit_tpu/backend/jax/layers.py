@@ -24,12 +24,35 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cirkit_tpu.backend.jax.parameters import JaxParameter, Store
+from cirkit_tpu.backend.jax.parameters import (
+    JaxParameter,
+    JaxSoftmaxParameter,
+    JaxTensorSlot,
+    Store,
+)
 from cirkit_tpu.backend.jax.semiring import (
     LSESumSemiring,
     Semiring,
     SumProductSemiring,
 )
+
+
+def softmax_logits_slot(param: JaxParameter) -> str | None:
+    """If ``param`` is exactly ``TensorSlot -> Softmax(last axis)``, return
+    the slot name, else None. Layers use this to route the most common sum
+    parameterization to the softmax-fused Pallas kernels, so the normalized
+    weights are never materialized in HBM (the reparam-fusion requirement of
+    SURVEY §7; contrast with the reference where torch evaluates the
+    parameter graph eagerly, ``parameters/parameter.py:180-188``)."""
+    nodes = list(param.topological_ordering())
+    if len(nodes) != 2:
+        return None
+    slot, sm = nodes
+    if not isinstance(slot, JaxTensorSlot) or not isinstance(sm, JaxSoftmaxParameter):
+        return None
+    if sm.axis != len(slot.shape) - 1:
+        return None
+    return slot.slot
 
 
 class JaxLayer(ABC):
@@ -185,6 +208,7 @@ class JaxSumLayer(JaxInnerLayer):
             (num_output_units, arity * num_input_units),
         )
         self.weight = weight
+        self._logits_slot = softmax_logits_slot(weight)
 
     @property
     def config(self) -> Mapping[str, Any]:
@@ -201,10 +225,11 @@ class JaxSumLayer(JaxInnerLayer):
     def forward(self, store: Store, x) -> jnp.ndarray:
         f, h, b, ki = x.shape
         x = jnp.transpose(x, (0, 2, 1, 3)).reshape(f, b, h * ki)
-        w = self.weight(store)  # (F, Ko, H*Ki)
-        return self.semiring.einsum(
-            "fbi,foi->fbo", inputs=(x,), operands=(w,), dim=-1, keepdim=True
-        )
+        if self._logits_slot is not None:
+            # Softmax-parameterized weights: fuse the normalization into the
+            # contraction kernel instead of materializing (F, Ko, H*Ki) in HBM.
+            return self.semiring.matmul_softmax(x, store[self._logits_slot])
+        return self.semiring.matmul(x, self.weight(store))
 
     def sample(self, store, key, x):
         # Latent-variable semantics: each output unit mixes over its H*Ki

@@ -16,7 +16,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from cirkit_tpu.backend.jax.layers import JaxInnerLayer
+from cirkit_tpu.backend.jax.layers import JaxInnerLayer, softmax_logits_slot
 from cirkit_tpu.backend.jax.parameters import JaxParameter, Store
 
 
@@ -41,6 +41,7 @@ class JaxTuckerLayer(JaxInnerLayer):
         )
         assert weight.shape == (num_output_units, num_input_units**arity)
         self.weight = weight
+        self._logits_slot = softmax_logits_slot(weight)
         # int-axis einsum spec: inputs (f, b, k_h) each, weight (f, o, k_1..k_H)
         self._einsum = (
             tuple((0, 1, i + 2) for i in range(arity))
@@ -61,9 +62,16 @@ class JaxTuckerLayer(JaxInnerLayer):
         return {"weight": self.weight}
 
     def forward(self, store: Store, x) -> jnp.ndarray:
-        w = self.weight(store).reshape(
-            -1, self.num_output_units, *(self.num_input_units,) * self.arity
-        )
+        if self.arity == 2:
+            # The hot configuration: fused VMEM-resident Pallas contraction,
+            # with softmax reparameterizations folded into the kernel.
+            if self._logits_slot is not None:
+                return self.semiring.tucker2_softmax(
+                    x[:, 0], x[:, 1], store[self._logits_slot]
+                )
+            return self.semiring.tucker2(x[:, 0], x[:, 1], self.weight(store))
+        w = self.weight(store)  # (F, Ko, Ki^arity)
+        w = w.reshape(-1, self.num_output_units, *(self.num_input_units,) * self.arity)
         inputs = tuple(x[:, h] for h in range(self.arity))
         return self.semiring.einsum(
             self._einsum, inputs=inputs, operands=(w,), dim=-1, keepdim=True
@@ -89,6 +97,7 @@ class JaxCPTLayer(JaxInnerLayer):
         )
         assert weight.shape == (num_output_units, num_input_units)
         self.weight = weight
+        self._logits_slot = softmax_logits_slot(weight)
 
     @property
     def config(self) -> Mapping[str, Any]:
@@ -104,10 +113,9 @@ class JaxCPTLayer(JaxInnerLayer):
 
     def forward(self, store: Store, x) -> jnp.ndarray:
         x = self.semiring.prod(x, dim=1)  # (F, B, Ki)
-        w = self.weight(store)  # (F, Ko, Ki)
-        return self.semiring.einsum(
-            "fbi,foi->fbo", inputs=(x,), operands=(w,), dim=-1, keepdim=True
-        )
+        if self._logits_slot is not None:
+            return self.semiring.matmul_softmax(x, store[self._logits_slot])
+        return self.semiring.matmul(x, self.weight(store))
 
     def sample(self, store: Store, key, x):
         # identical routing to a sum layer over the Hadamard-combined inputs
@@ -166,10 +174,11 @@ class JaxTensorDotLayer(JaxInnerLayer):
     def forward(self, store: Store, x) -> jnp.ndarray:
         x = x[:, 0]  # (F, B, Ki)
         f, b, _ = x.shape
-        x = x.reshape(f, b, self._num_contract_units, self._num_batch_units)
+        kq = self._num_batch_units
+        x = x.reshape(f, b, self._num_contract_units, kq)
         x = jnp.transpose(x, (0, 1, 3, 2))  # (F, B, Kq, Kj)
         w = self.weight(store)  # (F, Kk, Kj)
-        y = self.semiring.einsum(
-            "fbqj,fkj->fbqk", inputs=(x,), operands=(w,), dim=-1, keepdim=True
-        )
+        # Fold the Kq axis into the batch so the contraction hits the fused
+        # semiring matmul path: (F, B*Kq, Kj) x (F, Kk, Kj) -> (F, B*Kq, Kk).
+        y = self.semiring.matmul(x.reshape(f, b * kq, -1), w)
         return y.reshape(f, b, self.num_output_units)

@@ -17,9 +17,17 @@ from collections.abc import Callable, Iterable, Sequence
 from functools import reduce
 from typing import ClassVar, Protocol
 
+import jax
 import jax.numpy as jnp
 
 from cirkit_tpu.backend.jax.utils import csafelog, default_real_dtype, to_complex_dtype
+from cirkit_tpu.ops.lse_einsum import (
+    fallback_precision,
+    lse_matmul,
+    lse_matmul_softmax,
+    lse_tucker2,
+    lse_tucker2_softmax,
+)
 
 Semiring = type["SemiringImpl"]
 
@@ -108,7 +116,12 @@ class SemiringImpl(ABC):
         if isinstance(equation, str):
 
             def func(*xs: jnp.ndarray) -> jnp.ndarray:
-                return jnp.einsum(equation, *xs, *(cls.cast(o) for o in operands))
+                return jnp.einsum(
+                    equation,
+                    *xs,
+                    *(cls.cast(o) for o in operands),
+                    precision=fallback_precision(),
+                )
 
         else:
 
@@ -118,9 +131,43 @@ class SemiringImpl(ABC):
                 for op, spec in zip(all_ops, equation[:-1]):
                     args.extend((op, list(spec)))
                 args.append(list(equation[-1]))
-                return jnp.einsum(*args)
+                return jnp.einsum(*args, precision=fallback_precision())
 
         return cls.apply_reduce(func, *inputs, dim=dim, keepdim=keepdim)
+
+    # -- fused contractions (overridden with Pallas kernels where available) ---
+    @classmethod
+    def matmul(cls, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        """The dense sum-layer contraction: semiring values ``x`` (F, B, I)
+        against linear-space weights ``w`` (F, O, I) -> (F, B, O)."""
+        return cls.einsum("fbi,foi->fbo", inputs=(x,), operands=(w,), dim=-1, keepdim=True)
+
+    @classmethod
+    def tucker2(
+        cls, x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray
+    ) -> jnp.ndarray:
+        """The arity-2 Tucker contraction: semiring values ``x1`` (F, B, K1)
+        and ``x2`` (F, B, K2) against the linear-space core ``w``
+        (F, O, K1*K2), flattened row-major -> (F, B, O)."""
+        k1 = x1.shape[-1]
+        k2 = x2.shape[-1]
+        w3 = w.reshape(w.shape[0], w.shape[1], k1, k2)
+        return cls.einsum(
+            "fbi,fbj,foij->fbo", inputs=(x1, x2), operands=(w3,), dim=-1, keepdim=True
+        )
+
+    @classmethod
+    def matmul_softmax(cls, x: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
+        """:meth:`matmul` with weights ``softmax(theta, axis=-1)``; the
+        lse-sum override fuses the normalization into the kernel."""
+        return cls.matmul(x, jax.nn.softmax(theta, axis=-1))
+
+    @classmethod
+    def tucker2_softmax(
+        cls, x1: jnp.ndarray, x2: jnp.ndarray, theta: jnp.ndarray
+    ) -> jnp.ndarray:
+        """:meth:`tucker2` with core weights ``softmax(theta, axis=-1)``."""
+        return cls.tucker2(x1, x2, jax.nn.softmax(theta, axis=-1))
 
     # -- abstract algebra ------------------------------------------------------
     @classmethod
@@ -231,6 +278,23 @@ class LSESumSemiring(SemiringImpl):
         if not keepdim:
             shift = shift.squeeze(dim)
         return jnp.log(out) + shift
+
+    @classmethod
+    def matmul(cls, x, w):
+        # Fused Pallas log-einsum-exp on TPU f32; XLA max-shift elsewhere.
+        return lse_matmul(x, cls.cast(w))
+
+    @classmethod
+    def tucker2(cls, x1, x2, w):
+        return lse_tucker2(x1, x2, cls.cast(w))
+
+    @classmethod
+    def matmul_softmax(cls, x, theta):
+        return lse_matmul_softmax(x, cls.cast(theta))
+
+    @classmethod
+    def tucker2_softmax(cls, x1, x2, theta):
+        return lse_tucker2_softmax(x1, x2, cls.cast(theta))
 
 
 @SemiringImpl.register("complex-lse-sum")

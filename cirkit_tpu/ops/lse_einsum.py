@@ -1,0 +1,469 @@
+"""Fused Pallas log-einsum-exp kernels for the circuit hot path.
+
+The log-space (lse-sum) semiring evaluates every sum layer as a max-shifted
+log-einsum-exp (ref: ``cirkit/backend/torch/semiring.py:383-408``): shift by
+the per-row max, exponentiate, contract in linear space, log, add the shift
+back. Composed from XLA ops this takes three to four full HBM round trips
+over the layer input, and — because XLA cannot fuse producers into dot
+operands — the softmax reparameterization of every sum weight is *also*
+materialized to HBM each forward. These kernels fuse the entire pattern
+into a single VMEM-resident pass:
+
+- :func:`lse_matmul` / :func:`lse_matmul_softmax` — the dense folded
+  sum-layer contraction ``(F, B, I) x (F, O, I) -> (F, B, O)``; the
+  ``_softmax`` variant takes raw logits and normalizes rows **inside
+  VMEM**, eliminating the softmax HBM round trip entirely.
+- :func:`lse_tucker2` / :func:`lse_tucker2_softmax` — the arity-2 Tucker
+  contraction ``(F, B, K1) x (F, B, K2) x (F, O, K1*K2) -> (F, B, O)``;
+  the Kronecker outer product of the two inputs is formed tile-wise inside
+  VMEM and never written to HBM. On the MNIST QuadGraph Tucker-K64
+  circuit the two fusions together remove ~6.5 GB of intermediate HBM
+  traffic per forward batch (outer products + softmax materialization).
+
+TPU-specific numerics, measured on v5e:
+
+- Mosaic's *default* f32 dot is a single bf16 MXU pass (~2e-3 relative
+  error) and its only alternative is ``Precision.HIGHEST`` (~6 passes).
+  These kernels instead use a manual two-term bf16 split (Dekker-style
+  ``hi + lo``) of both operands and three MXU passes
+  (``hi@hi + hi@lo + lo@hi``), giving ~1.5e-5 relative error — the bf16x3
+  scheme XLA calls ``Precision.HIGH`` but which Mosaic does not expose.
+- The VPU's f32 ``exp`` approximation already caps log-space accuracy at
+  ~1e-4 nats per layer, so bf16x3 contractions are *not* the accuracy
+  bottleneck.
+- Mosaic cannot reshape a (B, K1, K2) tile into (B, K1*K2) when K2 is not
+  a multiple of the 128-lane width, so the in-VMEM outer product is built
+  as ``repeat_each(e1, K2) * tile(e2, K1)``: the tile is an exact
+  ``pltpu.repeat`` and the element-repeat is an MXU matmul against an
+  iota-built 0/1 selection matrix (exactly representable in bf16).
+
+Every op carries a custom VJP whose backward pass is also a Pallas kernel
+(gradients rebuild the shifted exponentials on-chip instead of saving
+them); the softmax variants produce the logits gradient directly via the
+in-kernel softmax VJP. The max-shift terms cancel exactly in the gradient,
+so the backward treats the shift as a constant — the same property the
+reference's autograd relies on. Division-by-zero gradients are zeroed like
+the reference's ``SafeLog`` (ref: ``backend/torch/utils.py:10-30``).
+
+Inputs that are not float32, not on TPU, or too large for VMEM fall back
+to a mathematically-identical XLA composition (at ``Precision.HIGH``),
+which is also the path used for float64 parity tests. Set
+``CIRKIT_TPU_DISABLE_PALLAS=1`` to force the fallback everywhere, and
+``CIRKIT_TPU_FAST=1`` to trade the bf16 split for single-pass bf16
+matmuls (~2x faster, ~4e-3 worst-case relative error).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# A conservative VMEM budget (bytes) for the working set of one grid step
+# (input tiles + weight tile + output tile, double-buffered by pallas).
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def fallback_precision() -> jax.lax.Precision:
+    """XLA dot precision for the fallback paths (bf16x3, matching kernels)."""
+    return (
+        jax.lax.Precision.DEFAULT
+        if os.environ.get("CIRKIT_TPU_FAST")
+        else jax.lax.Precision.HIGH
+    )
+
+
+def _fast_mode() -> bool:
+    return bool(os.environ.get("CIRKIT_TPU_FAST"))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _clamp_max(x: jnp.ndarray) -> jnp.ndarray:
+    """Trailing-axis max clamped to finite range (ref: semiring.py:392-398),
+    so rows that are entirely -inf never produce NaNs via inf - inf."""
+    info = jnp.finfo(x.dtype)
+    m = jnp.max(x, axis=-1, keepdims=True)
+    return jnp.clip(m, info.min, info.max)
+
+
+def _pallas_enabled() -> bool:
+    if os.environ.get("CIRKIT_TPU_DISABLE_PALLAS"):
+        return False
+    if os.environ.get("CIRKIT_TPU_FORCE_PALLAS"):
+        return True  # testing hook: run kernels in interpreter mode off-TPU
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
+def _interpret_default() -> bool:
+    """Run kernels in interpreter mode off-TPU (used by CPU tests)."""
+    return jax.devices()[0].platform not in ("tpu", "axon")
+
+
+@dataclass(frozen=True)
+class _Cfg:
+    bt: int  # batch tile
+    nbt: int  # number of batch tiles (grid dim 1)
+    interpret: bool
+    fast: bool  # single-pass bf16 matmuls instead of the bf16x3 split
+    softmax: bool  # weight operand is raw logits; normalize rows in VMEM
+    tucker: bool  # two log-space inputs combined by an in-VMEM outer product
+
+
+# -- in-kernel matmul helpers ------------------------------------------------- #
+
+
+def _dot1(a: jnp.ndarray, b: jnp.ndarray, dims) -> jnp.ndarray:
+    """Single-pass MXU matmul with f32 accumulation."""
+    return jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _split(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dekker-style two-term bf16 split: hi + lo == v to ~16 mantissa bits."""
+    hi = v.astype(jnp.bfloat16)
+    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a: jnp.ndarray, b: jnp.ndarray, dims, *, fast: bool) -> jnp.ndarray:
+    """f32-grade matmul via three bf16 MXU passes (one pass in fast mode)."""
+    if fast:
+        return _dot1(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), dims)
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    return _dot1(ah, bh, dims) + _dot1(ah, bl, dims) + _dot1(al, bh, dims)
+
+
+def _repeat_selector(k1: int, k2: int) -> jnp.ndarray:
+    """The (K1, K1*K2) 0/1 matrix with S[i, i*K2 + j] = 1: right-multiplying
+    element-repeats each of the K1 columns K2 times (exact in bf16)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k1, k1 * k2), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k1, k1 * k2), 1)
+    return (rows == cols // k2).astype(jnp.bfloat16)
+
+
+def _mod_selector(k1: int, k2: int) -> jnp.ndarray:
+    """The (K1*K2, K2) 0/1 matrix with T[i*K2 + j, j] = 1: right-multiplying
+    segment-sums lanes congruent mod K2 (exact in bf16)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k1 * k2, k2), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k1 * k2, k2), 1)
+    return (rows % k2 == cols).astype(jnp.bfloat16)
+
+
+def _repeat_each(e1: jnp.ndarray, k2: int, *, fast: bool) -> jnp.ndarray:
+    """(BT, K1) -> (BT, K1*K2) with column i*K2+j = e1[:, i], via selection
+    matmul; the selector is exact in bf16 so a 2-term split of e1 suffices."""
+    k1 = e1.shape[1]
+    s = _repeat_selector(k1, k2)
+    if fast:
+        return _dot1(e1.astype(jnp.bfloat16), s, ((1,), (0,)))
+    hi, lo = _split(e1)
+    return _dot1(hi, s, ((1,), (0,))) + _dot1(lo, s, ((1,), (0,)))
+
+
+def _seg_dot(p: jnp.ndarray, sel: jnp.ndarray, dims, *, fast: bool) -> jnp.ndarray:
+    """Exact-selection matmul of an f32 operand against a 0/1 bf16 matrix."""
+    if fast:
+        return _dot1(p.astype(jnp.bfloat16), sel, dims)
+    hi, lo = _split(p)
+    return _dot1(hi, sel, dims) + _dot1(lo, sel, dims)
+
+
+def _softmax_rows(th: jnp.ndarray) -> jnp.ndarray:
+    """Numerically-stable row softmax computed entirely in VMEM."""
+    mx = jnp.max(th, axis=-1, keepdims=True)
+    wexp = jnp.exp(th - mx)
+    return wexp / jnp.sum(wexp, axis=-1, keepdims=True)
+
+
+# --------------------------------------------------------------------------- #
+# The shared forward / backward kernels
+# --------------------------------------------------------------------------- #
+# Layout conventions inside one grid step (fold f, batch tile bt):
+#   single:  x (BT, I)     log-space,  w/theta (O, I)
+#   tucker:  x1 (BT, K1), x2 (BT, K2) log-space, w/theta (O, K1*K2)
+# Outputs: out (BT, O) log-space; gradients mirror the inputs.
+
+
+def _shifted_exp(xs):
+    """Per-input clamped max shift; returns (exps, total_shift)."""
+    ms = [_clamp_max(x) for x in xs]
+    es = [jnp.exp(x - m) for x, m in zip(xs, ms)]
+    shift = ms[0]
+    for m in ms[1:]:
+        shift = shift + m
+    return es, shift
+
+
+def _fwd_kernel(cfg: _Cfg, *refs):
+    if cfg.tucker:
+        x1_ref, x2_ref, w_ref, o_ref = refs
+        (e1, e2), shift = _shifted_exp((x1_ref[0], x2_ref[0]))
+        e1r = _repeat_each(e1, e2.shape[1], fast=cfg.fast)
+        e = e1r * pltpu.repeat(e2, e1.shape[1], axis=1)  # (BT, K1*K2)
+    else:
+        x_ref, w_ref, o_ref = refs
+        (e,), shift = _shifted_exp((x_ref[0],))
+    w = _softmax_rows(w_ref[0]) if cfg.softmax else w_ref[0]  # (O, I)
+    y = _dot3(e, w, ((1,), (1,)), fast=cfg.fast)  # (BT, O)
+    o_ref[0] = jnp.log(y) + shift
+
+
+def _bwd_kernel(cfg: _Cfg, *refs):
+    if cfg.tucker:
+        x1_ref, x2_ref, w_ref, out_ref, g_ref, dx1_ref, dx2_ref, dw_ref = refs
+        xs = (x1_ref[0], x2_ref[0])
+    else:
+        x_ref, w_ref, out_ref, g_ref, dx_ref, dw_ref = refs
+        xs = (x_ref[0],)
+    bt_i = pl.program_id(1)
+    es, shift = _shifted_exp(xs)
+    w = _softmax_rows(w_ref[0]) if cfg.softmax else w_ref[0]  # (O, I)
+    # g / y with SafeLog-style zeroing of non-finite ratios.
+    gy = g_ref[0] * jnp.exp(shift - out_ref[0])
+    gy = jnp.where(jnp.isfinite(gy), gy, 0.0)
+    s = _dot3(gy, w, ((1,), (0,)), fast=cfg.fast)  # dL/de: (BT, I)
+    if cfg.tucker:
+        e1, e2 = es
+        k1 = e1.shape[1]
+        k2 = e2.shape[1]
+        e1r = _repeat_each(e1, k2, fast=cfg.fast)
+        e2t = pltpu.repeat(e2, k1, axis=1)
+        e = e1r * e2t
+        # de1[b,i] = sum_j s[b,i*K2+j] e2[b,j]: segment-sum K2-blocks;
+        # de2[b,j] = sum_i s[b,i*K2+j] e1[b,i]: segment-sum lanes mod K2.
+        dx1_ref[0] = e1 * _seg_dot(s * e2t, _repeat_selector(k1, k2), ((1,), (1,)), fast=cfg.fast)
+        dx2_ref[0] = e2 * _seg_dot(s * e1r, _mod_selector(k1, k2), ((1,), (0,)), fast=cfg.fast)
+    else:
+        (e,) = es
+        dx_ref[0] = e * s
+    dwt = _dot3(gy, e, ((0,), (0,)), fast=cfg.fast)  # dL/dw: (O, BT) @ (BT, I)
+
+    @pl.when(bt_i == 0)
+    def _():
+        dw_ref[0] = dwt
+
+    @pl.when(bt_i > 0)
+    def _():
+        dw_ref[0] += dwt
+
+    if cfg.softmax:
+        # Softmax VJP applied once the dL/dw accumulation is complete:
+        # dtheta = w * (dw - sum_c w_c dw_c) per row.
+        @pl.when(bt_i == cfg.nbt - 1)
+        def _():
+            acc = dw_ref[0]
+            dw_ref[0] = w * (acc - jnp.sum(w * acc, axis=-1, keepdims=True))
+
+
+# --------------------------------------------------------------------------- #
+# pallas_call plumbing
+# --------------------------------------------------------------------------- #
+
+
+def _vspec(block, index_map):
+    return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+
+
+def _x_spec(bt, k):
+    return _vspec((1, bt, k), lambda fi, bi: (fi, bi, 0))
+
+
+def _w_spec(o, i):
+    return _vspec((1, o, i), lambda fi, bi: (fi, 0, 0))
+
+
+def _call_fwd(cfg: _Cfg, xs, w):
+    f, b = xs[0].shape[:2]
+    o, i = w.shape[1:]
+    grid = (f, cfg.nbt)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, cfg),
+        grid=grid,
+        in_specs=[_x_spec(cfg.bt, x.shape[2]) for x in xs] + [_w_spec(o, i)],
+        out_specs=_x_spec(cfg.bt, o),
+        out_shape=jax.ShapeDtypeStruct((f, b, o), xs[0].dtype),
+        interpret=cfg.interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * f * b * (o + (xs[0].shape[2] if cfg.tucker else 0)) * i,
+            bytes_accessed=4 * f * (o * i + b * (o + sum(x.shape[2] for x in xs))),
+            transcendentals=f * (b + o) * i,
+        ),
+    )(*xs, w)
+
+
+def _call_bwd(cfg: _Cfg, xs, w, out, g):
+    f, b = xs[0].shape[:2]
+    o, i = w.shape[1:]
+    grid = (f, cfg.nbt)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, cfg),
+        grid=grid,
+        in_specs=[_x_spec(cfg.bt, x.shape[2]) for x in xs]
+        + [_w_spec(o, i), _x_spec(cfg.bt, o), _x_spec(cfg.bt, o)],
+        out_specs=[_x_spec(cfg.bt, x.shape[2]) for x in xs] + [_w_spec(o, i)],
+        out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype) for x in xs]
+        + [jax.ShapeDtypeStruct(w.shape, w.dtype)],
+        interpret=cfg.interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=18 * f * b * (o + (xs[0].shape[2] if cfg.tucker else 0)) * i,
+            bytes_accessed=4 * f * (2 * o * i + 2 * b * (o + sum(x.shape[2] for x in xs))),
+            transcendentals=f * (b + o) * i,
+        ),
+    )(*xs, w, out, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_p(cfg: _Cfg, xs, w):
+    return _call_fwd(cfg, xs, w)
+
+
+def _fused_p_fwd(cfg: _Cfg, xs, w):
+    out = _call_fwd(cfg, xs, w)
+    return out, (xs, w, out)
+
+
+def _fused_p_bwd(cfg: _Cfg, res, g):
+    xs, w, out = res
+    grads = _call_bwd(cfg, xs, w, out, g)
+    return tuple(grads[:-1]), grads[-1]
+
+
+_fused_p.defvjp(_fused_p_fwd, _fused_p_bwd)
+
+
+def _dispatch(xs, w, *, softmax: bool, tucker: bool, interpret: bool | None):
+    """Pick the Pallas kernel when shapes/dtypes/platform allow, else None."""
+    if not _pallas_enabled():
+        return None
+    if any(x.dtype != jnp.float32 for x in xs) or w.dtype != jnp.float32:
+        return None
+    f, b = xs[0].shape[:2]
+    o, i = w.shape[1:]
+    # o < 8: Mosaic's bf16 path cannot lower sub-sublane output widths.
+    if o < 8:
+        return None
+    bt = min(256, _round_up(b, 8))
+    work = bt * (o + sum(x.shape[2] for x in xs)) + (o + 1) * i
+    if tucker:
+        work += (3 * bt + xs[0].shape[2]) * i
+    else:
+        work += 2 * bt * i
+    if 4 * work > _VMEM_BUDGET:
+        return None
+    interpret = _interpret_default() if interpret is None else interpret
+    bp = _round_up(b, bt)
+    cfg = _Cfg(
+        bt=bt,
+        nbt=bp // bt,
+        interpret=interpret,
+        fast=_fast_mode(),
+        softmax=softmax,
+        tucker=tucker,
+    )
+    if bp != b:
+        pad = jnp.finfo(xs[0].dtype).min
+        xs = tuple(
+            jnp.pad(x, ((0, 0), (0, bp - b), (0, 0)), constant_values=pad) for x in xs
+        )
+    out = _fused_p(cfg, xs, w)
+    return out[:, :b] if bp != b else out
+
+
+# --------------------------------------------------------------------------- #
+# Public ops
+# --------------------------------------------------------------------------- #
+
+
+def lse_matmul(
+    x: jnp.ndarray, w: jnp.ndarray, *, interpret: bool | None = None
+) -> jnp.ndarray:
+    """Fused ``log(exp(x - max) @ w^T) + max`` over the trailing axis.
+
+    ``x``: (F, B, I) log-space values; ``w``: (F, O, I) linear-space weights.
+    Returns (F, B, O) log-space values. Equivalent to the reference sum-layer
+    einsum ``"fbi,foi->fbo"`` under the lse-sum semiring.
+    """
+    assert x.shape[::2] == (w.shape[0], w.shape[2]), (x.shape, w.shape)
+    out = _dispatch((x,), w, softmax=False, tucker=False, interpret=interpret)
+    if out is not None:
+        return out
+    m = _clamp_max(x)
+    y = jnp.einsum("fbi,foi->fbo", jnp.exp(x - m), w, precision=fallback_precision())
+    return jnp.log(y) + m
+
+
+def lse_matmul_softmax(
+    x: jnp.ndarray, theta: jnp.ndarray, *, interpret: bool | None = None
+) -> jnp.ndarray:
+    """:func:`lse_matmul` with ``w = softmax(theta, axis=-1)`` fused into the
+    kernel — raw logits stream from HBM; the normalized weights exist only in
+    VMEM (the north-star reparam-fusion requirement, SURVEY §7)."""
+    assert x.shape[::2] == (theta.shape[0], theta.shape[2]), (x.shape, theta.shape)
+    out = _dispatch((x,), theta, softmax=True, tucker=False, interpret=interpret)
+    if out is not None:
+        return out
+    return lse_matmul(x, jax.nn.softmax(theta, axis=-1), interpret=interpret)
+
+
+def lse_tucker2(
+    x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray, *, interpret: bool | None = None
+) -> jnp.ndarray:
+    """Fused arity-2 Tucker contraction under the lse-sum semiring.
+
+    ``x1``: (F, B, K1) and ``x2``: (F, B, K2) log-space inputs; ``w``:
+    (F, O, K1*K2) linear-space core weight, flattened row-major over (K1, K2).
+    Returns (F, B, O) log-space. Equivalent to Kronecker-then-sum (ref:
+    ``layers/optimized.py:13-104``) but the outer product lives only in VMEM.
+    """
+    f, b, k1 = x1.shape
+    k2 = x2.shape[2]
+    assert x2.shape[:2] == (f, b) and w.shape[::2] == (f, k1 * k2), (
+        x1.shape,
+        x2.shape,
+        w.shape,
+    )
+    out = _dispatch((x1, x2), w, softmax=False, tucker=True, interpret=interpret)
+    if out is not None:
+        return out
+    m1 = _clamp_max(x1)
+    m2 = _clamp_max(x2)
+    w3 = w.reshape(w.shape[0], w.shape[1], k1, k2)
+    y = jnp.einsum(
+        "fbi,fbj,foij->fbo",
+        jnp.exp(x1 - m1),
+        jnp.exp(x2 - m2),
+        w3,
+        precision=fallback_precision(),
+    )
+    return jnp.log(y) + m1 + m2
+
+
+def lse_tucker2_softmax(
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    theta: jnp.ndarray,
+    *,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """:func:`lse_tucker2` with ``w = softmax(theta, axis=-1)`` fused into
+    the kernel (see :func:`lse_matmul_softmax`)."""
+    out = _dispatch((x1, x2), theta, softmax=True, tucker=True, interpret=interpret)
+    if out is not None:
+        return out
+    return lse_tucker2(x1, x2, jax.nn.softmax(theta, axis=-1), interpret=interpret)

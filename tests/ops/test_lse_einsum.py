@@ -1,0 +1,177 @@
+"""Parity tests for the fused Pallas log-einsum-exp kernels.
+
+The kernels run here in interpreter mode (CPU), forced via the
+``CIRKIT_TPU_FORCE_PALLAS`` hook, and are compared against the XLA
+fallback composition — the same fallback the float64 circuit tests
+exercise. Mirrors the reference's semiring numerics coverage
+(``tests/backend/torch/test_semiring.py``) extended with gradient checks
+for the custom VJPs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cirkit_tpu.ops import lse_einsum as L
+
+# f32 inputs + interpreter-mode bf16x3 dots: tolerances well above exactness
+# but far below a single bf16 pass (~4e-3).
+ATOL = 5e-4
+RTOL = 5e-4
+
+
+@pytest.fixture(autouse=True)
+def _force_pallas(monkeypatch):
+    monkeypatch.setenv("CIRKIT_TPU_FORCE_PALLAS", "1")
+
+
+def _rand(rng, shape, scale=3.0, shift=-2.0):
+    return jnp.asarray(rng.normal(size=shape) * scale + shift, jnp.float32)
+
+
+def _weights(rng, shape):
+    return jnp.asarray(rng.uniform(0.01, 1.0, size=shape), jnp.float32)
+
+
+def _fallback_matmul(x, w):
+    m = L._clamp_max(x)
+    return jnp.log(jnp.einsum("fbi,foi->fbo", jnp.exp(x - m), w)) + m
+
+
+def _fallback_tucker(x1, x2, w):
+    m1 = L._clamp_max(x1)
+    m2 = L._clamp_max(x2)
+    k1, k2 = x1.shape[-1], x2.shape[-1]
+    w3 = w.reshape(w.shape[0], w.shape[1], k1, k2)
+    e = jnp.einsum("fbi,fbj->fbij", jnp.exp(x1 - m1), jnp.exp(x2 - m2))
+    return jnp.log(jnp.einsum("fbij,foij->fbo", e, w3)) + m1 + m2
+
+
+@pytest.mark.parametrize("b", [8, 13])  # 13 exercises the batch padding
+def test_lse_matmul_matches_fallback(b):
+    rng = np.random.default_rng(0)
+    x = _rand(rng, (3, b, 32))
+    w = _weights(rng, (3, 16, 32))
+    out = L.lse_matmul(x, w)
+    ref = _fallback_matmul(x, w)
+    np.testing.assert_allclose(out, ref, rtol=RTOL, atol=ATOL)
+
+
+def test_lse_matmul_softmax_matches_composition():
+    rng = np.random.default_rng(1)
+    x = _rand(rng, (2, 8, 32))
+    theta = _rand(rng, (2, 16, 32), scale=1.0, shift=0.0)
+    out = L.lse_matmul_softmax(x, theta)
+    ref = _fallback_matmul(x, jax.nn.softmax(theta, axis=-1))
+    np.testing.assert_allclose(out, ref, rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("b", [8, 11])
+def test_lse_tucker2_matches_fallback(b):
+    rng = np.random.default_rng(2)
+    x1 = _rand(rng, (3, b, 8))
+    x2 = _rand(rng, (3, b, 16))
+    w = _weights(rng, (3, 8, 8 * 16))
+    out = L.lse_tucker2(x1, x2, w)
+    ref = _fallback_tucker(x1, x2, w)
+    np.testing.assert_allclose(out, ref, rtol=RTOL, atol=ATOL)
+
+
+def test_lse_tucker2_softmax_matches_composition():
+    rng = np.random.default_rng(3)
+    x1 = _rand(rng, (2, 8, 8))
+    x2 = _rand(rng, (2, 8, 8))
+    theta = _rand(rng, (2, 8, 64), scale=1.0, shift=0.0)
+    out = L.lse_tucker2_softmax(x1, x2, theta)
+    ref = _fallback_tucker(x1, x2, jax.nn.softmax(theta, axis=-1))
+    np.testing.assert_allclose(out, ref, rtol=RTOL, atol=ATOL)
+
+
+def test_lse_matmul_gradients_match_fallback():
+    rng = np.random.default_rng(4)
+    x = _rand(rng, (2, 8, 32))
+    w = _weights(rng, (2, 16, 32))
+
+    def loss_k(x, w):
+        return jnp.sum(jnp.sin(L.lse_matmul(x, w)))
+
+    def loss_f(x, w):
+        return jnp.sum(jnp.sin(_fallback_matmul(x, w)))
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(x, w)
+    gf = jax.grad(loss_f, argnums=(0, 1))(x, w)
+    for a, b in zip(gk, gf):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
+
+
+def test_lse_tucker2_softmax_gradients_match_composition():
+    rng = np.random.default_rng(5)
+    x1 = _rand(rng, (2, 8, 8))
+    x2 = _rand(rng, (2, 8, 8))
+    theta = _rand(rng, (2, 8, 64), scale=1.0, shift=0.0)
+
+    def loss_k(x1, x2, th):
+        return jnp.sum(jnp.sin(L.lse_tucker2_softmax(x1, x2, th)))
+
+    def loss_f(x1, x2, th):
+        return jnp.sum(jnp.sin(_fallback_tucker(x1, x2, jax.nn.softmax(th, axis=-1))))
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(x1, x2, theta)
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(x1, x2, theta)
+    for a, b in zip(gk, gf):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
+
+
+def test_lse_matmul_softmax_grad_multi_tile_batch():
+    """dtheta accumulates across batch tiles; check a batch spanning >1 tile
+    by shrinking the tile budget via a large input width."""
+    rng = np.random.default_rng(6)
+    x = _rand(rng, (1, 300, 16))
+    theta = _rand(rng, (1, 8, 16), scale=1.0, shift=0.0)
+
+    def loss_k(th):
+        return jnp.sum(jnp.sin(L.lse_matmul_softmax(x, th)))
+
+    def loss_f(th):
+        return jnp.sum(jnp.sin(_fallback_matmul(x, jax.nn.softmax(th, axis=-1))))
+
+    gk = jax.grad(loss_k)(theta)
+    gf = jax.grad(loss_f)(theta)
+    np.testing.assert_allclose(gk, gf, rtol=5e-3, atol=5e-3)
+
+
+def test_lse_matmul_all_neg_inf_row_yields_no_nan():
+    """Rows of -inf (zero probability everywhere) must stay NaN-free in both
+    the output (-inf) and the gradient (zero), mirroring SafeLog."""
+    rng = np.random.default_rng(7)
+    x = _rand(rng, (1, 8, 16)).at[0, 3].set(-jnp.inf)
+    w = _weights(rng, (1, 8, 16))
+    out = L.lse_matmul(x, w)
+    assert bool(jnp.all(jnp.isneginf(out[0, 3])))
+    assert bool(jnp.all(jnp.isfinite(out[0, :3])))
+
+    g = jax.grad(lambda x: jnp.sum(jnp.where(jnp.isfinite(out), L.lse_matmul(x, w), 0.0)))(x)
+    assert bool(jnp.all(jnp.isfinite(jnp.nan_to_num(g, posinf=jnp.inf))))
+    assert not bool(jnp.any(jnp.isnan(g)))
+
+
+def test_dispatch_falls_back_off_pallas(monkeypatch):
+    monkeypatch.setenv("CIRKIT_TPU_DISABLE_PALLAS", "1")
+    rng = np.random.default_rng(8)
+    x = _rand(rng, (2, 8, 32))
+    w = _weights(rng, (2, 16, 32))
+    out = L.lse_matmul(x, w)
+    ref = _fallback_matmul(x, w)
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_float64_uses_fallback():
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(2, 8, 16)), jnp.float64)
+    w = jnp.asarray(rng.uniform(0.01, 1.0, size=(2, 8, 16)), jnp.float64)
+    out = L.lse_matmul(x, w)
+    assert out.dtype == jnp.float64
+    m = np.max(np.asarray(x), axis=-1, keepdims=True)
+    ref = np.log(np.einsum("fbi,foi->fbo", np.exp(np.asarray(x) - m), np.asarray(w))) + m
+    np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-12)
