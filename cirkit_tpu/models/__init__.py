@@ -1,7 +1,7 @@
 """Model templates: region graphs, data modalities, tensor factorizations,
 probabilistic graphical models and logic circuits."""
 
-from cirkit_tpu.models import region_graph
+from cirkit_tpu.models import logic, region_graph
 from cirkit_tpu.models.data_modalities import image_data, tabular_data
 from cirkit_tpu.models.pgms import fully_factorized, hmm
 from cirkit_tpu.models.tensor_factorizations import cp, tensor_train, tucker
