@@ -1,0 +1,150 @@
+"""PIC / QPC tests: quadrature rules against analytic integrals, generator
+shapes/normalization, and end-to-end pc2qpc conversion + training (ref
+behavior: ``cirkit/backend/torch/parameters/pic.py``; the converted-circuit
+normalization property replaces the reference's notebook-level checks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cirkit_tpu.backend.jax.pic import (
+    PICInnerNet,
+    PICInputNet,
+    QuadratureParameterization,
+    pc2qpc,
+    zw_quadrature,
+)
+from cirkit_tpu.models import image_data
+from cirkit_tpu.pipeline import PipelineContext
+
+
+@pytest.mark.parametrize("method", ["leggauss", "midpoint", "trapezoidal", "simpson"])
+def test_quadrature_integrates_smooth_function(method):
+    z, w = zw_quadrature(method, 65)
+    got = float((np.exp(z) * w).sum())
+    want = np.e - 1.0 / np.e  # int_{-1}^{1} e^z dz
+    assert abs(got - want) < 1e-3
+    # interval change
+    z, w = zw_quadrature(method, 65, 0.0, 2.0)
+    np.testing.assert_allclose((z**2 * w).sum(), 8.0 / 3.0, atol=1e-3)
+
+
+def test_leggauss_exact_for_polynomials():
+    z, w = zw_quadrature("leggauss", 4)  # exact up to degree 7
+    np.testing.assert_allclose((z**6 * w).sum(), 2.0 / 7.0, rtol=1e-12)
+
+
+def test_hermgauss_gaussian_moment():
+    z, w = zw_quadrature("hermgauss", 32)
+    # int e^{-z^2} z^2 dz = sqrt(pi)/2
+    np.testing.assert_allclose((w * z**2).sum(), np.sqrt(np.pi) / 2, rtol=1e-10)
+
+
+def test_simpson_requires_odd():
+    with pytest.raises(ValueError, match="odd"):
+        zw_quadrature("simpson", 4)
+
+
+def test_unknown_method_raises():
+    with pytest.raises(ValueError, match="Unknown integration method"):
+        zw_quadrature("nope", 8)
+
+
+@pytest.mark.parametrize("sharing", ["none", "f", "c"])
+def test_pic_input_net_shapes_and_sharing(sharing):
+    net = PICInputNet(num_variables=5, num_param=3, sharing=sharing)
+    params = net.init(jax.random.PRNGKey(0), net_dim=16, dtype=jnp.float64)
+    z = jnp.linspace(-1, 1, 7)
+    out = net.apply(params, z)
+    assert out.shape == (5, 7, 3)
+    same = np.allclose(out[0], out[1])
+    # fully-shared and composite-at-init heads coincide; per-variable differ
+    assert same == (sharing in ("f", "c"))
+
+
+@pytest.mark.parametrize("sharing", ["none", "f", "c"])
+def test_pic_inner_net_normalization(sharing):
+    net = PICInnerNet(num_dim=3, num_funcs=4, norm_dim=(2, 3), sharing=sharing)
+    params = net.init(jax.random.PRNGKey(1), net_dim=16, dtype=jnp.float64)
+    z, w = zw_quadrature("trapezoidal", 5)
+    out = net.apply(params, jnp.asarray(z), jnp.asarray(w))
+    assert out.shape == (4, 5, 5, 5)
+    assert bool(jnp.all(out >= 0))
+    np.testing.assert_allclose(out.sum(axis=(2, 3)), 1.0, rtol=1e-9)
+
+
+def _build_qpc(num_units=4, method="trapezoidal"):
+    sc = image_data(
+        (1, 4, 4),
+        "quad-tree-2",
+        input_layer="categorical",
+        num_input_units=num_units,
+        sum_product_layer="tucker",
+        num_sum_units=num_units,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=True)
+    cc = ctx.compile(sc)
+    qpc, qp = pc2qpc(
+        cc,
+        ctx.parameters,
+        integration_method=method,
+        key=jax.random.PRNGKey(42),
+        net_dim=8,
+    )
+    return qpc, qp
+
+
+def test_pc2qpc_normalized_and_evaluates():
+    qpc, qp = _build_qpc()
+    store = qp.materialize()
+    x = np.random.default_rng(0).integers(0, 256, size=(8, 16))
+    out = np.asarray(qpc.evaluate(store, jnp.asarray(x)))
+    assert out.shape == (8, 1, 1)
+    assert np.isfinite(out).all()
+    # the quadrature normalization makes the circuit exactly normalized:
+    # sum weights sum to one per unit and categorical probs are softmaxed
+    worlds_z = _partition_by_integration(qpc, store)
+    np.testing.assert_allclose(worlds_z, 0.0, atol=1e-6)
+
+
+def _partition_by_integration(qpc, store):
+    # exhaustive enumeration is infeasible (256^16); use the smooth circuit's
+    # integral by replacing inputs with their partition functions
+    from cirkit_tpu.backend.jax.queries import IntegrateQuery
+
+    q = IntegrateQuery(qpc)
+    z = q(jnp.zeros((1, qpc.num_variables)), integrate_vars=qpc.scope, store=store)
+    return np.asarray(z)[0, 0, 0]
+
+
+def test_qpc_training_step_decreases_loss():
+    import optax
+
+    qpc, qp = _build_qpc()
+    x = jnp.asarray(np.random.default_rng(1).integers(0, 256, size=(16, 16)))
+    opt = optax.adam(5e-3)
+    opt_state = opt.init(qp.net_params)
+
+    def loss_fn(net_params):
+        store = qp.materialize(net_params)
+        return -jnp.mean(qpc.evaluate(store, x)[:, 0, 0])
+
+    params = qp.net_params
+    losses = []
+    for _ in range(15):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_qpc_stays_normalized_after_training_shapes():
+    # generated sum weights keep the quadrature normalization by construction
+    qpc, qp = _build_qpc(method="leggauss")
+    store = qp.materialize()
+    for name, gen in qp.generators.items():
+        v = np.asarray(store[name])
+        assert np.isfinite(v).all()
