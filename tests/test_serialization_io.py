@@ -1,0 +1,93 @@
+"""Serialization + plotting tests: store round-trips preserve compiled
+outputs across fold/optimize/semiring (ref:
+``tests/backend/torch/test_serialization.py:17-32``), region-graph JSON
+round-trips, and graphviz plotting smoke."""
+
+import numpy as np
+import pytest
+
+from cirkit_tpu.models import image_data
+from cirkit_tpu.models.region_graph import QuadTree, RegionGraph
+from cirkit_tpu.models.region_graph.io import plot_region_graph
+from cirkit_tpu.pipeline import PipelineContext
+from cirkit_tpu.symbolic.io import plot_circuit
+from cirkit_tpu.utils.checkpoint import load_store, save_store
+
+
+def _small_circuit(fold, optimize, semiring):
+    sc = image_data(
+        (1, 4, 4),
+        "quad-tree-2",
+        input_layer="categorical",
+        num_input_units=3,
+        sum_product_layer="cp",
+        num_sum_units=3,
+    )
+    ctx = PipelineContext(semiring=semiring, fold=fold, optimize=optimize)
+    return sc, ctx, ctx.compile(sc)
+
+
+@pytest.mark.parametrize("fold", [False, True])
+@pytest.mark.parametrize("optimize", [False, True])
+@pytest.mark.parametrize("semiring", ["sum-product", "lse-sum"])
+def test_store_roundtrip_preserves_outputs(tmp_path, fold, optimize, semiring):
+    _, ctx, cc = _small_circuit(fold, optimize, semiring)
+    x = np.random.default_rng(0).integers(0, 256, size=(7, 16))
+    before = np.asarray(cc(x))
+    save_store(tmp_path / "ckpt.npz", dict(ctx.parameters))
+    restored = load_store(tmp_path / "ckpt.npz")
+    after = np.asarray(cc.jit_evaluate(restored, x))
+    np.testing.assert_allclose(before, after, rtol=1e-12, atol=1e-12)
+
+
+def test_store_roundtrip_nested_pytree(tmp_path):
+    import jax.numpy as jnp
+
+    tree = {
+        "a": {"x": jnp.arange(3.0), "y": jnp.ones((2, 2))},
+        "b": [jnp.zeros(2), {"c": jnp.full((1,), 7.0)}],
+    }
+    save_store(tmp_path / "t.npz", tree)
+    got = load_store(tmp_path / "t.npz")
+    np.testing.assert_array_equal(got["a"]["x"], [0, 1, 2])
+    np.testing.assert_array_equal(got["b"][1]["c"], [7.0])
+    assert isinstance(got["b"], list) and len(got["b"]) == 2
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from cirkit_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    tree = {"w": jnp.arange(6.0).reshape(2, 3), "opt": {"mu": jnp.zeros(4)}}
+    save_checkpoint(tmp_path / "orbax_ckpt", tree)
+    got = load_checkpoint(tmp_path / "orbax_ckpt")
+    np.testing.assert_array_equal(np.asarray(got["w"]), np.asarray(tree["w"]))
+    np.testing.assert_array_equal(np.asarray(got["opt"]["mu"]), np.zeros(4))
+
+
+def test_region_graph_json_roundtrip(tmp_path):
+    rg = QuadTree((1, 4, 4))
+    path = tmp_path / "rg.json"
+    rg.dump(str(path))
+    rg2 = RegionGraph.load(str(path))
+    assert len(list(rg2.nodes)) == len(list(rg.nodes))
+    assert rg2.is_structured_decomposable == rg.is_structured_decomposable
+
+
+def test_plot_circuit_and_region_graph(tmp_path):
+    graphviz = pytest.importorskip("graphviz")
+    sc, _, _ = _small_circuit(True, False, "lse-sum")
+    dot = plot_circuit(sc)
+    assert isinstance(dot, graphviz.Digraph)
+    src = dot.source
+    assert "+" in src and "⊙" in src
+    rg = QuadTree((1, 4, 4))
+    dot2 = plot_region_graph(rg)
+    assert isinstance(dot2, graphviz.Digraph)
+    # file rendering needs the graphviz binary; skip silently if missing
+    try:
+        plot_circuit(sc, out_path=tmp_path / "circuit.svg")
+        assert (tmp_path / "circuit.svg").exists()
+    except graphviz.ExecutableNotFound:
+        pass
