@@ -58,12 +58,16 @@ def bench_config(sum_product: str, num_units: int, batch: int, iters: int, optim
     compile_s = time.time() - t0
     assert np.isfinite(np.asarray(out)).all(), "Non-finite benchmark outputs"
 
-    t0 = time.time()
-    for _ in range(iters):
-        out = fwd(store, x)
-    # A scalar device->host pull is the only reliable sync on remote platforms.
-    float(jnp.sum(out))
-    per_batch = (time.time() - t0) / iters
+    # Three timing rounds, keep the fastest: the remote-tunnel TPU shares
+    # bandwidth with other tenants, so min-of-rounds is the stable statistic.
+    # A scalar device->host pull is the only reliable sync on such platforms.
+    per_batch = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            out = fwd(store, x)
+        float(jnp.sum(out))
+        per_batch = min(per_batch, (time.time() - t0) / iters)
     return batch / per_batch, per_batch, build_s, compile_s
 
 
@@ -89,6 +93,20 @@ def main() -> None:
         "jit_compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
     }
+    if os.environ.get("BENCH_SKIP_FAST", "0") != "1":
+        # CIRKIT_TPU_FAST trades the bf16x3 kernel splits for single-pass
+        # bf16 matmuls (~4e-3 worst-case relative error); read at trace time,
+        # so a fresh compile inside this process picks it up.
+        os.environ["CIRKIT_TPU_FAST"] = "1"
+        try:
+            fast_sps, fast_pb, _, _ = bench_config(
+                sum_product, num_units, batch, iters, optimize
+            )
+            result["fast_samples_per_sec"] = round(fast_sps, 1)
+            result["fast_batch_ms"] = round(fast_pb * 1e3, 2)
+            result["fast_vs_baseline"] = round(fast_sps / BASELINE_SAMPLES_PER_SEC, 3)
+        finally:
+            del os.environ["CIRKIT_TPU_FAST"]
     if sum_product != "cp" and os.environ.get("BENCH_SKIP_CP", "0") != "1":
         cp_sps, cp_per_batch, _, _ = bench_config("cp", num_units, batch, iters, optimize)
         result["cp_samples_per_sec"] = round(cp_sps, 1)
