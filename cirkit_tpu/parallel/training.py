@@ -122,6 +122,14 @@ def fit(
         key = jax.random.PRNGKey(0)
 
     data = np.asarray(data)
+    # Canonicalize wide host dtypes before any transfer: without jax_enable_x64
+    # they would be converted per-transfer, which is pathologically slow on
+    # remote device platforms (measured ~1000x for int64 batches).
+    if not jax.config.jax_enable_x64:
+        if data.dtype == np.int64:
+            data = data.astype(np.int32)
+        elif data.dtype == np.float64:
+            data = data.astype(np.float32)
     if mesh is not None and batch_size % mesh.devices.size != 0:
         raise ValueError("The batch size must divide evenly across the mesh devices")
 

@@ -1,0 +1,79 @@
+"""Weighted model counting with logic circuits.
+
+Builds the boolean formula (x0 AND x1) OR (NOT x0 AND x2) as a logic
+circuit, smooths and compiles it, and computes its model count and a
+weighted model count — the compiled analogue of knowledge-compilation WMC
+(the reference covers this via ``templates/logic``; an ``.sdd`` file can be
+loaded with ``cirkit_tpu.models.logic.SDD.load``).
+
+Run: python examples/logic_wmc.py
+"""
+
+import itertools
+
+import numpy as np
+
+from cirkit_tpu.models.logic import (
+    ConjunctionNode,
+    DisjunctionNode,
+    LiteralNode,
+    LogicalCircuit,
+    NegatedLiteralNode,
+)
+from cirkit_tpu.pipeline import PipelineContext
+from cirkit_tpu.symbolic.initializers import ConstantTensorInitializer
+from cirkit_tpu.symbolic.layers import CategoricalLayer
+from cirkit_tpu.symbolic.parameters import Parameter, TensorParameter
+from cirkit_tpu.utils.scope import Scope
+
+
+def formula() -> LogicalCircuit:
+    x0, x1, x2, nx0 = LiteralNode(0), LiteralNode(1), LiteralNode(2), NegatedLiteralNode(0)
+    c1, c2, root = ConjunctionNode(), ConjunctionNode(), DisjunctionNode()
+    return LogicalCircuit(
+        [x0, x1, x2, nx0, c1, c2, root],
+        {c1: [x0, x1], c2: [nx0, x2], root: [c1, c2]},
+        [root],
+    )
+
+
+def weighted_literal(weights):
+    def factory(negated):
+        def build(scope: Scope, num_units: int):
+            (var,) = tuple(scope)
+            w = weights[var, 0 if negated else 1]
+            with np.errstate(divide="ignore"):
+                logits = np.log([w, 0.0] if negated else [0.0, w])
+            return CategoricalLayer(
+                scope, num_units, num_categories=2,
+                logits=Parameter.from_input(TensorParameter(
+                    1, 2, initializer=ConstantTensorInitializer(np.asarray(logits)),
+                    learnable=False)),
+            )
+        return build
+    return factory(False), factory(True)
+
+
+def main() -> None:
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+
+    # unweighted model count
+    cc = ctx.compile(formula().build_circuit())
+    worlds = np.array(list(itertools.product([0, 1], repeat=3)))
+    outs = np.exp(np.asarray(cc(worlds))[:, 0, 0])
+    print("truth table:", dict(zip(map(tuple, worlds.tolist()), outs.round(0))))
+    mc = np.exp(np.asarray(ctx.integrate(cc)(ctx.parameters, worlds[:1]))[0, 0, 0])
+    print(f"model count: {mc:.0f}")
+
+    # weighted model count
+    weights = np.random.default_rng(0).uniform(0.1, 1.0, size=(3, 2))
+    lit, nlit = weighted_literal(weights)
+    wcc = ctx.compile(
+        formula().build_circuit(literal_input_factory=lit, negated_literal_input_factory=nlit)
+    )
+    wmc = np.exp(np.asarray(ctx.integrate(wcc)(ctx.parameters, worlds[:1]))[0, 0, 0])
+    print(f"weighted model count: {wmc:.6f}")
+
+
+if __name__ == "__main__":
+    main()
