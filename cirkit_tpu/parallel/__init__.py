@@ -1,3 +1,9 @@
+from cirkit_tpu.parallel.tensor import (
+    shard_store_tp,
+    tp_forward,
+    tp_slot_specs,
+    tp_train_step,
+)
 from cirkit_tpu.parallel.training import (
     data_parallel_step,
     default_mesh,
@@ -8,6 +14,10 @@ from cirkit_tpu.parallel.training import (
 
 __all__ = [
     "data_parallel_step",
+    "shard_store_tp",
+    "tp_forward",
+    "tp_slot_specs",
+    "tp_train_step",
     "default_mesh",
     "fit",
     "replicate_store",

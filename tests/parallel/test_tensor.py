@@ -1,0 +1,111 @@
+"""Tensor-parallel tests on the virtual 8-device CPU mesh: a 2-way model x
+4-way data mesh must reproduce single-device forwards and training steps
+exactly (the sharded computation is a re-bracketing of the same sums)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import Mesh
+
+from cirkit_tpu.models import image_data
+from cirkit_tpu.parallel.tensor import (
+    shard_store_tp,
+    tp_forward,
+    tp_slot_specs,
+    tp_train_step,
+)
+from cirkit_tpu.parallel.training import split_trainable
+from cirkit_tpu.pipeline import PipelineContext
+
+
+def _mesh2d():
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    return Mesh(devices, ("data", "model"))
+
+
+def _circuit(optimize, units=8):
+    sc = image_data(
+        (1, 4, 4),
+        "quad-graph",
+        input_layer="categorical",
+        num_input_units=units,
+        sum_product_layer="tucker",
+        num_sum_units=units,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=optimize)
+    cc = ctx.compile(sc)
+    return ctx, cc
+
+
+@pytest.mark.parametrize("optimize", [False, True])
+def test_tp_forward_matches_single_device(optimize):
+    ctx, cc = _circuit(optimize)
+    mesh = _mesh2d()
+    store = cc.restrict_store(ctx.parameters)
+    x = jnp.asarray(np.random.default_rng(0).integers(0, 256, size=(8, 16)))
+    want = np.asarray(cc.evaluate(store, x))
+
+    specs = tp_slot_specs(cc, mesh.shape["model"])
+    assert specs, "expected at least one unit-shardable weight slot"
+    sharded, _ = shard_store_tp(cc, store, mesh)
+    got = np.asarray(tp_forward(cc, mesh)(sharded, x))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_tp_forward_model_axis_only():
+    ctx, cc = _circuit(True)
+    devices = np.asarray(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devices, ("model",))
+    store = cc.restrict_store(ctx.parameters)
+    x = jnp.asarray(np.random.default_rng(1).integers(0, 256, size=(4, 16)))
+    want = np.asarray(cc.evaluate(store, x))
+    sharded, _ = shard_store_tp(cc, store, mesh)
+    got = np.asarray(tp_forward(cc, mesh, data_axis=None)(sharded, x))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_tp_train_step_matches_single_device():
+    ctx, cc = _circuit(True)
+    mesh = _mesh2d()
+    trainable, frozen = split_trainable(cc, ctx.parameters)
+    opt = optax.sgd(0.05)
+    x = jnp.asarray(np.random.default_rng(2).integers(0, 256, size=(16, 16)))
+
+    # single-device reference step
+    def loss_single(tr):
+        return -jnp.mean(cc.evaluate({**tr, **frozen}, x))
+
+    l_ref, g_ref = jax.value_and_grad(loss_single)(trainable)
+    ref_updated = optax.apply_updates(trainable, opt.update(g_ref, opt.init(trainable))[0])
+
+    # TP x DP step
+    tr_sh, _ = shard_store_tp(cc, trainable, mesh)
+    fr_sh, _ = shard_store_tp(cc, frozen, mesh)
+    step = tp_train_step(cc, opt, mesh)
+    new_tr, _, l_tp = step(tr_sh, fr_sh, opt.init(tr_sh), x)
+
+    np.testing.assert_allclose(float(l_tp), float(l_ref), rtol=1e-9)
+    for k in ref_updated:
+        np.testing.assert_allclose(
+            np.asarray(new_tr[k]), np.asarray(ref_updated[k]), rtol=1e-8, atol=1e-10
+        )
+
+
+def test_tp_train_loss_decreases():
+    ctx, cc = _circuit(True)
+    mesh = _mesh2d()
+    trainable, frozen = split_trainable(cc, ctx.parameters)
+    tr_sh, _ = shard_store_tp(cc, trainable, mesh)
+    fr_sh, _ = shard_store_tp(cc, frozen, mesh)
+    opt = optax.adam(2e-2)
+    step = tp_train_step(cc, opt, mesh)
+    opt_state = opt.init(tr_sh)
+    x = jnp.asarray(np.random.default_rng(3).integers(0, 256, size=(32, 16)))
+    losses = []
+    for _ in range(8):
+        tr_sh, opt_state, loss = step(tr_sh, fr_sh, opt_state, x)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
