@@ -172,9 +172,10 @@ class JaxCircuit:
                     "A PRNG key is required to initialize randomly-initialized parameters"
                 )
             # Jit the random draws into one program only on accelerators and
-            # when there are few slots (folded circuits): one device dispatch
-            # instead of one per slot. On CPU, and for unfolded circuits with
-            # hundreds of slots, eager batched draws beat the jit compile.
+            # when there are few slots (folded circuits): one compile + one
+            # dispatch instead of one per slot (each eager op is its own XLA
+            # program — seconds each on remote-compile platforms). Enable
+            # jax's persistent compilation cache to amortize across runs.
             if jax.default_backend() != "cpu" and len(random_slots) <= 64:
                 if self._init_jit is None:
                     slots = tuple(random_slots)
