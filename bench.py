@@ -75,6 +75,46 @@ def bench_config(sum_product: str, num_units: int, batch: int, iters: int, optim
     return batch / per_batch, per_batch, build_s, compile_s
 
 
+def bench_train(sum_product: str, num_units: int, batch: int, iters: int, optimize: bool):
+    """North-star training throughput: full jitted MLE step (fwd + bwd +
+    adam update) on the MNIST-shaped circuit."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cirkit_tpu.models import image_data
+    from cirkit_tpu.parallel.training import data_parallel_step, split_trainable
+    from cirkit_tpu.pipeline import PipelineContext
+
+    sc = image_data(
+        (1, 28, 28),
+        "quad-graph",
+        input_layer="categorical",
+        num_input_units=num_units,
+        sum_product_layer=sum_product,
+        num_sum_units=num_units,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=optimize)
+    cc = ctx.compile(sc)
+    trainable, frozen = split_trainable(cc, ctx.parameters)
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(trainable)
+    step = data_parallel_step(cc, optimizer)
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, size=(batch, 784), dtype=np.int32)
+    )
+    trainable, opt_state, loss = step(trainable, frozen, opt_state, x)  # compile
+    float(loss)
+    per_step = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            trainable, opt_state, loss = step(trainable, frozen, opt_state, x)
+        float(jnp.sum(loss))
+        per_step = min(per_step, (time.time() - t0) / iters)
+    return batch / per_step, per_step
+
+
 def main() -> None:
     import jax
 
@@ -115,6 +155,10 @@ def main() -> None:
         cp_sps, cp_per_batch, _, _ = bench_config("cp", num_units, batch, iters, optimize)
         result["cp_samples_per_sec"] = round(cp_sps, 1)
         result["cp_batch_ms"] = round(cp_per_batch * 1e3, 2)
+    if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
+        tr_sps, tr_ms = bench_train("cp", num_units, 256, max(iters // 2, 10), optimize)
+        result["train_cp_samples_per_sec"] = round(tr_sps, 1)
+        result["train_cp_step_ms"] = round(tr_ms * 1e3, 2)
     print(json.dumps(result))
 
 

@@ -424,7 +424,9 @@ def ChowLiuTree(
         )
     elif input_type == "gaussian":
         corr = np.corrcoef(data.T)
-        mutual_info = -0.5 * np.log(1 - corr**2)
+        # clip |corr| away from 1 so perfectly-correlated pairs get a large
+        # finite MI instead of inf (their edge is still always selected)
+        mutual_info = -0.5 * np.log(np.maximum(1.0 - corr**2, 1e-12))
     else:
         raise NotImplementedError(f"MI computation not implemented for {input_type} inputs")
 
