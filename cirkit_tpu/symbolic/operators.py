@@ -14,6 +14,7 @@ import numpy as np
 
 from cirkit_tpu.symbolic.circuit import CircuitBlock
 from cirkit_tpu.symbolic.layers import (
+    BinomialLayer,
     CategoricalLayer,
     ConstantValueLayer,
     EmbeddingLayer,
@@ -76,6 +77,17 @@ def integrate_categorical_layer(sl: CategoricalLayer, *, scope: Scope) -> Circui
         log_z = Parameter.from_unary(
             ReduceLSEParameter(sl.logits.shape, axis=1), sl.logits.ref()
         )
+    return CircuitBlock.from_layer(
+        ConstantValueLayer(sl.num_output_units, log_space=True, value=log_z)
+    )
+
+
+def integrate_binomial_layer(sl: BinomialLayer, *, scope: Scope) -> CircuitBlock:
+    """Binomial units are always normalized, so the integral is the constant
+    one (log-partition zero). An extension over the reference, which has no
+    INTEGRATION rule for Binomial layers (ref: ``operators.py:341-346``)."""
+    _check_integration_scope("Binomial", sl, scope)
+    log_z = Parameter.from_input(ConstantParameter(sl.num_output_units, value=0.0))
     return CircuitBlock.from_layer(
         ConstantValueLayer(sl.num_output_units, log_space=True, value=log_z)
     )
@@ -316,6 +328,7 @@ DEFAULT_OPERATOR_RULES: Mapping[LayerOperator, Sequence[Callable[..., CircuitBlo
     LayerOperator.INTEGRATION: [
         integrate_embedding_layer,
         integrate_categorical_layer,
+        integrate_binomial_layer,
         integrate_gaussian_layer,
     ],
     LayerOperator.DIFFERENTIATION: [differentiate_polynomial_layer],
