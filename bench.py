@@ -29,6 +29,7 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax"))
 
 BASELINE_SAMPLES_PER_SEC = 128 / 0.0386  # reference folded+optimized fwd
+BASELINE_FOLDED_SAMPLES_PER_SEC = 128 / 0.0758  # reference folded (unoptimized) fwd
 
 
 def bench_config(sum_product: str, num_units: int, batch: int, iters: int, optimize: bool):
@@ -132,6 +133,7 @@ def main() -> None:
         "value": round(sps, 1),
         "unit": "samples/s/chip",
         "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 3),
+        "vs_baseline_folded_only": round(sps / BASELINE_FOLDED_SAMPLES_PER_SEC, 3),
         "batch_ms": round(per_batch * 1e3, 2),
         "trace_build_s": round(build_s, 1),
         "jit_compile_s": round(compile_s, 1),
