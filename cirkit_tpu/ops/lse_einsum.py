@@ -386,6 +386,180 @@ def _dispatch(xs, w, *, softmax: bool, tucker: bool, interpret: bool | None):
 
 
 # --------------------------------------------------------------------------- #
+# Blocked (flash-style) lse_matmul for input widths beyond the VMEM budget
+# --------------------------------------------------------------------------- #
+# The contraction axis is tiled; a running row-max and a rescaled accumulator
+# live in VMEM across the chunk sweep (the online-softmax recurrence), so
+# arbitrarily wide contractions keep single-pass HBM traffic. The forward
+# additionally emits the final row max, which lets the backward rebuild the
+# shifted exponentials chunk-locally: d out/d x_i = exp(x_i - out) * w_i.
+
+
+@dataclass(frozen=True)
+class _BCfg:
+    bt: int
+    nbt: int
+    ic: int
+    nic: int
+    interpret: bool
+    fast: bool
+
+
+def _blocked_fwd_kernel(cfg: _BCfg, x_ref, w_ref, o_ref, m_ref, m_s):
+    ic = pl.program_id(2)
+    x = x_ref[0]  # (BT, IC)
+    cm = _clamp_max(x)
+
+    @pl.when(ic == 0)
+    def _():
+        m_s[:] = cm
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+    m_old = m_s[:]
+    m_new = jnp.maximum(m_old, cm)
+    m_s[:] = m_new
+    e = jnp.exp(x - m_new)
+    contrib = _dot3(e, w_ref[0], ((1,), (1,)), fast=cfg.fast)
+    o_ref[0] = o_ref[0] * jnp.exp(m_old - m_new) + contrib
+
+    @pl.when(ic == cfg.nic - 1)
+    def _():
+        o_ref[0] = jnp.log(o_ref[0]) + m_new
+        m_ref[0] = m_new
+
+
+def _blocked_bwd_kernel(cfg: _BCfg, x_ref, w_ref, out_ref, m_ref, g_ref, dx_ref, dw_ref):
+    bt_i = pl.program_id(2)
+    x = x_ref[0]  # (BT, IC)
+    m = m_ref[0]  # (BT, 1)
+    e = jnp.exp(x - m)
+    gy = g_ref[0] * jnp.exp(m - out_ref[0])
+    gy = jnp.where(jnp.isfinite(gy), gy, 0.0)
+    s = _dot3(gy, w_ref[0], ((1,), (0,)), fast=cfg.fast)
+    dx_ref[0] = e * s
+    dwt = _dot3(gy, e, ((0,), (0,)), fast=cfg.fast)
+
+    @pl.when(bt_i == 0)
+    def _():
+        dw_ref[0] = dwt
+
+    @pl.when(bt_i > 0)
+    def _():
+        dw_ref[0] += dwt
+
+
+def _blocked_fwd_call(cfg: _BCfg, x, w):
+    f, b, i = x.shape
+    o = w.shape[1]
+    return pl.pallas_call(
+        functools.partial(_blocked_fwd_kernel, cfg),
+        grid=(f, cfg.nbt, cfg.nic),
+        in_specs=[
+            _vspec((1, cfg.bt, cfg.ic), lambda fi, bi, ici: (fi, bi, ici)),
+            _vspec((1, o, cfg.ic), lambda fi, bi, ici: (fi, 0, ici)),
+        ],
+        out_specs=[
+            _vspec((1, cfg.bt, o), lambda fi, bi, ici: (fi, bi, 0)),
+            _vspec((1, cfg.bt, 1), lambda fi, bi, ici: (fi, bi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((f, b, o), x.dtype),
+            jax.ShapeDtypeStruct((f, b, 1), x.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((cfg.bt, 1), jnp.float32)],
+        interpret=cfg.interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * f * b * o * i,
+            bytes_accessed=4 * f * (b * i + o * i + b * o),
+            transcendentals=2 * f * b * i,
+        ),
+    )(x, w)
+
+
+def _blocked_bwd_call(cfg: _BCfg, x, w, out, m, g):
+    f, b, i = x.shape
+    o = w.shape[1]
+    return pl.pallas_call(
+        functools.partial(_blocked_bwd_kernel, cfg),
+        grid=(f, cfg.nic, cfg.nbt),
+        in_specs=[
+            _vspec((1, cfg.bt, cfg.ic), lambda fi, ici, bi: (fi, bi, ici)),
+            _vspec((1, o, cfg.ic), lambda fi, ici, bi: (fi, 0, ici)),
+            _vspec((1, cfg.bt, o), lambda fi, ici, bi: (fi, bi, 0)),
+            _vspec((1, cfg.bt, 1), lambda fi, ici, bi: (fi, bi, 0)),
+            _vspec((1, cfg.bt, o), lambda fi, ici, bi: (fi, bi, 0)),
+        ],
+        out_specs=[
+            _vspec((1, cfg.bt, cfg.ic), lambda fi, ici, bi: (fi, bi, ici)),
+            _vspec((1, o, cfg.ic), lambda fi, ici, bi: (fi, 0, ici)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(w.shape, w.dtype),
+        ],
+        interpret=cfg.interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=12 * f * b * o * i,
+            bytes_accessed=4 * f * (2 * b * i + 2 * o * i + 2 * b * o),
+            transcendentals=2 * f * b * i,
+        ),
+    )(x, w, out, m, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _blocked_p(cfg: _BCfg, x, w):
+    out, _ = _blocked_fwd_call(cfg, x, w)
+    return out
+
+
+def _blocked_p_fwd(cfg: _BCfg, x, w):
+    out, m = _blocked_fwd_call(cfg, x, w)
+    return out, (x, w, out, m)
+
+
+def _blocked_p_bwd(cfg: _BCfg, res, g):
+    x, w, out, m = res
+    dx, dw = _blocked_bwd_call(cfg, x, w, out, m, g)
+    return dx, dw
+
+
+_blocked_p.defvjp(_blocked_p_fwd, _blocked_p_bwd)
+
+
+def _dispatch_blocked(x, w, *, interpret: bool | None):
+    """Blocked lse_matmul for contractions too wide for one VMEM block."""
+    if not _pallas_enabled():
+        return None
+    if x.dtype != jnp.float32 or w.dtype != jnp.float32:
+        return None
+    f, b = x.shape[:2]
+    o, i = w.shape[1:]
+    if o < 8:
+        return None
+    bt = min(256, _round_up(b, 8))
+    # choose the chunk width so the double-buffered x/w tiles plus the
+    # in-kernel temporaries (exp, bf16 splits) fit comfortably in VMEM
+    ic = 512
+    while 4 * (5 * (bt + o) * ic + 3 * bt * o) < _VMEM_BUDGET and ic < i:
+        ic *= 2
+    ic = min(ic, _round_up(i, 128))
+    ip = _round_up(i, ic)
+    if ip // ic < 2:
+        return None  # the unblocked kernel covers this
+    interpret = _interpret_default() if interpret is None else interpret
+    bp = _round_up(b, bt)
+    cfg = _BCfg(
+        bt=bt, nbt=bp // bt, ic=ic, nic=ip // ic, interpret=interpret, fast=_fast_mode()
+    )
+    pad = jnp.finfo(x.dtype).min
+    if bp != b or ip != i:
+        x = jnp.pad(x, ((0, 0), (0, bp - b), (0, ip - i)), constant_values=pad)
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, ip - i)))
+    out = _blocked_p(cfg, x, w)
+    return out[:, :b] if bp != b else out
+
+
+# --------------------------------------------------------------------------- #
 # Public ops
 # --------------------------------------------------------------------------- #
 
@@ -401,6 +575,8 @@ def lse_matmul(
     """
     assert x.shape[::2] == (w.shape[0], w.shape[2]), (x.shape, w.shape)
     out = _dispatch((x,), w, softmax=False, tucker=False, interpret=interpret)
+    if out is None:
+        out = _dispatch_blocked(x, w, interpret=interpret)
     if out is not None:
         return out
     m = _clamp_max(x)
@@ -441,6 +617,11 @@ def lse_tucker2(
     out = _dispatch((x1, x2), w, softmax=False, tucker=True, interpret=interpret)
     if out is not None:
         return out
+    if _pallas_enabled() and x1.dtype == jnp.float32:
+        # Too wide for the fused outer product: materialize the (cheap)
+        # log-space outer sum once and stream it through the blocked kernel.
+        x12 = (x1[:, :, :, None] + x2[:, :, None, :]).reshape(f, b, k1 * k2)
+        return lse_matmul(x12, w, interpret=interpret)
     m1 = _clamp_max(x1)
     m2 = _clamp_max(x2)
     w3 = w.reshape(w.shape[0], w.shape[1], k1, k2)

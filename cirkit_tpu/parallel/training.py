@@ -71,14 +71,17 @@ def data_parallel_step(
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss
 
+    # Donating the parameter and optimizer-state buffers lets XLA update
+    # them in place instead of allocating fresh copies every step.
     if mesh is None:
-        return jax.jit(_step)
+        return jax.jit(_step, donate_argnums=(0, 2))
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P(axis))
     return jax.jit(
         _step,
         in_shardings=(replicated, replicated, replicated, batch_sharded),
         out_shardings=(replicated, replicated, replicated),
+        donate_argnums=(0, 2),
     )
 
 

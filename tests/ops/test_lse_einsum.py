@@ -58,6 +58,26 @@ def test_lse_matmul_matches_fallback(b):
     np.testing.assert_allclose(out, ref, rtol=RTOL, atol=ATOL)
 
 
+def test_fast_mode_within_bf16_tolerance(monkeypatch):
+    """CIRKIT_TPU_FAST trades the bf16 splits for single-pass bf16 matmuls;
+    the nonnegative contraction keeps the error within bf16 epsilon."""
+    monkeypatch.setenv("CIRKIT_TPU_FAST", "1")
+    rng = np.random.default_rng(10)
+    x = _rand(rng, (2, 8, 64))
+    w = _weights(rng, (2, 16, 64))
+    out = L.lse_matmul(x, w)
+    ref = _fallback_matmul(x, w)
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+    x1 = _rand(rng, (2, 8, 8))
+    x2 = _rand(rng, (2, 8, 8))
+    theta = _rand(rng, (2, 8, 64), scale=1.0, shift=0.0)
+    out = L.lse_tucker2_softmax(x1, x2, theta)
+    import jax
+
+    ref = _fallback_tucker(x1, x2, jax.nn.softmax(theta, axis=-1))
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
 def test_lse_matmul_softmax_matches_composition():
     rng = np.random.default_rng(1)
     x = _rand(rng, (2, 8, 32))
@@ -175,3 +195,44 @@ def test_float64_uses_fallback():
     m = np.max(np.asarray(x), axis=-1, keepdims=True)
     ref = np.log(np.einsum("fbi,foi->fbo", np.exp(np.asarray(x) - m), np.asarray(w))) + m
     np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_blocked_matmul_matches_fallback(monkeypatch):
+    """Contractions wider than the VMEM budget stream through the blocked
+    (flash-style) kernel with a running max; same math, chunked."""
+    monkeypatch.setattr(L, "_VMEM_BUDGET", 64 * 1024)
+    rng = np.random.default_rng(11)
+    x = _rand(rng, (2, 9, 1000))  # exercises batch AND width padding
+    w = _weights(rng, (2, 16, 1000))
+    out = L.lse_matmul(x, w)
+    ref = _fallback_matmul(x, w)
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_blocked_matmul_gradients_match(monkeypatch):
+    monkeypatch.setattr(L, "_VMEM_BUDGET", 64 * 1024)
+    rng = np.random.default_rng(12)
+    x = _rand(rng, (1, 8, 512))
+    w = _weights(rng, (1, 8, 512))
+
+    def loss_k(x, w):
+        return jnp.sum(jnp.sin(L.lse_matmul(x, w)))
+
+    def loss_f(x, w):
+        return jnp.sum(jnp.sin(_fallback_matmul(x, w)))
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(x, w)
+    gf = jax.grad(loss_f, argnums=(0, 1))(x, w)
+    for a, b in zip(gk, gf):
+        np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-2)
+
+
+def test_oversized_tucker_routes_through_blocked_matmul(monkeypatch):
+    monkeypatch.setattr(L, "_VMEM_BUDGET", 64 * 1024)
+    rng = np.random.default_rng(13)
+    x1 = _rand(rng, (1, 8, 32))
+    x2 = _rand(rng, (1, 8, 32))
+    w = _weights(rng, (1, 16, 32 * 32))
+    out = L.lse_tucker2(x1, x2, w)
+    ref = _fallback_tucker(x1, x2, w)
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
