@@ -9,3 +9,29 @@ data-parallel training over TPU meshes.
 """
 
 __version__ = "0.1.0"
+
+from cirkit_tpu import models, ops, parallel, symbolic, utils  # noqa: E402,F401
+from cirkit_tpu.pipeline import (  # noqa: E402,F401
+    PipelineContext,
+    compile,
+    concatenate,
+    conjugate,
+    differentiate,
+    integrate,
+    multiply,
+)
+
+__all__ = [
+    "PipelineContext",
+    "compile",
+    "concatenate",
+    "conjugate",
+    "differentiate",
+    "integrate",
+    "multiply",
+    "models",
+    "ops",
+    "parallel",
+    "symbolic",
+    "utils",
+]

@@ -1,0 +1,75 @@
+"""Randomized structural fuzzing: random region graphs x sum-product blocks
+x compilation options, every compiled output checked against exhaustive
+enumeration and the integral circuit against the brute-force partition
+function. This net goes beyond the reference's fixed fixtures — any
+folding/optimization/fusion bug on an unusual topology shows up here."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from cirkit_tpu.models.region_graph import QuadGraph, QuadTree, RandomBinaryTree
+from cirkit_tpu.pipeline import PipelineContext
+from cirkit_tpu.symbolic.initializers import ConstantTensorInitializer
+from cirkit_tpu.symbolic.layers import CategoricalLayer
+from cirkit_tpu.symbolic.parameters import Parameter, SoftmaxParameter, TensorParameter
+
+from tests.reference_eval import eval_circuit
+
+NUM_CATS = 3
+
+
+def _random_circuit(seed: int):
+    rng = np.random.default_rng(seed)
+
+    # constant numpy draws + symbolic softmax graphs, so the enumeration
+    # oracle can evaluate the exact same parameters
+    def softmax_const(shape):
+        t = TensorParameter(
+            *shape, initializer=ConstantTensorInitializer(rng.normal(size=shape))
+        )
+        return Parameter.from_unary(SoftmaxParameter(shape), t)
+
+    def input_factory(scope, num_units):
+        return CategoricalLayer(
+            scope, num_units, num_categories=NUM_CATS,
+            probs=softmax_const((num_units, NUM_CATS)),
+        )
+
+    kind = seed % 3
+    if kind == 0:
+        rg = RandomBinaryTree(int(rng.integers(4, 8)), seed=seed)
+    elif kind == 1:
+        rg = QuadTree((1, 2, 3), num_patch_splits=2)
+    else:
+        rg = QuadGraph((1, 3, 2))
+    sum_product = ["cp", "cp-t", "tucker"][seed % 3]
+    return rg.build_circuit(
+        input_factory=input_factory,
+        sum_product=sum_product,
+        sum_weight_factory=softmax_const,
+        num_input_units=int(rng.integers(1, 4)),
+        num_sum_units=int(rng.integers(1, 4)),
+    )
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("fold,optimize", [(False, False), (True, False), (True, True)])
+def test_random_circuit_matches_enumeration(seed, fold, optimize):
+    sc = _random_circuit(seed)
+    assert sc.is_smooth and sc.is_decomposable
+    d = sc.num_variables
+    worlds = np.array(list(itertools.product(range(NUM_CATS), repeat=d)), dtype=np.int64)
+    want = eval_circuit(sc, worlds)[:, 0, 0]
+
+    ctx = PipelineContext(semiring="lse-sum", fold=fold, optimize=optimize)
+    cc = ctx.compile(sc)
+    got = np.exp(np.asarray(cc(worlds))[:, 0, 0])
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+    icc = ctx.integrate(cc)
+    z = np.exp(np.asarray(icc(ctx.parameters, worlds[:1]))[0, 0, 0])
+    np.testing.assert_allclose(z, want.sum(), rtol=1e-9)
+    # softmax-normalized circuits are proper distributions
+    np.testing.assert_allclose(z, 1.0, rtol=1e-9)
