@@ -73,3 +73,46 @@ def test_random_circuit_matches_enumeration(seed, fold, optimize):
     np.testing.assert_allclose(z, want.sum(), rtol=1e-9)
     # softmax-normalized circuits are proper distributions
     np.testing.assert_allclose(z, 1.0, rtol=1e-9)
+
+
+def test_multiclass_circuit_outputs_normalized():
+    """num_classes > 1: the root sum emits one unit per class; each class
+    is its own normalized distribution under softmax weights."""
+    rng = np.random.default_rng(123)
+
+    def softmax_const(shape):
+        from cirkit_tpu.symbolic.initializers import ConstantTensorInitializer
+        from cirkit_tpu.symbolic.parameters import (
+            Parameter,
+            SoftmaxParameter,
+            TensorParameter,
+        )
+
+        t = TensorParameter(
+            *shape, initializer=ConstantTensorInitializer(rng.normal(size=shape))
+        )
+        return Parameter.from_unary(SoftmaxParameter(shape), t)
+
+    def input_factory(scope, num_units):
+        return CategoricalLayer(
+            scope, num_units, num_categories=NUM_CATS,
+            probs=softmax_const((num_units, NUM_CATS)),
+        )
+
+    rg = RandomBinaryTree(5, seed=0)
+    sc = rg.build_circuit(
+        input_factory=input_factory,
+        sum_product="cp",
+        sum_weight_factory=softmax_const,
+        num_input_units=2,
+        num_sum_units=2,
+        num_classes=3,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    worlds = np.array(list(itertools.product(range(NUM_CATS), repeat=5)))
+    out = np.exp(np.asarray(cc(worlds)))  # (W, 1, 3)
+    assert out.shape == (len(worlds), 1, 3)
+    want = eval_circuit(sc, worlds)[:, 0, :]  # (W, 3)
+    np.testing.assert_allclose(out[:, 0, :], want, rtol=1e-9)
+    np.testing.assert_allclose(out[:, 0, :].sum(axis=0), 1.0, rtol=1e-9)
