@@ -15,16 +15,23 @@ from tests.fixtures import (
 from tests.reference_eval import enumerate_worlds, eval_circuit
 
 GRID = [(f, s) for f in (False, True) for s in ("sum-product", "lse-sum")]
+# operator pipelines under the fusion optimizer too (rewrites must preserve
+# the pointer-sharing and provenance machinery)
+GRID_OPT = [(f, s, o) for f, s in GRID for o in ((False, True) if f else (False,))]
+
+
+def _ctx(fold, semiring, optimize=False):
+    return PipelineContext(semiring=semiring, fold=fold, optimize=optimize)
 
 
 def _to_semiring(values, semiring):
     return np.log(values) if semiring == "lse-sum" else values
 
 
-@pytest.mark.parametrize("fold,semiring", GRID)
+@pytest.mark.parametrize("fold,semiring,optimize", GRID_OPT)
 @pytest.mark.parametrize("product", ["hadamard", "kronecker"])
-def test_compiled_product(fold, semiring, product):
-    ctx = PipelineContext(semiring=semiring, fold=fold)
+def test_compiled_product(fold, semiring, optimize, product):
+    ctx = _ctx(fold, semiring, optimize)
     sc1 = build_bivariate_categorical_pc(product=product, rng=np.random.default_rng(11))
     sc2 = build_bivariate_categorical_pc(product=product, rng=np.random.default_rng(12))
     cc1, cc2 = ctx.compile(sc1), ctx.compile(sc2)
@@ -36,9 +43,9 @@ def test_compiled_product(fold, semiring, product):
     np.testing.assert_allclose(got, _to_semiring(v1 * v2, semiring), rtol=1e-9)
 
 
-@pytest.mark.parametrize("fold,semiring", GRID)
-def test_compiled_product_then_integrate(fold, semiring):
-    ctx = PipelineContext(semiring=semiring, fold=fold)
+@pytest.mark.parametrize("fold,semiring,optimize", GRID_OPT)
+def test_compiled_product_then_integrate(fold, semiring, optimize):
+    ctx = _ctx(fold, semiring, optimize)
     sc1 = build_multivariate_categorical_pc(rng=np.random.default_rng(13))
     sc2 = build_multivariate_categorical_pc(rng=np.random.default_rng(14))
     cc1, cc2 = ctx.compile(sc1), ctx.compile(sc2)
@@ -52,9 +59,9 @@ def test_compiled_product_then_integrate(fold, semiring):
     np.testing.assert_allclose(got, _to_semiring(want, semiring), rtol=1e-9)
 
 
-@pytest.mark.parametrize("fold,semiring", GRID)
-def test_compiled_gaussian_product(fold, semiring):
-    ctx = PipelineContext(semiring=semiring, fold=fold)
+@pytest.mark.parametrize("fold,semiring,optimize", GRID_OPT)
+def test_compiled_gaussian_product(fold, semiring, optimize):
+    ctx = _ctx(fold, semiring, optimize)
     sc1 = build_bivariate_gaussian_pc(rng=np.random.default_rng(15))
     sc2 = build_bivariate_gaussian_pc(rng=np.random.default_rng(16))
     cc1, cc2 = ctx.compile(sc1), ctx.compile(sc2)
@@ -66,9 +73,9 @@ def test_compiled_gaussian_product(fold, semiring):
     np.testing.assert_allclose(got, _to_semiring(v1 * v2, semiring), rtol=1e-8)
 
 
-@pytest.mark.parametrize("fold,semiring", GRID)
-def test_compiled_evidence(fold, semiring):
-    ctx = PipelineContext(semiring=semiring, fold=fold)
+@pytest.mark.parametrize("fold,semiring,optimize", GRID_OPT)
+def test_compiled_evidence(fold, semiring, optimize):
+    ctx = _ctx(fold, semiring, optimize)
     sc = build_multivariate_categorical_pc(rng=np.random.default_rng(17))
     cc = ctx.compile(sc)
     import cirkit_tpu.symbolic.functional as SF
