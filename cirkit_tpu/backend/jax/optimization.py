@@ -403,13 +403,20 @@ def optimize_parameter_graphs(
     for layer in layers:
         for name in list(layer.params):
             graph = layer.params[name]
+            rewritten = False
             while True:
                 new_graph = _rewrite_parameter_graph(compiler, graph, rules)
                 if new_graph is None:
                     break
                 graph = new_graph
                 setattr(layer, name, graph)
-                changed = True
+                rewritten = changed = True
+            if rewritten and name == "weight" and hasattr(layer, "_logits_slot"):
+                # keep the softmax-fusion dispatch cache consistent with the
+                # rewritten weight graph
+                from cirkit_tpu.backend.jax.layers import softmax_logits_slot
+
+                layer._logits_slot = softmax_logits_slot(graph)
     return changed
 
 
