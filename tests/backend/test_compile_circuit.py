@@ -19,6 +19,9 @@ GRID = [
     for fold in (False, True)
     for semiring in ("sum-product", "lse-sum")
 ]
+# the reference's key correctness harness parametrizes fold x optimize x
+# semiring (ref: test_compile_circuit.py:76,88-91)
+GRID3 = [(f, s, o) for f, s in GRID for o in ((False, True) if f else (False,))]
 
 
 def _check(sc, ctx, worlds, num_states):
@@ -48,9 +51,9 @@ def test_compile_parameterized_categorical(fold, semiring, use_softmax, use_logi
     _check(sc, ctx, enumerate_worlds(2, 3), 3)
 
 
-@pytest.mark.parametrize("fold,semiring", GRID)
-def test_compile_multivariate_all_worlds_and_partition(fold, semiring):
-    ctx = PipelineContext(semiring=semiring, fold=fold)
+@pytest.mark.parametrize("fold,semiring,optimize", GRID3)
+def test_compile_multivariate_all_worlds_and_partition(fold, semiring, optimize):
+    ctx = PipelineContext(semiring=semiring, fold=fold, optimize=optimize)
     sc = build_multivariate_categorical_pc(num_variables=4, rng=np.random.default_rng(2))
     cc = _check(sc, ctx, enumerate_worlds(4, 2), 2)
     icc = ctx.integrate(cc)
@@ -74,6 +77,8 @@ def test_folding_reduces_layers_preserving_outputs():
     )
     # parameter-count invariant: folding never changes the total
     assert cc_u.num_parameters() == cc_f.num_parameters()
+    # but it does merge tensor slots (ref invariant: fewer folded tensors)
+    assert len(cc_f.slots) < len(cc_u.slots)
 
 
 @pytest.mark.parametrize("fold", [False, True])

@@ -131,3 +131,22 @@ def test_parameter_sharing_after_update(fold):
     worlds = enumerate_worlds(2, 3)
     lls = np.asarray(cc(store, jnp.asarray(worlds)))[:, 0, 0]
     np.testing.assert_allclose(np.log(np.exp(lls).sum()), z1, rtol=1e-9)
+
+
+@pytest.mark.parametrize("fold,semiring,optimize", GRID_OPT)
+def test_compiled_multiply_then_evidence(fold, semiring, optimize):
+    """Product circuit pinned to an observation: multiply then evidence
+    (ref coverage: ``test_compile_circuit_operators.py`` multiply-evidence)."""
+    import cirkit_tpu.symbolic.functional as SF
+
+    ctx = _ctx(fold, semiring, optimize)
+    sc1 = build_bivariate_categorical_pc(rng=np.random.default_rng(21))
+    sc2 = build_bivariate_categorical_pc(rng=np.random.default_rng(22))
+    ctx.compile(sc1), ctx.compile(sc2)
+    prod = SF.multiply(sc1, sc2)
+    esc = SF.evidence(prod, {0: 2, 1: 1})
+    ecc = ctx.compile(esc)
+    xs = np.array([[2, 1]])
+    want = eval_circuit(sc1, xs)[0, 0, 0] * eval_circuit(sc2, xs)[0, 0, 0]
+    got = np.asarray(ecc(batch_size=1))[0, 0, 0]
+    np.testing.assert_allclose(got, _to_semiring(want, semiring), rtol=1e-9)
