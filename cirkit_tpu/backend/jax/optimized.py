@@ -77,6 +77,29 @@ class JaxTuckerLayer(JaxInnerLayer):
             self._einsum, inputs=inputs, operands=(w,), dim=-1, keepdim=True
         )
 
+    def sample(self, store: Store, key, x):
+        # Each output unit mixes over the Ki^arity composite input index:
+        # draw one composite index per (fold, unit, sample), unravel it
+        # row-major (matching the Kronecker flatten) and add the chosen
+        # child assignments (disjoint scopes). An extension: the reference's
+        # Tucker layer does not support sampling.
+        w = self.weight(store)  # (F, Ko, Ki^arity), requires normalized rows
+        f, h, k, n, d = x.shape
+        o = w.shape[1]
+        logits = jnp.log(w)
+        mix = jax.random.categorical(
+            key, jnp.broadcast_to(logits[:, :, None, :], (f, o, n, w.shape[2])), axis=-1
+        )  # (F, O, N) composite indices
+        fold_idx = jnp.arange(f)[:, None, None]
+        n_idx = jnp.arange(n)[None, None, :]
+        out = jnp.zeros((f, o, n, d), dtype=x.dtype)
+        rem = mix
+        for hh in range(h - 1, -1, -1):
+            idx = rem % k
+            rem = rem // k
+            out = out + x[:, hh][fold_idx, idx, n_idx]
+        return out, mix
+
 
 class JaxCPTLayer(JaxInnerLayer):
     """Fused sum-of-Hadamard (CP-transposed): semiring product over the arity

@@ -127,3 +127,42 @@ def test_sampling_requires_positive_samples():
     cc = ctx.compile(sc)
     with pytest.raises(ValueError, match="positive"):
         SamplingQuery(cc)(0)
+
+
+def test_sampling_from_optimized_tucker_circuit():
+    """Ancestral sampling through fused Tucker layers (the optimizer's
+    rewrite of sum-of-Kronecker); frequencies must match the density. An
+    extension: the reference's Tucker layer cannot sample."""
+    rng = np.random.default_rng(31)
+    from cirkit_tpu.symbolic import CategoricalLayer, Circuit, KroneckerLayer, SumLayer
+    from tests.fixtures import const_param
+
+    layers = []
+    for v in range(2):
+        raw = rng.uniform(0.1, 1.0, (2, 2))
+        layers.append(
+            CategoricalLayer(
+                Scope([v]), 2, num_categories=2,
+                probs=const_param(raw / raw.sum(axis=1, keepdims=True)),
+            )
+        )
+    k = KroneckerLayer(2, arity=2)
+    w = rng.uniform(0.1, 1.0, (1, 4))
+    s = SumLayer(4, 1, weight=const_param(w / w.sum()))
+    sc = Circuit(layers + [k, s], {k: layers, s: [k]}, [s])
+
+    ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=True)
+    cc = ctx.compile(sc)
+    from cirkit_tpu.backend.jax.optimized import JaxTuckerLayer
+
+    assert any(isinstance(l, JaxTuckerLayer) for l in cc.layers)
+    n = 20000
+    samples, mixtures = SamplingQuery(cc)(n, key=jax.random.PRNGKey(1))
+    samples = np.asarray(samples).astype(int)
+    counts = collections.Counter(map(tuple, samples.tolist()))
+    worlds = enumerate_worlds(2, 2)
+    probs = eval_circuit(sc, worlds)[:, 0, 0]
+    probs = probs / probs.sum()
+    for world, p in zip(map(tuple, worlds.tolist()), probs):
+        assert abs(counts.get(world, 0) / n - p) < 0.02
+    assert len(mixtures) >= 1
