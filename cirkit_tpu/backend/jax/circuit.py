@@ -21,7 +21,6 @@ import numpy as np
 
 from cirkit_tpu.backend.jax.layers import (
     JaxConstantInputLayer,
-    JaxInnerLayer,
     JaxInputLayer,
     JaxLayer,
 )

@@ -14,7 +14,6 @@ Flags (ref: ``compiler.py:114-116``): ``semiring`` (default "sum-product"),
 
 from __future__ import annotations
 
-from collections.abc import Sequence
 from typing import Any
 
 import numpy as np
@@ -32,7 +31,6 @@ from cirkit_tpu.backend.jax.parameters import (
     InitFn,
     JaxParameter,
     JaxParameterNode,
-    JaxTensorSlot,
 )
 from cirkit_tpu.backend.jax.rules import (
     DEFAULT_INITIALIZER_COMPILATION_RULES,

@@ -322,6 +322,9 @@ class JaxExpParameter(_EntrywiseOp):
 
 class JaxLogParameter(_EntrywiseOp):
     def _eval(self, x):
+        # complex inputs need the conjugate-gradient safe log
+        if jnp.issubdtype(x.dtype, jnp.complexfloating):
+            return csafelog(x)
         return safelog(x)
 
 
