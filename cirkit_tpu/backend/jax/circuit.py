@@ -300,9 +300,28 @@ class JaxCircuit:
         return {s: store[s] for s in self._used_slots}
 
     def jit_evaluate(
-        self, store: Store, x: jnp.ndarray | None = None, *, batch_size: int | None = None
+        self,
+        store: Store,
+        x: jnp.ndarray | None = None,
+        *,
+        batch_size: int | None = None,
+        pad_batch_to: int | None = None,
     ) -> jnp.ndarray:
+        """Jit-cached evaluation. ``pad_batch_to`` rounds the batch up to a
+        multiple (padding with the first row, slicing the result back), so
+        serving with varying batch sizes reuses one compiled program instead
+        of recompiling per shape — compiles cost seconds per program on
+        remote-compile TPU platforms."""
         store = self.restrict_store(store)
+        b = None
+        if pad_batch_to is not None and x is not None:
+            x = jnp.asarray(x)
+            b = x.shape[0]
+            bp = -(-b // pad_batch_to) * pad_batch_to
+            if bp != b:
+                x = jnp.concatenate(
+                    [x, jnp.broadcast_to(x[:1], (bp - b, *x.shape[1:]))], axis=0
+                )
         key = "fwd" if batch_size is None else ("const", batch_size)
         if key not in self._jit_cache:
             if batch_size is None:
@@ -312,7 +331,8 @@ class JaxCircuit:
                     lambda st: self.evaluate(st, None, batch_size=batch_size)
                 )
         fn = self._jit_cache[key]
-        return fn(store, x) if batch_size is None else fn(store)
+        out = fn(store, x) if batch_size is None else fn(store)
+        return out if b is None else out[:b]
 
     # -- introspection -----------------------------------------------------------
     def __repr__(self) -> str:

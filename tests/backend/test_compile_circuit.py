@@ -143,3 +143,17 @@ def test_initialized_circuit_runs(fold, semiring):
     out = np.asarray(cc(worlds))
     assert out.shape == (16, 1, 1)
     assert np.isfinite(out).all()
+
+
+def test_pad_batch_to_reuses_one_compiled_program():
+    sc = build_multivariate_categorical_pc(rng=np.random.default_rng(9))
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    store = ctx.parameters
+    full = enumerate_worlds(4, 2)
+    want = np.asarray(cc.jit_evaluate(store, full))
+    for b in (1, 3, 7, 16):
+        got = np.asarray(cc.jit_evaluate(store, full[:b], pad_batch_to=16))
+        np.testing.assert_allclose(got, want[:b], rtol=1e-12)
+    # all padded sizes share the single "fwd" cache entry
+    assert list(cc._jit_cache) == ["fwd"]
