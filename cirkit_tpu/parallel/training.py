@@ -33,9 +33,13 @@ def default_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
 
 
 def replicate_store(store: Store, mesh: Mesh) -> Store:
-    """Place every parameter replicated across the mesh."""
+    """Place every parameter replicated across the mesh.
+
+    Always copies: ``device_put`` may alias the source buffer when it is
+    already resident, and training steps donate their parameter buffers —
+    an alias would invalidate the caller's original store."""
     sharding = NamedSharding(mesh, P())
-    return {k: jax.device_put(v, sharding) for k, v in store.items()}
+    return {k: jax.device_put(jnp.array(v), sharding) for k, v in store.items()}
 
 
 def shard_batch(x, mesh: Mesh, axis: str = "data"):
@@ -140,6 +144,10 @@ def fit(
     if mesh is not None:
         trainable = replicate_store(trainable, mesh)
         frozen = replicate_store(frozen, mesh)
+    else:
+        # the training step donates its parameter buffers; copy so the
+        # caller's store stays valid
+        trainable = {k: jnp.array(v) for k, v in trainable.items()}
     opt_state = optimizer.init(trainable)
     step = data_parallel_step(circuit, optimizer, mesh=mesh, axis=axis)
 
