@@ -299,11 +299,6 @@ def _call_fwd(cfg: _Cfg, xs, w):
         out_specs=_x_spec(cfg.bt, o),
         out_shape=jax.ShapeDtypeStruct((f, b, o), xs[0].dtype),
         interpret=cfg.interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=6 * f * b * (o + (xs[0].shape[2] if cfg.tucker else 0)) * i,
-            bytes_accessed=4 * f * (o * i + b * (o + sum(x.shape[2] for x in xs))),
-            transcendentals=f * (b + o) * i,
-        ),
     )(*xs, w)
 
 
@@ -320,11 +315,6 @@ def _call_bwd(cfg: _Cfg, xs, w, out, g):
         out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype) for x in xs]
         + [jax.ShapeDtypeStruct(w.shape, w.dtype)],
         interpret=cfg.interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=18 * f * b * (o + (xs[0].shape[2] if cfg.tucker else 0)) * i,
-            bytes_accessed=4 * f * (2 * o * i + 2 * b * (o + sum(x.shape[2] for x in xs))),
-            transcendentals=f * (b + o) * i,
-        ),
     )(*xs, w, out, g)
 
 
@@ -468,11 +458,6 @@ def _blocked_fwd_call(cfg: _BCfg, x, w):
         ],
         scratch_shapes=[pltpu.VMEM((cfg.bt, 1), jnp.float32)],
         interpret=cfg.interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=6 * f * b * o * i,
-            bytes_accessed=4 * f * (b * i + o * i + b * o),
-            transcendentals=2 * f * b * i,
-        ),
     )(x, w)
 
 
@@ -498,11 +483,6 @@ def _blocked_bwd_call(cfg: _BCfg, x, w, out, m, g):
             jax.ShapeDtypeStruct(w.shape, w.dtype),
         ],
         interpret=cfg.interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=12 * f * b * o * i,
-            bytes_accessed=4 * f * (2 * b * i + 2 * o * i + 2 * b * o),
-            transcendentals=2 * f * b * i,
-        ),
     )(x, w, out, m, g)
 
 
