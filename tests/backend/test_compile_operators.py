@@ -150,3 +150,27 @@ def test_compiled_multiply_then_evidence(fold, semiring, optimize):
     want = eval_circuit(sc1, xs)[0, 0, 0] * eval_circuit(sc2, xs)[0, 0, 0]
     got = np.asarray(ecc(batch_size=1))[0, 0, 0]
     np.testing.assert_allclose(got, _to_semiring(want, semiring), rtol=1e-9)
+
+
+@pytest.mark.parametrize("fold", [False, True])
+def test_compiled_second_order_differentiation(fold):
+    """order=2 differentiation: second partials vs central finite
+    differences of the compiled circuit."""
+    from tests.symbolic.test_operators import _poly_pc
+
+    ctx = PipelineContext(semiring="sum-product", fold=fold)
+    sc = _poly_pc()
+    cc = ctx.compile(sc)
+    d2cc = ctx.differentiate(cc, order=2)
+    xs = np.array([[0.4, -0.8], [1.1, 0.6]])
+    got = np.asarray(d2cc(xs))[:, :, 0]  # (B, num_output_blocks)
+
+    def f(x):
+        return np.asarray(cc(x[None]))[0, 0, 0]
+
+    eps = 1e-4
+    for b, x in enumerate(xs):
+        # d^2/dx0^2 via central differences
+        e0 = np.array([eps, 0.0])
+        d2x0 = (f(x + e0) - 2 * f(x) + f(x - e0)) / eps**2
+        np.testing.assert_allclose(got[b, 0], d2x0, rtol=1e-4, atol=1e-4)
