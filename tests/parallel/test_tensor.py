@@ -109,3 +109,28 @@ def test_tp_train_loss_decreases():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_tp_forward_gaussian_inputs():
+    """Unit sharding of Gaussian input layers (mean/stddev shard together)."""
+    from cirkit_tpu.models import tabular_data
+
+    sc = tabular_data(
+        "random-binary-tree",
+        num_features=6,
+        input_layers={"name": "gaussian", "args": {}},
+        num_input_units=8,
+        sum_product_layer="cp",
+        num_sum_units=8,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    mesh = _mesh2d()
+    store = cc.restrict_store(ctx.parameters)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(8, 6)))
+    want = np.asarray(cc.evaluate(store, x))
+    specs = tp_slot_specs(cc, mesh.shape["model"])
+    assert specs
+    sharded, _ = shard_store_tp(cc, store, mesh)
+    got = np.asarray(tp_forward(cc, mesh)(sharded, x))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
