@@ -250,9 +250,16 @@ class JaxCircuit:
                 if x is None:
                     y = fn(layer, store, None)
                 else:
-                    # (B, D_total) -> (F, B, D) via the static scope gather
-                    xin = x[:, layer.scope_idx]  # (B, F, D)
-                    xin = jnp.transpose(xin, (1, 0, 2))
+                    # (B, D_total) -> (F, B, D) via the static scope gather;
+                    # the common univariate-identity case (folded inputs over
+                    # every variable in order) is a plain transpose
+                    si = layer.scope_idx
+                    if si.shape[1] == 1 and si.shape[0] == x.shape[1] and np.array_equal(
+                        si[:, 0], np.arange(si.shape[0])
+                    ):
+                        xin = jnp.transpose(x, (1, 0))[:, :, None]
+                    else:
+                        xin = jnp.transpose(x[:, si], (1, 0, 2))
                     y = fn(layer, store, xin)
             else:
                 cat = (
