@@ -348,12 +348,18 @@ def _dispatch(xs, w, *, softmax: bool, tucker: bool, interpret: bool | None):
     # o < 8: Mosaic's bf16 path cannot lower sub-sublane output widths.
     if o < 8:
         return None
+    # shrink the batch tile until the VMEM working set fits (large batches
+    # must never fall off the fused path)
     bt = min(256, _round_up(b, 8))
-    work = bt * (o + sum(x.shape[2] for x in xs)) + (o + 1) * i
-    if tucker:
-        work += (3 * bt + xs[0].shape[2]) * i
-    else:
-        work += 2 * bt * i
+    while True:
+        work = bt * (o + sum(x.shape[2] for x in xs)) + (o + 1) * i
+        if tucker:
+            work += (3 * bt + xs[0].shape[2]) * i
+        else:
+            work += 2 * bt * i
+        if 4 * work <= _VMEM_BUDGET or bt <= 8:
+            break
+        bt = max(8, bt // 2)
     if 4 * work > _VMEM_BUDGET:
         return None
     interpret = _interpret_default() if interpret is None else interpret
