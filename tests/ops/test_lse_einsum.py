@@ -236,3 +236,23 @@ def test_oversized_tucker_routes_through_blocked_matmul(monkeypatch):
     out = L.lse_tucker2(x1, x2, w)
     ref = _fallback_tucker(x1, x2, w)
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_lse_tucker2_softmax_grad_multi_tile_batch(monkeypatch):
+    """dtheta accumulation across batch tiles for the tucker-softmax kernel
+    (batch tiles shrink when the VMEM budget forces it)."""
+    monkeypatch.setattr(L, "_VMEM_BUDGET", 48 * 1024)
+    rng = np.random.default_rng(14)
+    x1 = _rand(rng, (1, 40, 8))
+    x2 = _rand(rng, (1, 40, 8))
+    theta = _rand(rng, (1, 8, 64), scale=1.0, shift=0.0)
+
+    def loss_k(th):
+        return jnp.sum(jnp.sin(L.lse_tucker2_softmax(x1, x2, th)))
+
+    def loss_f(th):
+        return jnp.sum(jnp.sin(_fallback_tucker(x1, x2, jax.nn.softmax(th, axis=-1))))
+
+    gk = jax.grad(loss_k)(theta)
+    gf = jax.grad(loss_f)(theta)
+    np.testing.assert_allclose(gk, gf, rtol=5e-3, atol=5e-3)
