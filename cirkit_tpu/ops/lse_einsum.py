@@ -183,21 +183,29 @@ def _mod_selector(k1: int, k2: int) -> jnp.ndarray:
 
 def _repeat_each(e1: jnp.ndarray, k2: int, *, fast: bool) -> jnp.ndarray:
     """(BT, K1) -> (BT, K1*K2) with column i*K2+j = e1[:, i], via selection
-    matmul; the selector is exact in bf16 so a 2-term split of e1 suffices."""
+    matmul; the selector is exact in bf16 so a 2-term split of e1 suffices
+    (packed into one matmul along the row axis)."""
     k1 = e1.shape[1]
     s = _repeat_selector(k1, k2)
     if fast:
         return _dot1(e1.astype(jnp.bfloat16), s, ((1,), (0,)))
     hi, lo = _split(e1)
-    return _dot1(hi, s, ((1,), (0,))) + _dot1(lo, s, ((1,), (0,)))
+    bt = e1.shape[0]
+    d = _dot1(jnp.concatenate([hi, lo], axis=0), s, ((1,), (0,)))
+    return d[:bt] + d[bt:]
 
 
 def _seg_dot(p: jnp.ndarray, sel: jnp.ndarray, dims, *, fast: bool) -> jnp.ndarray:
-    """Exact-selection matmul of an f32 operand against a 0/1 bf16 matrix."""
+    """Exact-selection matmul of an f32 operand against a 0/1 bf16 matrix,
+    with the 2-term split packed into one matmul along p's free axis."""
     if fast:
         return _dot1(p.astype(jnp.bfloat16), sel, dims)
+    (kp,), _ = dims
+    pf = 1 - kp
     hi, lo = _split(p)
-    return _dot1(hi, sel, dims) + _dot1(lo, sel, dims)
+    m = p.shape[pf]
+    d = _dot1(jnp.concatenate([hi, lo], axis=pf), sel, dims)
+    return d[:m] + d[m:]
 
 
 def _softmax_rows(th: jnp.ndarray) -> jnp.ndarray:
