@@ -156,13 +156,20 @@ def _dot3(a: jnp.ndarray, b: jnp.ndarray, dims, *, fast: bool) -> jnp.ndarray:
     af, bf = 1 - ka, 1 - kb
     ah, al = _split(a)
     bh, bl = _split(b)
-    d = _dot1(
-        jnp.concatenate([ah, al], axis=af),
-        jnp.concatenate([bh, bl], axis=bf),
-        dims,
-    )
     m, n = a.shape[af], b.shape[bf]
-    return d[:m, :n] + d[:m, n:] + d[m:, :n]
+    if n <= 64:
+        # doubling n stays within one 128-lane tile: all three cross terms
+        # cost the cycles of a single half-width dot
+        d = _dot1(
+            jnp.concatenate([ah, al], axis=af),
+            jnp.concatenate([bh, bl], axis=bf),
+            dims,
+        )
+        return d[:m, :n] + d[:m, n:] + d[m:, :n]
+    # n already fills the lanes: doubling it would add real cycles for the
+    # discarded lo@lo quadrant; pack only the two bh terms along rows
+    d = _dot1(jnp.concatenate([ah, al], axis=af), bh, dims)
+    return d[:m] + d[m:] + _dot1(ah, bl, dims)
 
 
 def _repeat_selector(k1: int, k2: int) -> jnp.ndarray:
