@@ -370,6 +370,10 @@ class JaxCategoricalLayer(JaxExpFamilyLayer):
         # clamped from -inf to the finite minimum so the unselected
         # 0 * -inf products cannot produce NaNs (exp still underflows to 0).
         logits = jnp.maximum(logits, jnp.finfo(logits.dtype).min)
+        # Clip to the category range: one_hot maps out-of-range indices to an
+        # all-zero row (log p = 0, i.e. probability 1), whereas the gather it
+        # replaced clamped — keep the clamping semantics.
+        xi = jnp.clip(xi, 0, logits.shape[2] - 1)
         onehot = jax.nn.one_hot(xi, logits.shape[2], dtype=logits.dtype)  # (F, B, N)
         return jnp.einsum(
             "fbn,fkn->fbk", onehot, logits, precision=jax.lax.Precision.HIGHEST
@@ -420,7 +424,9 @@ class JaxEmbeddingLayer(JaxInputLayer):
     def forward(self, store, x):
         xi = x[..., 0].astype(jnp.int32)  # (F, B)
         w = self.weight(store)  # (F, K, N)
-        # one-hot selection matmul: see JaxCategoricalLayer (matmul backward)
+        # one-hot selection matmul: see JaxCategoricalLayer (matmul backward);
+        # clip like there so out-of-range states clamp instead of zeroing out
+        xi = jnp.clip(xi, 0, w.shape[2] - 1)
         onehot = jax.nn.one_hot(xi, w.shape[2], dtype=w.dtype)  # (F, B, N)
         out = jnp.einsum(
             "fbn,fkn->fbk", onehot, w, precision=jax.lax.Precision.HIGHEST

@@ -189,7 +189,15 @@ class LogicalCircuit(RootedDiAcyclicGraph[LogicalCircuitNode]):
         """Make every disjunction smooth in place: each disjunct is extended
         with fresh ``(x or not x)`` gadgets for the variables it is missing
         relative to the disjunction's scope
-        (ref: ``templates/logic/graph.py:177-232``)."""
+        (ref: ``templates/logic/graph.py:177-232``).
+
+        A conjunction disjunct is only grown in place when this disjunction
+        is its sole parent; a conjunction shared by several parents is
+        wrapped in a fresh per-parent conjunction instead. Growing a shared
+        node would change its scope under every other parent while scope
+        queries still read the pre-mutation cache, leaving those parents
+        non-smooth.
+        """
         literal_map: dict[tuple[int, bool], LogicalCircuitNode] = {
             (n.literal, isinstance(n, LiteralNode)): n
             for n in self.nodes
@@ -199,6 +207,10 @@ class LogicalCircuit(RootedDiAcyclicGraph[LogicalCircuitNode]):
         in_nodes: dict[LogicalCircuitNode, list[LogicalCircuitNode]] = {
             n: list(cs) for n, cs in self._in_nodes.items()
         }
+        parent_refs: dict[int, int] = {}
+        for cs in self._in_nodes.values():
+            for c in cs:
+                parent_refs[id(c)] = parent_refs.get(id(c), 0) + 1
 
         def gadget(var: int) -> DisjunctionNode:
             if var not in gadgets:
@@ -217,7 +229,7 @@ class LogicalCircuit(RootedDiAcyclicGraph[LogicalCircuitNode]):
                 if not missing:
                     continue
                 fillers = [gadget(v) for v in missing]
-                if isinstance(child, ConjunctionNode):
+                if isinstance(child, ConjunctionNode) and parent_refs[id(child)] == 1:
                     in_nodes[child].extend(fillers)
                 else:
                     wrapper = ConjunctionNode()

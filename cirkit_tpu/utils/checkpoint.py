@@ -52,12 +52,31 @@ def save_store(path: str | PathLike[str], tree: Any) -> None:
     np.savez(path, **_flatten(tree))
 
 
-def load_store(path: str | PathLike[str]) -> Any:
-    """Load a pytree saved by :func:`save_store`. Dict/list/tuple structure
-    is rebuilt from the stored key paths; leaves come back as numpy arrays
-    (pass through ``jax.device_put`` / shard as needed)."""
+def load_store(path: str | PathLike[str], like: Any | None = None) -> Any:
+    """Load a pytree saved by :func:`save_store`. Leaves come back as numpy
+    arrays (pass through ``jax.device_put`` / shard as needed).
+
+    Without ``like``, structure is rebuilt from the stored key paths as
+    plain dicts/lists — tuples, namedtuples and custom nodes (e.g. optax
+    optimizer states) degrade to lists. Pass ``like`` (a pytree with the
+    desired structure, such as ``optimizer.init(params)``) to restore the
+    exact treedef: leaves are matched to ``like``'s key paths and
+    unflattened into its structure."""
     with np.load(path, allow_pickle=False) as data:
         items = [(json.loads(k), data[k]) for k in data.files]
+
+    if like is not None:
+        stored = {json.dumps(p): v for p, v in items}
+        paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(like)
+        leaves = []
+        for path_entries, _ in paths_and_leaves:
+            key = json.dumps([_path_entry(p) for p in path_entries])
+            if key not in stored:
+                raise KeyError(
+                    f"Checkpoint {path!s} has no entry for pytree path {key}"
+                )
+            leaves.append(stored[key])
+        return jax.tree_util.tree_unflatten(treedef, leaves)
 
     def insert(container, path, value):
         kind, key = path[0]

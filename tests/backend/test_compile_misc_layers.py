@@ -118,3 +118,29 @@ def test_compiled_concatenate(fold, semiring):
         got = np.exp(got)
     np.testing.assert_allclose(got[:, 0, 0], w1, rtol=1e-9)
     np.testing.assert_allclose(got[:, 1, 0], w2, rtol=1e-9)
+
+def test_out_of_range_categories_clamp():
+    """Out-of-range category/state indices clamp to the valid range instead
+    of mapping to an all-zero one-hot row (which would silently yield
+    log p = 0, i.e. probability 1)."""
+    from cirkit_tpu.symbolic.layers import CategoricalLayer
+
+    rng = np.random.default_rng(11)
+    probs = rng.dirichlet(np.ones(3), size=(1,))  # (K=1, N=3)
+    cat = CategoricalLayer(Scope([0]), 1, num_categories=3, probs=_const(probs))
+    s = SumLayer(1, 1, weight=_const(np.ones((1, 1))))
+    sc = Circuit([cat, s], {s: [cat]}, [s])
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    x = np.array([[0], [2], [3], [99], [-1]], dtype=np.int64)
+    got = np.exp(np.asarray(cc(x))[:, 0, 0])
+    np.testing.assert_allclose(got[2:4], probs[0, 2], rtol=1e-6)  # clamp high
+    np.testing.assert_allclose(got[4], probs[0, 0], rtol=1e-6)  # clamp low
+
+    emb = EmbeddingLayer(Scope([0]), 1, num_states=3, weight=_const(probs))
+    s2 = SumLayer(1, 1, weight=_const(np.ones((1, 1))))
+    sc2 = Circuit([emb, s2], {s2: [emb]}, [s2])
+    cc2 = ctx.compile(sc2)
+    got2 = np.exp(np.asarray(cc2(x))[:, 0, 0])
+    np.testing.assert_allclose(got2[2:4], probs[0, 2], rtol=1e-6)
+    np.testing.assert_allclose(got2[4], probs[0, 0], rtol=1e-6)

@@ -58,6 +58,47 @@ def test_smooth_produces_smooth_circuit():
     assert sc.is_decomposable
 
 
+def test_smooth_conjunction_shared_by_multiple_disjunctions():
+    # Regression: a conjunction disjunct shared by two disjunctions with
+    # different scopes. Growing it in place for the wider parent would leak
+    # the new variables into the narrower parent (whose cached scope is
+    # stale), leaving the result non-smooth.
+    x0, x1, x2 = LiteralNode(0), LiteralNode(1), LiteralNode(2)
+    nx0 = NegatedLiteralNode(0)
+    c = ConjunctionNode()  # x0 and x1 — shared between d1 and d2
+    t = ConjunctionNode()  # x0 and x1 and x2
+    u = ConjunctionNode()  # not x0 and x1
+    d1, d2, root = DisjunctionNode(), DisjunctionNode(), DisjunctionNode()
+    lc = LogicalCircuit(
+        [x0, x1, x2, nx0, c, t, u, d1, d2, root],
+        {
+            c: [x0, x1],
+            t: [x0, x1, x2],
+            u: [nx0, x1],
+            d1: [c, t],
+            d2: [c, u],
+            root: [d1, d2],
+        },
+        [root],
+    )
+    sc = lc.build_circuit(enforce_smoothness=True)
+    assert sc.is_smooth
+    assert sc.is_decomposable
+
+    # Disjunctions lower to sums, so overlapping disjuncts accumulate
+    # multiplicity: value(w) = [x0^x1] + [x0^x1^x2] + [x0^x1] + [~x0^x1].
+    ctx = PipelineContext(semiring="sum-product", fold=True)
+    cc = ctx.compile(sc)
+    worlds = _worlds(3)
+    want = np.array(
+        [2.0 * (w[0] & w[1]) + (w[0] & w[1] & w[2]) + ((1 - w[0]) & w[1]) for w in worlds]
+    )
+    np.testing.assert_allclose(np.asarray(cc(worlds))[:, 0, 0], want, atol=1e-12)
+    icc = ctx.integrate(cc)
+    z = np.asarray(icc(ctx.parameters, worlds[:1]))[0, 0, 0]
+    np.testing.assert_allclose(z, want.sum(), rtol=1e-12)
+
+
 @pytest.mark.parametrize("semiring", ["sum-product", "lse-sum"])
 def test_boolean_evaluation_and_model_count(semiring):
     lc = _formula_graph()

@@ -54,6 +54,39 @@ def test_store_roundtrip_nested_pytree(tmp_path):
     assert isinstance(got["b"], list) and len(got["b"]) == 2
 
 
+def test_store_roundtrip_optimizer_state_with_like(tmp_path):
+    """A checkpointed optax optimizer state restores to its exact treedef
+    (namedtuples, not lists) via load_store(..., like=...) and can be passed
+    straight back to optimizer.update (ADVICE round 1)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    params = {"w": jnp.arange(4.0), "b": jnp.ones((2,))}
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    _, opt_state = optimizer.update(grads, opt_state, params)
+
+    save_store(tmp_path / "opt.npz", {"params": params, "opt": opt_state})
+    restored = load_store(
+        tmp_path / "opt.npz", like={"params": params, "opt": optimizer.init(params)}
+    )
+    assert jax.tree_util.tree_structure(restored["opt"]) == jax.tree_util.tree_structure(
+        opt_state
+    )
+    # the restored state is usable by optimizer.update without error
+    updates, _ = optimizer.update(grads, restored["opt"], restored["params"])
+    got = jax.tree_util.tree_leaves(restored["opt"])
+    want = jax.tree_util.tree_leaves(opt_state)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-12)
+    assert jax.tree_util.tree_structure(updates) == jax.tree_util.tree_structure(params)
+
+    with pytest.raises(KeyError, match="no entry"):
+        load_store(tmp_path / "opt.npz", like={"params": params, "missing": params})
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path):
     import jax.numpy as jnp
 
