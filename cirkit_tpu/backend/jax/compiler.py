@@ -110,6 +110,16 @@ class JaxCompiler(AbstractCompiler):
         )
         self.semiring = SemiringImpl.from_name(semiring)
         self.state = JaxCompilerState()
+        from cirkit_tpu.backend.jax.optimization import (
+            DEFAULT_LAYER_FUSE_OPT_RULES,
+            DEFAULT_LAYER_SHATTER_OPT_RULES,
+            DEFAULT_PARAMETER_OPT_RULES,
+            OptimizationRuleRegistry,
+        )
+
+        self.layer_fuse_opt_rules = OptimizationRuleRegistry(DEFAULT_LAYER_FUSE_OPT_RULES)
+        self.layer_shatter_opt_rules = OptimizationRuleRegistry(DEFAULT_LAYER_SHATTER_OPT_RULES)
+        self.parameter_opt_rules = OptimizationRuleRegistry(DEFAULT_PARAMETER_OPT_RULES)
 
     @property
     def is_fold_enabled(self) -> bool:
@@ -118,6 +128,17 @@ class JaxCompiler(AbstractCompiler):
     @property
     def is_optimize_enabled(self) -> bool:
         return bool(self._flags["optimize"])
+
+    # -- optimization-rule registration (ref: ``optimization/registry.py:1-50``) --
+    def add_layer_optimization_rule(self, pattern, func, *, shatter: bool = False) -> None:
+        """Register a layer-graph rewrite; ``shatter=True`` runs it in the
+        shatter half of each optimization pass (before fusions)."""
+        registry = self.layer_shatter_opt_rules if shatter else self.layer_fuse_opt_rules
+        registry.add_rule(pattern, func)
+
+    def add_parameter_optimization_rule(self, pattern, func) -> None:
+        """Register a parameter-graph rewrite applied before layer rewrites."""
+        self.parameter_opt_rules.add_rule(pattern, func)
 
     # -- per-node compilation ----------------------------------------------------
     def compile_layer_node(self, sl: Layer) -> JaxLayer:

@@ -354,6 +354,30 @@ DEFAULT_LAYER_SHATTER_OPT_RULES: dict[LayerOptPattern, LayerOptApplyFunc] = {
 }
 
 
+class OptimizationRuleRegistry:
+    """A per-compiler pattern -> apply-function registry, user-extensible like
+    the compilation registries (ref: ``backend/torch/optimization/registry.py:
+    1-50``). Rules added later take precedence over earlier ones, so a
+    user-registered rule for an already-covered pattern overrides the default
+    and a rule for a new pattern is tried before the defaults."""
+
+    def __init__(self, defaults: Mapping[Any, Callable] | None = None) -> None:
+        self._rules: dict[Any, Callable] = dict(defaults or {})
+
+    def add_rule(self, pattern: Any, func: Callable) -> None:
+        rules = {pattern: func}
+        for p, f in self._rules.items():
+            if p is not pattern:
+                rules[p] = f
+        self._rules = rules
+
+    def items(self):
+        return self._rules.items()
+
+    def __len__(self) -> int:
+        return len(self._rules)
+
+
 # --------------------------------------------------------------------------- #
 # Rewrite drivers
 # --------------------------------------------------------------------------- #
@@ -394,11 +418,13 @@ def _rewrite_parameter_graph(
 def optimize_parameter_graphs(
     compiler: "JaxCompiler",
     layers: Sequence[JaxLayer],
-    rules: Mapping[ParameterOptPattern, ParameterOptApplyFunc] | None = None,
+    rules: Mapping[ParameterOptPattern, ParameterOptApplyFunc]
+    | OptimizationRuleRegistry
+    | None = None,
 ) -> bool:
     """Rewrite every layer's parameter graphs in place; True if any changed."""
     if rules is None:
-        rules = DEFAULT_PARAMETER_OPT_RULES
+        rules = getattr(compiler, "parameter_opt_rules", None) or DEFAULT_PARAMETER_OPT_RULES
     changed = False
     for layer in layers:
         for name in list(layer.params):
@@ -495,13 +521,18 @@ def optimize_layer_graph(
     in_layers = {l: list(ins) for l, ins in in_layers.items()}
     outputs = list(outputs)
 
+    shatter_rules = (
+        getattr(compiler, "layer_shatter_opt_rules", None) or DEFAULT_LAYER_SHATTER_OPT_RULES
+    )
+    fuse_rules = getattr(compiler, "layer_fuse_opt_rules", None) or DEFAULT_LAYER_FUSE_OPT_RULES
+
     optimize_parameter_graphs(compiler, layers)
     for _ in range(max_passes):
         layers, in_layers, outputs, shattered = _rewrite_layer_graph(
-            compiler, layers, in_layers, outputs, DEFAULT_LAYER_SHATTER_OPT_RULES
+            compiler, layers, in_layers, outputs, shatter_rules
         )
         layers, in_layers, outputs, fused = _rewrite_layer_graph(
-            compiler, layers, in_layers, outputs, DEFAULT_LAYER_FUSE_OPT_RULES
+            compiler, layers, in_layers, outputs, fuse_rules
         )
         if not (shattered or fused):
             break

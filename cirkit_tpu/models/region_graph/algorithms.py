@@ -439,6 +439,17 @@ def ChowLiuTree(
 def _maximum_spanning_tree(
     adj_matrix: np.ndarray, root: int | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
+    """Maximum spanning tree as a predecessor list rooted at ``root``.
+
+    Attribution: this is a direct numpy port of the reference's host-side MST
+    construction (``cirkit/templates/region_graph/algorithms/chow_liu.py:
+    84-106``), including its negate-and-shift trick for turning scipy's
+    minimum spanning tree into a maximum one over non-negative MI weights and
+    its eccentricity-minimizing root choice. The algorithm is the classic
+    Chow-Liu/HCLT recipe (Chow & Liu 1968; Liu & Van den Broeck 2021); it is
+    O(D^2) host-side scipy work with no TPU-first alternative, so it is kept
+    as a cited port rather than re-expressed.
+    """
     mst = sp.csgraph.minimum_spanning_tree(-(np.asarray(adj_matrix) + 1.0), overwrite=True)
     if root is None:
         dist = sp.csgraph.dijkstra(np.abs(mst.todense()), directed=False)
@@ -457,7 +468,17 @@ def _categorical_mutual_info(
     num_categories: int | None = None,
     chunk_size: int | None = None,
 ) -> np.ndarray:
-    """Pairwise MI of integer data with Laplace smoothing."""
+    """Pairwise MI of integer data with Laplace smoothing.
+
+    Attribution: a numpy port of the reference's torch implementation
+    (``cirkit/templates/region_graph/algorithms/chow_liu.py:109-151``) — the
+    chunked pairwise joint-count accumulation, the Laplace-correction
+    sequence (including the exact diagonal fix), and the
+    ``sum(p * (log p - log q))`` MI estimate follow it step for step. This is
+    host-side preprocessing for ChowLiuTree (runs once, on numpy, before any
+    circuit exists), so a TPU-first redesign does not apply; kept as a cited
+    port per the never-copy rule.
+    """
     n_samples, n_features = data.shape
     if num_categories is None:
         num_categories = int(data.max()) + 1

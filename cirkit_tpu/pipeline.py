@@ -93,6 +93,15 @@ class PipelineContext(AbstractContextManager):
     def add_initializer_compilation_rule(self, func: Callable) -> None:
         self._compiler.add_initializer_rule(func)
 
+    def add_layer_optimization_rule(self, pattern, func: Callable, *, shatter: bool = False) -> None:
+        """Register a layer-graph fusion/shatter rewrite with the backend
+        compiler (ref: ``backend/torch/optimization/registry.py:1-50``)."""
+        self._compiler.add_layer_optimization_rule(pattern, func, shatter=shatter)
+
+    def add_parameter_optimization_rule(self, pattern, func: Callable) -> None:
+        """Register a parameter-graph rewrite with the backend compiler."""
+        self._compiler.add_parameter_optimization_rule(pattern, func)
+
     # -- compilation + parameter store ----------------------------------------------
     def compile(self, sc: Circuit):
         """Compile a symbolic circuit and initialize its new parameters into

@@ -22,32 +22,35 @@ from cirkit_tpu.pipeline import PipelineContext
 from cirkit_tpu.utils.checkpoint import save_store
 
 
-def load_images(num_synthetic: int = 4096) -> np.ndarray:
+def load_images(side: int, num_synthetic: int = 4096) -> np.ndarray:
     path = os.environ.get("MNIST_NPZ")
-    if path and os.path.exists(path):
+    if path and os.path.exists(path) and side == 28:
         with np.load(path) as data:
             return data["x_train"].reshape(-1, 784).astype(np.int64)
     print("MNIST_NPZ not set; using synthetic images")
     rng = np.random.default_rng(0)
     # smooth-ish synthetic images so training has structure to find
-    base = rng.integers(0, 256, size=(num_synthetic, 28, 28))
-    return (base // 16 * 16).reshape(-1, 784).astype(np.int64)
+    base = rng.integers(0, 256, size=(num_synthetic, side, side))
+    return (base // 16 * 16).reshape(-1, side * side).astype(np.int64)
 
 
 def main() -> None:
+    side = int(os.environ.get("SIDE", "28"))
+    units = int(os.environ.get("UNITS", "64"))
+    num_epochs = int(os.environ.get("EPOCHS", "5"))
     symbolic = image_data(
-        (1, 28, 28),
+        (1, side, side),
         "quad-graph",
         input_layer="categorical",
-        num_input_units=64,
+        num_input_units=units,
         sum_product_layer="cp",
-        num_sum_units=64,
+        num_sum_units=units,
     )
     ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=True)
     circuit = ctx.compile(symbolic)
     print(f"compiled: {circuit.num_parameters():,} parameters")
 
-    images = load_images()
+    images = load_images(side)
     t0 = time.time()
     import optax
 
@@ -56,16 +59,17 @@ def main() -> None:
         images,
         store=ctx.parameters,
         batch_size=256,
-        num_epochs=5,
+        num_epochs=num_epochs,
         optimizer=optax.adam(0.01),
     )
     print(f"trained in {time.time() - t0:.1f}s; loss {losses[0]:.2f} -> {losses[-1]:.2f}")
-    bpd = losses[-1] / (784 * math.log(2.0))
+    bpd = losses[-1] / (side * side * math.log(2.0))
     print(f"train bits-per-dimension: {bpd:.3f}")
 
     ctx.update_parameters(store)
-    save_store("circuit_ckpt.npz", dict(store))
-    print("checkpoint saved to circuit_ckpt.npz")
+    ckpt = os.environ.get("CKPT", "circuit_ckpt.npz")
+    save_store(ckpt, dict(store))
+    print(f"checkpoint saved to {ckpt}")
 
 
 if __name__ == "__main__":

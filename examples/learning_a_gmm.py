@@ -9,6 +9,8 @@ responsibility via marginal queries.
 Run: python examples/learning_a_gmm.py
 """
 
+import os
+
 import numpy as np
 
 from cirkit_tpu.pipeline import PipelineContext
@@ -47,7 +49,7 @@ def main() -> None:
         data,
         store=ctx.parameters,
         batch_size=256,
-        num_epochs=60,
+        num_epochs=int(os.environ.get("EPOCHS", "60")),
         optimizer=optax.adam(5e-2),
     )
     ctx.update_parameters(store)

@@ -10,6 +10,7 @@ maximum likelihood. The converted circuit stays exactly normalized
 Run: python examples/learning_a_qpc.py
 """
 
+import os
 import time
 
 import jax
@@ -24,7 +25,9 @@ from cirkit_tpu.pipeline import PipelineContext
 
 
 def main() -> None:
-    side, units = 8, 16
+    side = int(os.environ.get("SIDE", "8"))
+    units = int(os.environ.get("UNITS", "16"))
+    num_steps = int(os.environ.get("STEPS", "50"))
     sc = image_data(
         (1, side, side),
         "quad-graph",
@@ -63,11 +66,11 @@ def main() -> None:
 
     params = qparams.net_params
     t0 = time.time()
-    for i in range(50):
+    for i in range(num_steps):
         params, opt_state, loss = step(params, opt_state)
         if i % 10 == 0:
             print(f"step {i:3d}  nll {float(loss):10.3f}")
-    print(f"50 steps in {time.time() - t0:.1f}s")
+    print(f"{num_steps} steps in {time.time() - t0:.1f}s")
 
     z = IntegrateQuery(qpc)(
         jnp.zeros((1, side * side)), integrate_vars=qpc.scope,

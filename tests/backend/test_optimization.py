@@ -158,3 +158,105 @@ def test_outer_product_reduce_einsum_fusion():
     want = (eval_circuit(sc1, worlds)[:, 0, 0] * eval_circuit(sc2, worlds)[:, 0, 0]).sum()
     got = float(np.asarray(cc(batch_size=1))[0, 0, 0])
     np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_user_registered_layer_optimization_rule():
+    """A user-registered fusion rule fires without touching package code and
+    takes precedence over the default rule for the same shape of pattern
+    (ref: ``backend/torch/optimization/registry.py:1-50``)."""
+    from cirkit_tpu.backend.jax.optimization import LayerOptPattern
+    from cirkit_tpu.backend.jax.layers import JaxHadamardLayer, JaxSumLayer
+    from cirkit_tpu.symbolic import CategoricalLayer, Circuit, HadamardLayer, SumLayer
+    from cirkit_tpu.utils import Scope
+    from tests.fixtures import const_param
+
+    class MarkedCPTLayer(JaxCPTLayer):
+        """Same semantics as the stock CP-T layer, distinct type."""
+
+    def apply_marked_candecomp(compiler, match):
+        dense, hadamard = match.entries
+        return (
+            MarkedCPTLayer(
+                hadamard.num_input_units,
+                dense.num_output_units,
+                hadamard.arity,
+                weight=dense.weight,
+                semiring=compiler.semiring,
+            ),
+        )
+
+    rng = np.random.default_rng(36)
+    probs = rng.uniform(0.1, 1.0, (2, 3, 2))
+    ins = [
+        CategoricalLayer(
+            Scope([v]), 3, num_categories=2,
+            probs=const_param(probs[v] / probs[v].sum(1, keepdims=True)),
+        )
+        for v in range(2)
+    ]
+    h = HadamardLayer(3, arity=2)
+    s = SumLayer(3, 2, weight=const_param(rng.uniform(0.1, 1.0, (2, 3))))
+    sc = Circuit(ins + [h, s], {h: ins, s: [h]}, [s])
+
+    pattern = LayerOptPattern(
+        entries=(JaxSumLayer, JaxHadamardLayer), configs=({"arity": 1}, {})
+    )
+    ctx = PipelineContext(semiring="sum-product", fold=True, optimize=True)
+    ctx.add_layer_optimization_rule(pattern, apply_marked_candecomp)
+    cc = ctx.compile(sc)
+    assert any(type(l) is MarkedCPTLayer for l in cc.layers)
+
+    worlds = enumerate_worlds(2, 2)
+    got = np.asarray(cc(worlds))[:, 0]
+    want = eval_circuit(sc, worlds)[:, 0]
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_user_registered_parameter_optimization_rule():
+    """A user parameter-graph rewrite fires: exp(log(w)) collapses to w."""
+    from cirkit_tpu.backend.jax import parameters as jp
+    from cirkit_tpu.backend.jax.optimization import ParameterOptPattern
+    from cirkit_tpu.symbolic import CategoricalLayer, Circuit, SumLayer
+    from cirkit_tpu.symbolic.parameters import (
+        ExpParameter, LogParameter, Parameter, TensorParameter,
+    )
+    from cirkit_tpu.symbolic.initializers import ConstantTensorInitializer
+    from cirkit_tpu.utils import Scope
+
+    rng = np.random.default_rng(37)
+    w = rng.uniform(0.1, 1.0, (2, 3))
+    leaf = TensorParameter(2, 3, initializer=ConstantTensorInitializer(w))
+    weight = Parameter.from_unary(
+        ExpParameter(leaf.shape), Parameter.from_unary(LogParameter(leaf.shape), leaf)
+    )
+    probs = rng.uniform(0.1, 1.0, (3, 2))
+    from tests.fixtures import const_param
+
+    x0 = CategoricalLayer(
+        Scope([0]), 3, num_categories=2,
+        probs=const_param(probs / probs.sum(1, keepdims=True)),
+    )
+    s = SumLayer(3, 2, weight=weight)
+    sc = Circuit([x0, s], {s: [x0]}, [s])
+
+    pattern = ParameterOptPattern(entries=(jp.JaxExpParameter, jp.JaxLogParameter))
+
+    def apply_exp_log_identity(compiler, match):
+        log_node = match.entries[1]
+        return (jp.JaxClampParameter(log_node.in_shapes[0], vmin=None, vmax=None),)
+
+    ctx = PipelineContext(semiring="sum-product", fold=True, optimize=True)
+    ctx.add_parameter_optimization_rule(pattern, apply_exp_log_identity)
+    cc = ctx.compile(sc)
+    kinds = {
+        type(node).__name__
+        for layer in cc.layers
+        for p in layer.params.values()
+        for node in p.nodes
+    }
+    assert "JaxExpParameter" not in kinds and "JaxLogParameter" not in kinds
+
+    worlds = enumerate_worlds(1, 2)
+    got = np.asarray(cc(worlds))[:, 0]
+    want = eval_circuit(sc, worlds)[:, 0]
+    np.testing.assert_allclose(got, want, rtol=1e-9)

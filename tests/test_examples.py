@@ -1,13 +1,30 @@
-"""Smoke-run the fast example scripts so they cannot bit-rot (the slower
-training examples are exercised manually / on-device)."""
+"""Smoke-run every example script at tiny shapes so none can bit-rot
+(VERDICT r1 item 9). Shapes/steps shrink via the examples' env knobs; each
+run must complete and print something."""
 
+import os
 import runpy
 
 import pytest
 
+# name -> env overrides that shrink it to smoke-test size
+EXAMPLES = {
+    "logic_wmc": {},
+    "sum_of_squares": {},
+    "compilation_options": {"UNITS": "4", "SIDE": "4"},
+    "compression_cp": {"STEPS": "300"},
+    "learning_a_gmm": {"EPOCHS": "12"},
+    "learning_a_circuit": {"SIDE": "4", "UNITS": "4", "EPOCHS": "1"},
+    "learning_a_qpc": {"SIDE": "4", "UNITS": "4", "STEPS": "4"},
+}
 
-@pytest.mark.parametrize("name", ["logic_wmc", "sum_of_squares"])
-def test_example_runs(name, capsys):
+
+@pytest.mark.parametrize("name", sorted(EXAMPLES))
+def test_example_runs(name, capsys, tmp_path, monkeypatch):
+    for k, v in EXAMPLES[name].items():
+        monkeypatch.setenv(k, v)
+    monkeypatch.setenv("CKPT", str(tmp_path / "ckpt.npz"))
+    monkeypatch.delenv("MNIST_NPZ", raising=False)
     runpy.run_path(f"examples/{name}.py", run_name="__main__")
     out = capsys.readouterr().out
     assert out.strip()
