@@ -38,7 +38,6 @@ class IntegrateQuery(Query):
                 f"but found {circuit.properties}"
             )
         self._circuit = circuit
-        self._jit_fn = None
 
     def __call__(
         self,
@@ -79,7 +78,11 @@ class IntegrateQuery(Query):
                 raise ValueError("No parameter store bound; pass store=...")
         store = cc.restrict_store(store)
 
-        if self._jit_fn is None:
+        # The jitted variant is cached on the circuit, not the query object:
+        # constructing a fresh IntegrateQuery(cc) must not pay a retrace
+        # (2-7 s per program on the remote-compile TPU backend).
+        fn = getattr(cc, "_integrate_jit", None)
+        if fn is None:
             def _run(st, xx, mk):
                 def layer_fn(layer: JaxLayer, s, xin):
                     out = layer(s, xin)
@@ -95,8 +98,9 @@ class IntegrateQuery(Query):
 
                 return cc.evaluate(st, xx, module_fn=layer_fn)
 
-            self._jit_fn = jax.jit(_run)
-        return self._jit_fn(store, jnp.asarray(x), mask)
+            fn = jax.jit(_run)
+            cc._integrate_jit = fn
+        return fn(store, jnp.asarray(x), mask)
 
     @staticmethod
     def scopes_to_mask(
@@ -130,7 +134,10 @@ class SamplingQuery(Query):
                 f"but found {circuit.properties}"
             )
         self._circuit = circuit
-        self._jit_cache: dict[int, object] = {}
+        # shared across query objects: one traced program per sample count
+        if not hasattr(circuit, "_sampling_jit"):
+            circuit._sampling_jit = {}
+        self._jit_cache: dict[int, object] = circuit._sampling_jit
 
     def __call__(
         self, num_samples: int = 1, *, key: jax.Array | None = None, store: Store | None = None

@@ -134,3 +134,60 @@ def test_tp_forward_gaussian_inputs():
     sharded, _ = shard_store_tp(cc, store, mesh)
     got = np.asarray(tp_forward(cc, mesh)(sharded, x))
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+# --------------------------------------------------------------------------- #
+# Gradient-level TP evidence (VERDICT r1 item 7): per-slot grads from the
+# TPxDP step must equal single-device jax.grad across topologies, sum-product
+# layers, mesh shapes, and circuits with non-shardable unit counts. Gradients
+# are extracted exactly via one SGD(lr=1) step: g = old - new.
+# --------------------------------------------------------------------------- #
+
+TP_GRAD_GRID = [
+    # (region graph, sum-product, units, mesh shape (data, model), optimize)
+    ("quad-graph", "tucker", 8, (4, 2), True),
+    ("quad-graph", "cp", 8, (2, 4), True),
+    ("quad-tree-2", "cp-t", 8, (2, 4), True),
+    ("quad-tree-4", "cp", 8, (1, 8), False),
+    # units=6 does not divide model=4: every slot stays replicated and the
+    # nested-pmean gradient branch is exercised end to end
+    ("random-binary-tree", "cp", 6, (2, 4), True),
+]
+
+
+@pytest.mark.parametrize("rg,sp,units,mesh_shape,optimize", TP_GRAD_GRID)
+def test_tp_gradients_match_single_device(rg, sp, units, mesh_shape, optimize):
+    sc = image_data(
+        (1, 4, 4),
+        rg,
+        input_layer="categorical",
+        num_input_units=units,
+        sum_product_layer=sp,
+        num_sum_units=units,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=optimize)
+    cc = ctx.compile(sc)
+    d, m = mesh_shape
+    mesh = Mesh(np.asarray(jax.devices()[: d * m]).reshape(d, m), ("data", "model"))
+    trainable, frozen = split_trainable(cc, ctx.parameters)
+    x = jnp.asarray(np.random.default_rng(7).integers(0, 256, size=(8, 16)))
+
+    def loss_single(tr):
+        return -jnp.mean(cc.evaluate({**tr, **frozen}, x))
+
+    g_ref = jax.grad(loss_single)(trainable)
+
+    tr_sh, _ = shard_store_tp(cc, trainable, mesh)
+    fr_sh, _ = shard_store_tp(cc, frozen, mesh)
+    opt = optax.sgd(1.0)
+    step = tp_train_step(cc, opt, mesh)
+    new_tr, _, _ = step(tr_sh, fr_sh, opt.init(tr_sh), x)
+    if units % m:
+        assert not tp_slot_specs(cc, m), "expected fully-replicated slots"
+
+    for k, g in g_ref.items():
+        got = np.asarray(trainable[k]) - np.asarray(new_tr[k])
+        np.testing.assert_allclose(
+            got, np.asarray(g), rtol=1e-8, atol=1e-12,
+            err_msg=f"slot {k} ({rg}/{sp}/units={units}/mesh={mesh_shape})",
+        )
