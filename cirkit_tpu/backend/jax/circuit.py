@@ -26,6 +26,11 @@ from cirkit_tpu.backend.jax.layers import (
 )
 from cirkit_tpu.backend.jax.parameters import JaxTensorSlot, Store
 from cirkit_tpu.backend.jax.semiring import Semiring
+
+tmap = jax.tree_util.tree_map
+"""Semiring values are pytrees (a bare array for most semirings, a
+(logmag, sign) pair for the signed one); every plan-level value operation
+maps over the leaves so the executor is representation-agnostic."""
 from cirkit_tpu.symbolic.circuit import StructuralProperties
 from cirkit_tpu.utils.scope import Scope
 
@@ -217,7 +222,7 @@ class JaxCircuit:
         queries (ref: ``graph/modules.py:303-335`` module_fn path).
         """
         out = self.evaluate_raw(store, x, batch_size=batch_size, module_fn=module_fn)
-        return jnp.transpose(out, (1, 0, 2))  # (B, O, K)
+        return tmap(lambda o: jnp.transpose(o, (1, 0, 2)), out)  # (B, O, K)
 
     def evaluate_raw(
         self,
@@ -265,21 +270,29 @@ class JaxCircuit:
                 cat = (
                     outs[entry.in_ids[0]]
                     if len(entry.in_ids) == 1
-                    else jnp.concatenate([outs[i] for i in entry.in_ids], axis=0)
+                    else tmap(
+                        lambda *a: jnp.concatenate(a, axis=0),
+                        *(outs[i] for i in entry.in_ids),
+                    )
                 )
                 if entry.fold_idx is None:
-                    xin = cat[:, None]  # identity gather -> unsqueeze arity axis
+                    xin = tmap(lambda c: c[:, None], cat)  # identity gather -> unsqueeze
                 else:
-                    xin = cat[entry.fold_idx]  # (F, H, B, K)
+                    xin = tmap(lambda c: c[entry.fold_idx], cat)  # (F, H, B, K)
                 y = fn(layer, store, xin)
             outs.append(y)
 
         cat = (
             outs[self._outputs.out_ids[0]]
             if len(self._outputs.out_ids) == 1
-            else jnp.concatenate([outs[i] for i in self._outputs.out_ids], axis=0)
+            else tmap(
+                lambda *a: jnp.concatenate(a, axis=0),
+                *(outs[i] for i in self._outputs.out_ids),
+            )
         )
-        return cat if self._outputs.fold_idx is None else cat[self._outputs.fold_idx]
+        if self._outputs.fold_idx is None:
+            return cat
+        return tmap(lambda c: c[self._outputs.fold_idx], cat)
 
     def __call__(self, *args, **kwargs) -> jnp.ndarray:
         """Jit-compiled forward: ``cc(store, x)``, or ``cc(x)`` using the

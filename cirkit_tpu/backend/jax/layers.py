@@ -36,6 +36,10 @@ from cirkit_tpu.backend.jax.semiring import (
     SumProductSemiring,
 )
 
+tmap = jax.tree_util.tree_map
+"""Value-space shape ops map over the semiring value's pytree leaves (a
+bare array, or a (logmag, sign) pair under the signed semiring)."""
+
 
 def softmax_logits_slot(param: JaxParameter) -> str | None:
     """If ``param`` is exactly ``TensorSlot -> Softmax(last axis)``, return
@@ -169,10 +173,13 @@ class JaxKroneckerLayer(JaxInnerLayer):
         return {"num_input_units": self.num_input_units, "arity": self.arity}
 
     def forward(self, store: Store, x) -> jnp.ndarray:
-        out = x[:, 0]  # (F, B, Ki)
+        out = tmap(lambda a: a[:, 0], x)  # (F, B, Ki)
         for h in range(1, self.arity):
-            out = self.semiring.mul(out[..., :, None], x[:, h][..., None, :])
-            out = out.reshape(out.shape[0], out.shape[1], -1)
+            out = self.semiring.mul(
+                tmap(lambda a: a[..., :, None], out),
+                tmap(lambda a: a[:, h][..., None, :], x),
+            )
+            out = tmap(lambda a: a.reshape(a.shape[0], a.shape[1], -1), out)
         return out
 
     def sample(self, store, key, x):
@@ -223,8 +230,11 @@ class JaxSumLayer(JaxInnerLayer):
         return {"weight": self.weight}
 
     def forward(self, store: Store, x) -> jnp.ndarray:
-        f, h, b, ki = x.shape
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(f, b, h * ki)
+        def flat(a):
+            f, h, b, ki = a.shape
+            return jnp.transpose(a, (0, 2, 1, 3)).reshape(f, b, h * ki)
+
+        x = tmap(flat, x)
         if self._logits_slot is not None:
             # Softmax-parameterized weights: fuse the normalization into the
             # contraction kernel instead of materializing (F, Ko, H*Ki) in HBM.
@@ -619,7 +629,9 @@ class JaxEvidenceLayer(JaxConstantInputLayer):
     def forward(self, store, batch_size: int):
         obs = self.observation(store)[:, None, :]  # (F, 1, D)
         out = self.layer.forward(store, obs)  # (F, 1, K)
-        return jnp.broadcast_to(out, (out.shape[0], batch_size, out.shape[2]))
+        return tmap(
+            lambda o: jnp.broadcast_to(o, (o.shape[0], batch_size, o.shape[2])), out
+        )
 
     def sample(self, store, key, num_samples):
         obs = self.observation(store)  # (F, 1)

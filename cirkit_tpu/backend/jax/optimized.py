@@ -16,7 +16,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from cirkit_tpu.backend.jax.layers import JaxInnerLayer, softmax_logits_slot
+from cirkit_tpu.backend.jax.layers import JaxInnerLayer, softmax_logits_slot, tmap
 from cirkit_tpu.backend.jax.parameters import JaxParameter, Store
 
 
@@ -65,14 +65,14 @@ class JaxTuckerLayer(JaxInnerLayer):
         if self.arity == 2:
             # The hot configuration: fused VMEM-resident Pallas contraction,
             # with softmax reparameterizations folded into the kernel.
+            x1 = tmap(lambda a: a[:, 0], x)
+            x2 = tmap(lambda a: a[:, 1], x)
             if self._logits_slot is not None:
-                return self.semiring.tucker2_softmax(
-                    x[:, 0], x[:, 1], store[self._logits_slot]
-                )
-            return self.semiring.tucker2(x[:, 0], x[:, 1], self.weight(store))
+                return self.semiring.tucker2_softmax(x1, x2, store[self._logits_slot])
+            return self.semiring.tucker2(x1, x2, self.weight(store))
         w = self.weight(store)  # (F, Ko, Ki^arity)
         w = w.reshape(-1, self.num_output_units, *(self.num_input_units,) * self.arity)
-        inputs = tuple(x[:, h] for h in range(self.arity))
+        inputs = tuple(tmap(lambda a, hh=h: a[:, hh], x) for h in range(self.arity))
         return self.semiring.einsum(
             self._einsum, inputs=inputs, operands=(w,), dim=-1, keepdim=True
         )
@@ -195,13 +195,17 @@ class JaxTensorDotLayer(JaxInnerLayer):
         return {"weight": self.weight}
 
     def forward(self, store: Store, x) -> jnp.ndarray:
-        x = x[:, 0]  # (F, B, Ki)
-        f, b, _ = x.shape
         kq = self._num_batch_units
-        x = x.reshape(f, b, self._num_contract_units, kq)
-        x = jnp.transpose(x, (0, 1, 3, 2))  # (F, B, Kq, Kj)
-        w = self.weight(store)  # (F, Kk, Kj)
+
+        def fold_in(a):
+            a = a[:, 0]  # (F, B, Ki)
+            f, b, _ = a.shape
+            a = a.reshape(f, b, self._num_contract_units, kq)
+            a = jnp.transpose(a, (0, 1, 3, 2))  # (F, B, Kq, Kj)
+            return a.reshape(f, b * kq, -1)
+
+        b = x.shape[2] if isinstance(x, jnp.ndarray) else x[0].shape[2]
         # Fold the Kq axis into the batch so the contraction hits the fused
         # semiring matmul path: (F, B*Kq, Kj) x (F, Kk, Kj) -> (F, B*Kq, Kk).
-        y = self.semiring.matmul(x.reshape(f, b * kq, -1), w)
-        return y.reshape(f, b, self.num_output_units)
+        y = self.semiring.matmul(tmap(fold_in, x), self.weight(store))
+        return tmap(lambda a: a.reshape(a.shape[0], b, self.num_output_units), y)

@@ -94,7 +94,11 @@ class IntegrateQuery(Query):
                         )
                     # mask gathered at the layer's scope: (B, F, 1) -> (F, B, 1)
                     m = jnp.transpose(mk[:, layer.scope_idx[:, 0]], (1, 0))[:, :, None]
-                    return jnp.where(m, layer.integrate(s)[:, None, :], out)
+                    return jax.tree_util.tree_map(
+                        lambda iz, o: jnp.where(m, iz[:, None, :], o),
+                        layer.integrate(s),
+                        out,
+                    )
 
                 return cc.evaluate(st, xx, module_fn=layer_fn)
 

@@ -20,13 +20,20 @@ from typing import ClassVar, Protocol
 import jax
 import jax.numpy as jnp
 
-from cirkit_tpu.backend.jax.utils import csafelog, default_real_dtype, to_complex_dtype
+from cirkit_tpu.backend.jax.utils import (
+    csafelog,
+    default_real_dtype,
+    safelog,
+    to_complex_dtype,
+)
 from cirkit_tpu.ops.lse_einsum import (
+    clse_matmul_parts,
     fallback_precision,
     lse_matmul,
     lse_matmul_softmax,
     lse_tucker2,
     lse_tucker2_softmax,
+    slse_dispatch,
 )
 
 Semiring = type["SemiringImpl"]
@@ -342,6 +349,163 @@ class ComplexLSESumSemiring(SemiringImpl):
             shift = shift.squeeze(dim)
         return csafelog(out) + shift
 
+    @classmethod
+    def matmul(cls, x, w):
+        # Fused split-real Pallas kernel on TPU complex64: the max-shifted
+        # complex contraction runs in VMEM; only the csafelog epilogue (log
+        # magnitude + phase — Mosaic has no atan2) stays in XLA.
+        x = cls.cast(x)
+        parts = clse_matmul_parts(x, cls.cast(w))
+        if parts is not None:
+            yr, yi, m = parts
+            return csafelog(jax.lax.complex(yr, yi)) + m
+        return super().matmul(x, w)
+
+    @classmethod
+    def tucker2(cls, x1, x2, w):
+        # The complex Tucker contraction routes through the matmul kernel via
+        # the log-space outer *sum* (complex adds are cheap; the linear-space
+        # outer product the XLA fallback materializes is what the kernel
+        # avoids). Falls back when the kernel declines the shape.
+        x1, x2 = cls.cast(x1), cls.cast(x2)
+        f, b, k1 = x1.shape
+        k2 = x2.shape[-1]
+        x12 = (x1[:, :, :, None] + x2[:, :, None, :]).reshape(f, b, k1 * k2)
+        parts = clse_matmul_parts(x12, cls.cast(w))
+        if parts is not None:
+            yr, yi, m = parts
+            return csafelog(jax.lax.complex(yr, yi)) + m
+        return super().tucker2(x1, x2, w)
+
+
+@SemiringImpl.register("signed-lse-sum")
+class SignedLSESemiring(SemiringImpl):
+    """Signed log-space evaluation: values are ``(log|f|, sign)`` pairs of
+    real arrays (sign in {-1, 0, +1}).
+
+    A TPU-native alternative to :class:`ComplexLSESumSemiring` for circuits
+    whose *parameters* are real but whose values may go negative — squared /
+    sum-of-squares circuits, differentials, polynomials (the reference
+    evaluates these under its complex semiring,
+    ``backend/torch/semiring.py:411-476``). When every parameter is real the
+    phase of any circuit value is 0 or pi, so carrying a sign is exact — and
+    the whole program stays in f32, which XLA maps onto the MXU (complex64
+    programs do not even compile on some TPU runtimes). Gradients of the
+    sign component are zero (it is piecewise constant); magnitudes use
+    :func:`safelog` so exact cancellations to 0 produce zeroed gradients
+    like the reference's ``ComplexSafeLog``.
+    """
+
+    @classmethod
+    def cast(cls, x: jnp.ndarray) -> jnp.ndarray:
+        if jnp.issubdtype(x.dtype, jnp.complexfloating):
+            raise ValueError(
+                "The signed semiring supports only real parameters; compile "
+                "complex-parameterized circuits under 'complex-lse-sum'"
+            )
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x
+        return x.astype(default_real_dtype())
+
+    @staticmethod
+    def _from_linear(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        return safelog(jnp.abs(v)), jnp.sign(v)
+
+    @classmethod
+    def sum(cls, x, dim, *, keepdim=False):
+        a, s = x
+        m = _finfo_clamp(jnp.max(a, axis=dim, keepdims=True))
+        v = jnp.sum(s * jnp.exp(a - m), axis=dim, keepdims=keepdim)
+        a_out, s_out = cls._from_linear(v)
+        return a_out + (m if keepdim else m.squeeze(dim)), s_out
+
+    @classmethod
+    def add(cls, *xs):
+        def _signed_logaddexp(x, y):
+            (a1, s1), (a2, s2) = x, y
+            m = _finfo_clamp(jnp.maximum(a1, a2))
+            v = s1 * jnp.exp(a1 - m) + s2 * jnp.exp(a2 - m)
+            a_out, s_out = cls._from_linear(v)
+            return a_out + m, s_out
+
+        return reduce(_signed_logaddexp, xs)
+
+    @classmethod
+    def prod(cls, x, dim, *, keepdim=False):
+        a, s = x
+        return a.sum(axis=dim, keepdims=keepdim), s.prod(axis=dim, keepdims=keepdim)
+
+    @classmethod
+    def mul(cls, *xs):
+        return (
+            reduce(jnp.add, (a for a, _ in xs)),
+            reduce(jnp.multiply, (s for _, s in xs)),
+        )
+
+    @classmethod
+    def apply_reduce(cls, func, *xs, dim, keepdim):
+        maxs = [_finfo_clamp(jnp.max(a, axis=dim, keepdims=True)) for a, _ in xs]
+        exps = [s * jnp.exp(a - m) for (a, s), m in zip(xs, maxs)]
+        out = func(*exps)
+        shift = reduce(jnp.add, maxs)
+        if not keepdim:
+            shift = shift.squeeze(dim)
+        a_out, s_out = cls._from_linear(out)
+        return a_out + shift, s_out
+
+    @classmethod
+    def matmul(cls, x, w):
+        a, s = x
+        w = cls.cast(w)
+        out = slse_dispatch((a, s), w, softmax=False, tucker=False)
+        if out is not None:
+            return out
+        m = _clamp_max_last(a)
+        y = jnp.einsum("fbi,foi->fbo", s * jnp.exp(a - m), w, precision=fallback_precision())
+        a_out, s_out = cls._from_linear(y)
+        return a_out + m, s_out
+
+    @classmethod
+    def matmul_softmax(cls, x, theta):
+        out = slse_dispatch(tuple(x), cls.cast(theta), softmax=True, tucker=False)
+        if out is not None:
+            return out
+        return cls.matmul(x, jax.nn.softmax(theta, axis=-1))
+
+    @classmethod
+    def tucker2(cls, x1, x2, w):
+        (a1, s1), (a2, s2) = x1, x2
+        w = cls.cast(w)
+        out = slse_dispatch((a1, s1, a2, s2), w, softmax=False, tucker=True)
+        if out is not None:
+            return out
+        k1, k2 = a1.shape[-1], a2.shape[-1]
+        w = w.reshape(w.shape[0], w.shape[1], k1, k2)
+        m1, m2 = _clamp_max_last(a1), _clamp_max_last(a2)
+        y = jnp.einsum(
+            "fbi,fbj,foij->fbo",
+            s1 * jnp.exp(a1 - m1),
+            s2 * jnp.exp(a2 - m2),
+            w,
+            precision=fallback_precision(),
+        )
+        a_out, s_out = cls._from_linear(y)
+        return a_out + m1 + m2, s_out
+
+    @classmethod
+    def tucker2_softmax(cls, x1, x2, theta):
+        out = slse_dispatch(
+            tuple(x1) + tuple(x2), cls.cast(theta), softmax=True, tucker=True
+        )
+        if out is not None:
+            return out
+        return cls.tucker2(x1, x2, jax.nn.softmax(theta, axis=-1))
+
+
+def _clamp_max_last(x: jnp.ndarray) -> jnp.ndarray:
+    info = jnp.finfo(x.dtype)
+    return jnp.clip(jnp.max(x, axis=-1, keepdims=True), info.min, info.max)
+
 
 @SumProductSemiring.register_map_from(LSESumSemiring)
 def _lse_to_linear(x: jnp.ndarray) -> jnp.ndarray:
@@ -372,3 +536,39 @@ def _linear_to_clse(x: jnp.ndarray) -> jnp.ndarray:
 @ComplexLSESumSemiring.register_map_from(LSESumSemiring)
 def _lse_to_clse(x: jnp.ndarray) -> jnp.ndarray:
     return ComplexLSESumSemiring.cast(x)
+
+
+@SignedLSESemiring.register_map_from(LSESumSemiring)
+def _lse_to_signed(x: jnp.ndarray):
+    return x, jnp.ones_like(x)
+
+
+@SignedLSESemiring.register_map_from(SumProductSemiring)
+def _linear_to_signed(x: jnp.ndarray):
+    return SignedLSESemiring._from_linear(SignedLSESemiring.cast(x))
+
+
+@LSESumSemiring.register_map_from(SignedLSESemiring)
+def _signed_to_lse(x) -> jnp.ndarray:
+    # Like the complex->lse morphism (take the real part of the log), the
+    # sign is assumed non-negative at the conversion point.
+    return x[0]
+
+
+@SumProductSemiring.register_map_from(SignedLSESemiring)
+def _signed_to_linear(x) -> jnp.ndarray:
+    return x[1] * jnp.exp(x[0])
+
+
+@ComplexLSESumSemiring.register_map_from(SignedLSESemiring)
+def _signed_to_clse(x) -> jnp.ndarray:
+    a, s = x
+    z = ComplexLSESumSemiring.cast(a)
+    # phase 0 for non-negative values, pi for negative ones
+    return z + 1j * jnp.pi * (s < 0).astype(a.dtype)
+
+
+@SignedLSESemiring.register_map_from(ComplexLSESumSemiring)
+def _clse_to_signed(x: jnp.ndarray):
+    # valid when the phase is (numerically) 0 or pi — real-valued circuits
+    return x.real, jnp.sign(jnp.cos(x.imag))

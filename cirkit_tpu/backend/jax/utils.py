@@ -65,9 +65,12 @@ def _csafelog_fwd(x):
 
 def _csafelog_bwd(res, g):
     (x,) = res
-    # JAX's VJP convention for C->C functions: cotangent * conj(df/dz).
-    # d(log z)/dz = 1/z, so the incoming cotangent is scaled by conj(1/z).
-    grad = g * jnp.conj(1.0 / x)
+    # JAX's VJP rule for holomorphic primitives is plain ct * df/dz — the
+    # conjugation of torch's convention (ref ``utils.py:47`` uses
+    # grad / x.conj()) is already folded into how JAX represents complex
+    # cotangents, so adding another conj here would flip the imaginary part
+    # of every gradient (verified against jax.vjp(jnp.log)).
+    grad = g / x
     grad = jnp.where(jnp.isfinite(grad.real) & jnp.isfinite(grad.imag), grad, 0.0 + 0.0j)
     return (grad,)
 

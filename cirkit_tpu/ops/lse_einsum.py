@@ -157,6 +157,16 @@ def _dot3(a: jnp.ndarray, b: jnp.ndarray, dims, *, fast: bool) -> jnp.ndarray:
     ah, al = _split(a)
     bh, bl = _split(b)
     m, n = a.shape[af], b.shape[bf]
+    k = a.shape[ka]
+    if 3 * k <= 128:
+        # the contraction axis underfills the 128 MXU lanes 3x over: packing
+        # [ah|al|ah] against [bh|bh|bl] along it computes ALL three split
+        # terms in one pass at the cycles of the single half-filled dot
+        return _dot1(
+            jnp.concatenate([ah, al, ah], axis=ka),
+            jnp.concatenate([bh, bh, bl], axis=kb),
+            dims,
+        )
     if n <= 64:
         # doubling n stays within one 128-lane tile: all three cross terms
         # cost the cycles of a single half-width dot
@@ -166,6 +176,15 @@ def _dot3(a: jnp.ndarray, b: jnp.ndarray, dims, *, fast: bool) -> jnp.ndarray:
             dims,
         )
         return d[:m, :n] + d[:m, n:] + d[m:, :n]
+    if 2 * k <= 128:
+        # K-pack the two bh terms (the contraction lanes were idle anyway):
+        # two passes of m rows instead of three
+        d = _dot1(
+            jnp.concatenate([ah, al], axis=ka),
+            jnp.concatenate([bh, bh], axis=kb),
+            dims,
+        )
+        return d + _dot1(ah, bl, dims)
     # n already fills the lanes: doubling it would add real cycles for the
     # discarded lo@lo quadrant; pack only the two bh terms along rows
     d = _dot1(jnp.concatenate([ah, al], axis=af), bh, dims)
@@ -190,13 +209,21 @@ def _mod_selector(k1: int, k2: int) -> jnp.ndarray:
 
 def _repeat_each(e1: jnp.ndarray, k2: int, *, fast: bool) -> jnp.ndarray:
     """(BT, K1) -> (BT, K1*K2) with column i*K2+j = e1[:, i], via selection
-    matmul; the selector is exact in bf16 so a 2-term split of e1 suffices
-    (packed into one matmul along the row axis)."""
+    matmul; the selector is exact in bf16 so a 2-term split of e1 suffices.
+    When 2*K1 fits the 128 contraction lanes, the split packs along the
+    contraction axis ([hi|lo] against a stacked selector) and costs a single
+    BT-row pass; otherwise it packs along the rows (2*BT)."""
     k1 = e1.shape[1]
     s = _repeat_selector(k1, k2)
     if fast:
         return _dot1(e1.astype(jnp.bfloat16), s, ((1,), (0,)))
     hi, lo = _split(e1)
+    if 2 * k1 <= 128:
+        return _dot1(
+            jnp.concatenate([hi, lo], axis=1),
+            jnp.concatenate([s, s], axis=0),
+            ((1,), (0,)),
+        )
     bt = e1.shape[0]
     d = _dot1(jnp.concatenate([hi, lo], axis=0), s, ((1,), (0,)))
     return d[:bt] + d[bt:]
@@ -574,6 +601,358 @@ def _dispatch_blocked(x, w, *, interpret: bool | None):
         w = jnp.pad(w, ((0, 0), (0, 0), (0, ip - i)))
     out = _blocked_p(cfg, x, w)
     return out[:, :b] if bp != b else out
+
+
+# --------------------------------------------------------------------------- #
+# Signed log-einsum-exp (SoS / squared circuits with real parameters)
+# --------------------------------------------------------------------------- #
+# The signed semiring carries values as (log|f|, sign) pairs of real arrays,
+# so squared circuits run entirely in f32 (complex64 programs do not even
+# compile on some TPU runtimes). These kernels mirror the real lse kernels
+# with the sign folded into the shifted exponentials: e = sign * exp(a - m)
+# streams through the same packed bf16x3 dots, and the log|y| / sign(y)
+# epilogue stays in VMEM. The sign output is piecewise constant, so its
+# cotangent is dropped in the backward — matching jnp.sign's zero VJP in the
+# XLA fallback (``backend/jax/semiring.py`` SignedLSESemiring).
+
+
+def _s_fwd_kernel(cfg: _Cfg, *refs):
+    if cfg.tucker:
+        a1_ref, s1_ref, a2_ref, s2_ref, w_ref, oa_ref, os_ref = refs
+        (e1, e2), shift = _shifted_exp((a1_ref[0], a2_ref[0]))
+        e1 = e1 * s1_ref[0]
+        e2 = e2 * s2_ref[0]
+        e1r = _repeat_each(e1, e2.shape[1], fast=cfg.fast)
+        e = e1r * pltpu.repeat(e2, e1.shape[1], axis=1)  # (BT, K1*K2)
+    else:
+        a_ref, s_ref, w_ref, oa_ref, os_ref = refs
+        (e,), shift = _shifted_exp((a_ref[0],))
+        e = e * s_ref[0]
+    w = _softmax_rows(w_ref[0]) if cfg.softmax else w_ref[0]
+    y = _dot3(e, w, ((1,), (1,)), fast=cfg.fast)
+    oa_ref[0] = jnp.log(jnp.abs(y)) + shift
+    os_ref[0] = jnp.sign(y)
+
+
+def _s_bwd_kernel(cfg: _Cfg, *refs):
+    if cfg.tucker:
+        (a1_ref, s1_ref, a2_ref, s2_ref, w_ref, oa_ref, os_ref, g_ref,
+         da1_ref, ds1_ref, da2_ref, ds2_ref, dw_ref) = refs
+        es, shift = _shifted_exp((a1_ref[0], a2_ref[0]))
+        signs = (s1_ref[0], s2_ref[0])
+        es = tuple(e * s for e, s in zip(es, signs))
+    else:
+        a_ref, s_ref, w_ref, oa_ref, os_ref, g_ref, da_ref, ds_ref, dw_ref = refs
+        es, shift = _shifted_exp((a_ref[0],))
+        signs = (s_ref[0],)
+        es = (es[0] * signs[0],)
+    bt_i = pl.program_id(1)
+    w = _softmax_rows(w_ref[0]) if cfg.softmax else w_ref[0]
+    # dL/dy = g / y = g * sign(y) * exp(shift - log|y|), zeroed when not finite
+    gy = g_ref[0] * os_ref[0] * jnp.exp(shift - oa_ref[0])
+    gy = jnp.where(jnp.isfinite(gy), gy, 0.0)
+    sdot = _dot3(gy, w, ((1,), (0,)), fast=cfg.fast)  # dL/de: (BT, I)
+    if cfg.tucker:
+        e1, e2 = es
+        k1, k2 = e1.shape[1], e2.shape[1]
+        e1r = _repeat_each(e1, k2, fast=cfg.fast)
+        e2t = pltpu.repeat(e2, k1, axis=1)
+        e = e1r * e2t
+        d1 = _seg_dot(sdot * e2t, _repeat_selector(k1, k2), ((1,), (1,)), fast=cfg.fast)
+        d2 = _seg_dot(sdot * e1r, _mod_selector(k1, k2), ((1,), (0,)), fast=cfg.fast)
+        da1_ref[0] = e1 * d1
+        ds1_ref[0] = e1 * signs[0] * d1  # = exp(a1 - m1) * dL/de1
+        da2_ref[0] = e2 * d2
+        ds2_ref[0] = e2 * signs[1] * d2
+    else:
+        (e,) = es
+        da_ref[0] = e * sdot
+        ds_ref[0] = e * signs[0] * sdot
+    dwt = _dot3(gy, e, ((0,), (0,)), fast=cfg.fast)
+
+    @pl.when(bt_i == 0)
+    def _():
+        dw_ref[0] = dwt
+
+    @pl.when(bt_i > 0)
+    def _():
+        dw_ref[0] += dwt
+
+    if cfg.softmax:
+        @pl.when(bt_i == cfg.nbt - 1)
+        def _():
+            acc = dw_ref[0]
+            dw_ref[0] = w * (acc - jnp.sum(w * acc, axis=-1, keepdims=True))
+
+
+def _s_call_fwd(cfg: _Cfg, xs, w):
+    # xs: flat (a1, s1[, a2, s2]) tuple
+    f, b = xs[0].shape[:2]
+    o, i = w.shape[1:]
+    return pl.pallas_call(
+        functools.partial(_s_fwd_kernel, cfg),
+        grid=(f, cfg.nbt),
+        in_specs=[_x_spec(cfg.bt, x.shape[2]) for x in xs] + [_w_spec(o, i)],
+        out_specs=[_x_spec(cfg.bt, o), _x_spec(cfg.bt, o)],
+        out_shape=[
+            jax.ShapeDtypeStruct((f, b, o), xs[0].dtype),
+            jax.ShapeDtypeStruct((f, b, o), xs[0].dtype),
+        ],
+        interpret=cfg.interpret,
+    )(*xs, w)
+
+
+def _s_call_bwd(cfg: _Cfg, xs, w, oa, os_, g):
+    f, b = xs[0].shape[:2]
+    o, i = w.shape[1:]
+    return pl.pallas_call(
+        functools.partial(_s_bwd_kernel, cfg),
+        grid=(f, cfg.nbt),
+        in_specs=[_x_spec(cfg.bt, x.shape[2]) for x in xs]
+        + [_w_spec(o, i), _x_spec(cfg.bt, o), _x_spec(cfg.bt, o), _x_spec(cfg.bt, o)],
+        out_specs=[_x_spec(cfg.bt, x.shape[2]) for x in xs] + [_w_spec(o, i)],
+        out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype) for x in xs]
+        + [jax.ShapeDtypeStruct(w.shape, w.dtype)],
+        interpret=cfg.interpret,
+    )(*xs, w, oa, os_, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _sfused_p(cfg: _Cfg, xs, w):
+    return _s_call_fwd(cfg, xs, w)
+
+
+def _sfused_p_fwd(cfg: _Cfg, xs, w):
+    oa, os_ = _s_call_fwd(cfg, xs, w)
+    return (oa, os_), (xs, w, oa, os_)
+
+
+def _sfused_p_bwd(cfg: _Cfg, res, gs):
+    xs, w, oa, os_ = res
+    g, _gs = gs  # the sign output is piecewise constant: cotangent dropped
+    grads = _s_call_bwd(cfg, xs, w, oa, os_, g)
+    return tuple(grads[:-1]), grads[-1]
+
+
+_sfused_p.defvjp(_sfused_p_fwd, _sfused_p_bwd)
+
+
+def slse_dispatch(xs, w, *, softmax: bool, tucker: bool, interpret: bool | None = None):
+    """Signed-kernel dispatch: ``xs`` is the flat (a1, s1[, a2, s2]) operand
+    tuple; returns the (log|out|, sign) pair or None when the kernel does not
+    apply (callers fall back to the XLA composition)."""
+    if not _pallas_enabled():
+        return None
+    if any(x.dtype != jnp.float32 for x in xs) or w.dtype != jnp.float32:
+        return None
+    f, b = xs[0].shape[:2]
+    o, i = w.shape[1:]
+    if o < 8:
+        return None
+    widths = [x.shape[2] for x in xs]
+    bt = min(256, _round_up(b, 8))
+    while True:
+        work = bt * (2 * o + 2 * sum(widths)) + (o + 1) * i
+        if tucker:
+            work += (4 * bt + widths[0]) * i
+        else:
+            work += 2 * bt * i
+        if 4 * work <= _VMEM_BUDGET or bt <= 8:
+            break
+        bt = max(8, bt // 2)
+    if 4 * work > _VMEM_BUDGET:
+        return None
+    interpret = _interpret_default() if interpret is None else interpret
+    bp = _round_up(b, bt)
+    cfg = _Cfg(
+        bt=bt, nbt=bp // bt, interpret=interpret, fast=_fast_mode(),
+        softmax=softmax, tucker=tucker,
+    )
+    if bp != b:
+        pad = jnp.finfo(xs[0].dtype).min
+        padded = []
+        for j, x in enumerate(xs):
+            cv = pad if j % 2 == 0 else 1.0  # logmag pads to -max, sign to +1
+            padded.append(jnp.pad(x, ((0, 0), (0, bp - b), (0, 0)), constant_values=cv))
+        xs = tuple(padded)
+    oa, os_ = _sfused_p(cfg, xs, w)
+    if bp != b:
+        oa, os_ = oa[:, :b], os_[:, :b]
+    return oa, os_
+
+
+# --------------------------------------------------------------------------- #
+# Complex log-einsum-exp (SoS / squared circuits)
+# --------------------------------------------------------------------------- #
+# Complex log-space values z = a + ib contract as exp(z) = exp(a)(cos b +
+# i sin b) (ref semantics: ``backend/torch/semiring.py:411-476``). The kernel
+# computes the max-shifted *linear-space* complex product y = exp(z - m) @ w^T
+# in split-real form entirely in VMEM. The real/imaginary parts of each
+# operand are packed along the contraction axis, so yr and yi each cost ONE
+# fully-contraction-filled matmul instead of two half-filled ones. Mosaic has
+# no atan2 lowering, so the csafelog epilogue (log magnitude + phase) runs
+# outside the kernel — an elementwise op on the small (F, B, O) output that
+# XLA fuses — and the max shift m is returned as a constant third output:
+# its gradient contributions cancel exactly, as in the real kernels.
+
+
+def _c_fwd_kernel(cfg: _Cfg, xr_ref, xi_ref, wr_ref, wi_ref, yr_ref, yi_ref, m_ref):
+    xr, xi = xr_ref[0], xi_ref[0]
+    m = _clamp_max(xr)
+    ea = jnp.exp(xr - m)
+    er = ea * jnp.cos(xi)
+    ei = ea * jnp.sin(xi)
+    e2 = jnp.concatenate([er, ei], axis=1)  # (BT, 2I)
+    wr, wi = wr_ref[0], wi_ref[0]
+    # yr = er@wr^T - ei@wi^T and yi = er@wi^T + ei@wr^T, one packed dot each
+    yr_ref[0] = _dot3(e2, jnp.concatenate([wr, -wi], axis=1), ((1,), (1,)), fast=cfg.fast)
+    yi_ref[0] = _dot3(e2, jnp.concatenate([wi, wr], axis=1), ((1,), (1,)), fast=cfg.fast)
+    m_ref[0] = m
+
+
+def _c_bwd_kernel(
+    cfg: _Cfg, xr_ref, xi_ref, wr_ref, wi_ref, m_ref, gyr_ref, gyi_ref,
+    dxr_ref, dxi_ref, dwr_ref, dwi_ref,
+):
+    bt_i = pl.program_id(1)
+    xr, xi = xr_ref[0], xi_ref[0]
+    ea = jnp.exp(xr - m_ref[0])
+    er = ea * jnp.cos(xi)
+    ei = ea * jnp.sin(xi)
+    wr, wi = wr_ref[0], wi_ref[0]
+    gyr = jnp.where(jnp.isfinite(gyr_ref[0]), gyr_ref[0], 0.0)
+    gyi = jnp.where(jnp.isfinite(gyi_ref[0]), gyi_ref[0], 0.0)
+    g2 = jnp.concatenate([gyr, gyi], axis=1)  # (BT, 2O)
+    # dL/der = gyr@wr + gyi@wi ; dL/dei = gyi@wr - gyr@wi (contraction over O)
+    der = _dot3(g2, jnp.concatenate([wr, wi], axis=0), ((1,), (0,)), fast=cfg.fast)
+    dei = _dot3(g2, jnp.concatenate([-wi, wr], axis=0), ((1,), (0,)), fast=cfg.fast)
+    # z = a + ib: de/da = e, der/db = -ei, dei/db = er
+    dxr_ref[0] = er * der + ei * dei
+    dxi_ref[0] = er * dei - ei * der
+    et = jnp.concatenate([er, ei], axis=0)  # (2BT, I)
+    dwrt = _dot3(jnp.concatenate([gyr, gyi], axis=0), et, ((0,), (0,)), fast=cfg.fast)
+    dwit = _dot3(jnp.concatenate([gyi, -gyr], axis=0), et, ((0,), (0,)), fast=cfg.fast)
+
+    @pl.when(bt_i == 0)
+    def _():
+        dwr_ref[0] = dwrt
+        dwi_ref[0] = dwit
+
+    @pl.when(bt_i > 0)
+    def _():
+        dwr_ref[0] += dwrt
+        dwi_ref[0] += dwit
+
+
+def _m_spec(bt):
+    return _vspec((1, bt, 1), lambda fi, bi: (fi, bi, 0))
+
+
+def _c_call_fwd(cfg: _Cfg, xr, xi, wr, wi):
+    f, b = xr.shape[:2]
+    o, i = wr.shape[1:]
+    return pl.pallas_call(
+        functools.partial(_c_fwd_kernel, cfg),
+        grid=(f, cfg.nbt),
+        in_specs=[_x_spec(cfg.bt, i), _x_spec(cfg.bt, i), _w_spec(o, i), _w_spec(o, i)],
+        out_specs=[_x_spec(cfg.bt, o), _x_spec(cfg.bt, o), _m_spec(cfg.bt)],
+        out_shape=[
+            jax.ShapeDtypeStruct((f, b, o), xr.dtype),
+            jax.ShapeDtypeStruct((f, b, o), xr.dtype),
+            jax.ShapeDtypeStruct((f, b, 1), xr.dtype),
+        ],
+        interpret=cfg.interpret,
+    )(xr, xi, wr, wi)
+
+
+def _c_call_bwd(cfg: _Cfg, xr, xi, wr, wi, m, gyr, gyi):
+    f, b = xr.shape[:2]
+    o, i = wr.shape[1:]
+    return pl.pallas_call(
+        functools.partial(_c_bwd_kernel, cfg),
+        grid=(f, cfg.nbt),
+        in_specs=[
+            _x_spec(cfg.bt, i), _x_spec(cfg.bt, i),
+            _w_spec(o, i), _w_spec(o, i), _m_spec(cfg.bt),
+            _x_spec(cfg.bt, o), _x_spec(cfg.bt, o),
+        ],
+        out_specs=[
+            _x_spec(cfg.bt, i), _x_spec(cfg.bt, i), _w_spec(o, i), _w_spec(o, i)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(xr.shape, xr.dtype),
+            jax.ShapeDtypeStruct(xi.shape, xi.dtype),
+            jax.ShapeDtypeStruct(wr.shape, wr.dtype),
+            jax.ShapeDtypeStruct(wi.shape, wi.dtype),
+        ],
+        interpret=cfg.interpret,
+    )(xr, xi, wr, wi, m, gyr, gyi)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _cfused_p(cfg: _Cfg, xr, xi, wr, wi):
+    return _c_call_fwd(cfg, xr, xi, wr, wi)
+
+
+def _cfused_p_fwd(cfg: _Cfg, xr, xi, wr, wi):
+    yr, yi, m = _c_call_fwd(cfg, xr, xi, wr, wi)
+    return (yr, yi, m), (xr, xi, wr, wi, m)
+
+
+def _cfused_p_bwd(cfg: _Cfg, res, gs):
+    xr, xi, wr, wi, m = res
+    gyr, gyi, _gm = gs  # the shift output is a constant: its cotangent drops
+    return _c_call_bwd(cfg, xr, xi, wr, wi, m, gyr, gyi)
+
+
+_cfused_p.defvjp(_cfused_p_fwd, _cfused_p_bwd)
+
+
+def clse_matmul_parts(
+    x: jnp.ndarray, w: jnp.ndarray, *, interpret: bool | None = None
+):
+    """The fused complex lse matmul, in parts — or None off the kernel path.
+
+    ``x``: (F, B, I) complex log-space values; ``w``: (F, O, I) complex
+    linear-space weights. Returns ``(yr, yi, m)`` real arrays such that
+    ``csafelog(yr + 1j*yi) + m`` equals the complex log-einsum-exp
+    ``"fbi,foi->fbo"`` (the caller applies that epilogue; Mosaic cannot
+    lower atan2). Returns None when the kernel does not apply (off-TPU,
+    non-complex64, or VMEM overflow) — callers fall back to XLA.
+    """
+    if not _pallas_enabled():
+        return None
+    if x.dtype != jnp.complex64 or w.dtype != jnp.complex64:
+        return None
+    f, b = x.shape[:2]
+    o, i = w.shape[1:]
+    if o < 8:
+        return None
+    bt = min(256, _round_up(b, 8))
+    while True:
+        # split-real working set: x tiles + packed e/grads + two packed w copies
+        work = bt * (4 * o + 6 * i + 1) + 6 * o * i
+        if 4 * work <= _VMEM_BUDGET or bt <= 8:
+            break
+        bt = max(8, bt // 2)
+    if 4 * work > _VMEM_BUDGET:
+        return None
+    interpret = _interpret_default() if interpret is None else interpret
+    bp = _round_up(b, bt)
+    cfg = _Cfg(
+        bt=bt, nbt=bp // bt, interpret=interpret, fast=_fast_mode(),
+        softmax=False, tucker=False,
+    )
+    xr, xi = jnp.real(x), jnp.imag(x)
+    wr, wi = jnp.real(w), jnp.imag(w)
+    if bp != b:
+        pad = jnp.finfo(xr.dtype).min
+        xr = jnp.pad(xr, ((0, 0), (0, bp - b), (0, 0)), constant_values=pad)
+        xi = jnp.pad(xi, ((0, 0), (0, bp - b), (0, 0)))
+    yr, yi, m = _cfused_p(cfg, xr, xi, wr, wi)
+    if bp != b:
+        yr, yi, m = yr[:, :b], yi[:, :b], m[:, :b]
+    return yr, yi, m
 
 
 # --------------------------------------------------------------------------- #

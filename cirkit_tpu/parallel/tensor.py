@@ -176,8 +176,10 @@ def _tp_forward_local(
     gathering activations over the model axis where a contraction needs the
     full input-unit axis. Returns the full (B, O, K) output."""
 
+    tmap = jax.tree_util.tree_map
+
     def gather(y: jnp.ndarray) -> jnp.ndarray:
-        return jax.lax.all_gather(y, model_axis, axis=-1, tiled=True)
+        return tmap(lambda a: jax.lax.all_gather(a, model_axis, axis=-1, tiled=True), y)
 
     outs: list[jnp.ndarray] = []
     b = x.shape[0]
@@ -193,15 +195,17 @@ def _tp_forward_local(
             ins = []
             for j in entry.in_ids:
                 ins.append(outs[j] if (keep_sharded or not flags[j]) else gather(outs[j]))
-            cat = ins[0] if len(ins) == 1 else jnp.concatenate(ins, axis=0)
-            xin = cat[:, None] if entry.fold_idx is None else cat[entry.fold_idx]
+            cat = ins[0] if len(ins) == 1 else tmap(lambda *a: jnp.concatenate(a, axis=0), *ins)
+            fi = entry.fold_idx
+            xin = tmap((lambda c: c[:, None]) if fi is None else (lambda c: c[fi]), cat)
             y = layer(store, xin)
         outs.append(y)
 
     final = [outs[j] if not flags[j] else gather(outs[j]) for j in circuit._outputs.out_ids]
-    cat = final[0] if len(final) == 1 else jnp.concatenate(final, axis=0)
-    raw = cat if circuit._outputs.fold_idx is None else cat[circuit._outputs.fold_idx]
-    return jnp.transpose(raw, (1, 0, 2))
+    cat = final[0] if len(final) == 1 else tmap(lambda *a: jnp.concatenate(a, axis=0), *final)
+    ofi = circuit._outputs.fold_idx
+    raw = cat if ofi is None else tmap(lambda c: c[ofi], cat)
+    return tmap(lambda r: jnp.transpose(r, (1, 0, 2)), raw)
 
 
 def tp_forward(

@@ -54,6 +54,7 @@ def data_parallel_step(
     mesh: Mesh | None = None,
     axis: str = "data",
     loss_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+    weighted: bool = False,
 ) -> Callable:
     """Build a jitted data-parallel training step.
 
@@ -61,29 +62,48 @@ def data_parallel_step(
     ``(trainable, opt_state, loss)``. The batch is expected sharded over the
     mesh ``axis``; parameters replicated. The default loss is the mean
     negative log-likelihood of the circuit's (B, O, K) output.
+
+    With ``weighted=True`` the step takes an extra per-sample weight vector
+    ``(B,)`` and the default loss becomes the weighted NLL mean — this is how
+    :func:`fit` trains a zero-padded final partial batch with exact math
+    while keeping shapes (and therefore the compiled program) static.
     """
-    if loss_fn is None:
-        loss_fn = lambda ll: -jnp.mean(ll)
 
-    def _loss(trainable: Store, frozen: Store, batch) -> jnp.ndarray:
+    if weighted and loss_fn is not None:
+        raise ValueError("weighted=True supports only the default NLL loss")
+
+    def _loss(trainable: Store, frozen: Store, batch, weights) -> jnp.ndarray:
         ll = circuit.evaluate({**trainable, **frozen}, batch)
-        return loss_fn(ll)
+        if loss_fn is not None:
+            return loss_fn(ll)
+        if weights is None:
+            return -jnp.mean(ll)
+        per_sample = jnp.mean(ll.reshape(ll.shape[0], -1), axis=1)
+        return -jnp.sum(per_sample * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 
-    def _step(trainable: Store, frozen: Store, opt_state, batch):
-        loss, grads = jax.value_and_grad(_loss)(trainable, frozen, batch)
+    def _step(trainable: Store, frozen: Store, opt_state, batch, weights=None):
+        loss, grads = jax.value_and_grad(_loss)(trainable, frozen, batch, weights)
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss
 
+    if weighted:
+        step = lambda tr, fr, st, b, w: _step(tr, fr, st, b, w)
+    else:
+        step = lambda tr, fr, st, b: _step(tr, fr, st, b)
+
     # Donating the parameter and optimizer-state buffers lets XLA update
     # them in place instead of allocating fresh copies every step.
     if mesh is None:
-        return jax.jit(_step, donate_argnums=(0, 2))
+        return jax.jit(step, donate_argnums=(0, 2))
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P(axis))
+    in_sh = (replicated, replicated, replicated, batch_sharded)
+    if weighted:
+        in_sh = in_sh + (batch_sharded,)
     return jax.jit(
-        _step,
-        in_shardings=(replicated, replicated, replicated, batch_sharded),
+        step,
+        in_shardings=in_sh,
         out_shardings=(replicated, replicated, replicated),
         donate_argnums=(0, 2),
     )
@@ -116,8 +136,10 @@ def fit(
 
     A convenience the reference leaves to user-land torch loops
     (SURVEY.md §3.5); here it also shards the batch over a device mesh.
-    Returns the updated full store and per-step losses. Trailing samples
-    that do not fill a batch are dropped (static shapes keep XLA happy).
+    Returns the updated full store and per-step losses. A trailing partial
+    batch is zero-padded to the batch size and trained with per-sample
+    weights, so every sample contributes exactly once per epoch while the
+    compiled step keeps a single static shape.
     """
     if optimizer is None:
         optimizer = optax.adam(1e-2)
@@ -149,10 +171,13 @@ def fit(
         # caller's store stays valid
         trainable = {k: jnp.array(v) for k, v in trainable.items()}
     opt_state = optimizer.init(trainable)
-    step = data_parallel_step(circuit, optimizer, mesh=mesh, axis=axis)
+    remainder = len(data) % batch_size if len(data) > batch_size else 0
+    weighted = remainder != 0
+    step = data_parallel_step(circuit, optimizer, mesh=mesh, axis=axis, weighted=weighted)
+    ones = np.ones(batch_size, dtype=np.float32)
 
     losses: list[float] = []
-    num_batches = len(data) // batch_size
+    num_batches = -(-len(data) // batch_size) if weighted else len(data) // batch_size
     step_idx = 0
     for epoch in range(num_epochs):
         if shuffle:
@@ -163,11 +188,24 @@ def fit(
             epoch_data = data
         for b in range(num_batches):
             batch = epoch_data[b * batch_size : (b + 1) * batch_size]
+            weights = ones
+            if len(batch) < batch_size:
+                # zero-pad the final partial batch; padded rows carry weight 0
+                pad = np.zeros((batch_size - len(batch),) + batch.shape[1:], batch.dtype)
+                weights = np.concatenate(
+                    [np.ones(len(batch), np.float32), np.zeros(batch_size - len(batch), np.float32)]
+                )
+                batch = np.concatenate([batch, pad])
             if mesh is not None:
                 batch = shard_batch(batch, mesh, axis)
+                wdev = shard_batch(weights, mesh, axis) if weighted else None
             else:
                 batch = jnp.asarray(batch)
-            trainable, opt_state, loss = step(trainable, frozen, opt_state, batch)
+                wdev = jnp.asarray(weights) if weighted else None
+            if weighted:
+                trainable, opt_state, loss = step(trainable, frozen, opt_state, batch, wdev)
+            else:
+                trainable, opt_state, loss = step(trainable, frozen, opt_state, batch)
             loss = float(loss)
             losses.append(loss)
             if callback is not None:

@@ -81,6 +81,34 @@ def test_csafelog_gradient_no_nan_at_zero():
     g = jax.grad(f)(0.0)
     assert np.isfinite(g)
 
-    # and matches 1/conj(x) away from zero
+    # and matches 1/x away from zero
     g1 = jax.grad(f)(2.0)
     np.testing.assert_allclose(g1, 0.5, rtol=1e-9)
+
+
+def test_csafelog_matches_native_complex_log_gradient():
+    """csafelog's backward must follow JAX's holomorphic VJP (plain g/x, no
+    conjugation — torch's conj convention flips the imaginary part) so that
+    training a squared circuit descends the true gradient. Pinned against
+    both jax.vjp(jnp.log) and real-calculus ground truth."""
+    import jax
+    import jax.numpy as jnp
+
+    from cirkit_tpu.backend.jax.utils import csafelog
+
+    rng = np.random.default_rng(41)
+    y = jnp.asarray(rng.normal(size=(6,)) + 1j * rng.normal(size=(6,)), jnp.complex128)
+
+    def loss_safe(yr, yi):
+        o = csafelog(jax.lax.complex(yr, yi))
+        return jnp.sum(jnp.sin(o.real) + 0.7 * jnp.cos(o.imag))
+
+    def loss_real_calculus(yr, yi):
+        outr = 0.5 * jnp.log(yr**2 + yi**2)
+        outi = jnp.arctan2(yi, yr)
+        return jnp.sum(jnp.sin(outr) + 0.7 * jnp.cos(outi))
+
+    gs = jax.grad(loss_safe, argnums=(0, 1))(y.real, y.imag)
+    gt = jax.grad(loss_real_calculus, argnums=(0, 1))(y.real, y.imag)
+    for a, b in zip(gs, gt):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)

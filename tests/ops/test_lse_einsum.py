@@ -345,3 +345,213 @@ def test_error_bounds_vs_float64(op, fast, monkeypatch):
     gerr = np.max(np.abs(np.asarray(kgrad, np.float64) - np.asarray(rgrad)))
     gscale = max(1.0, float(np.max(np.abs(np.asarray(rgrad)))))
     assert gerr / gscale < gtol, f"grad error {gerr:.2e} exceeds the {gtol} bound"
+
+
+# --------------------------------------------------------------------------- #
+# Complex kernel (SoS / squared circuits): split-real Pallas contraction vs
+# a complex128 reference, forward and backward (VERDICT r1 item 5).
+# --------------------------------------------------------------------------- #
+
+def _crand(rng, shape, scale=1.5):
+    re = rng.normal(size=shape) * scale - 1.0
+    im = rng.normal(size=shape) * scale
+    return jnp.asarray(re + 1j * im, jnp.complex64)
+
+
+def _epilogue(parts):
+    yr, yi, m = parts
+    return jnp.log(jax.lax.complex(yr, yi).astype(jnp.complex128)) + m.astype(
+        jnp.complex128
+    )
+
+
+def _f64_cmatmul(x, w):
+    x = jnp.asarray(x, jnp.complex128)
+    w = jnp.asarray(w, jnp.complex128)
+    m = jnp.max(x.real, axis=-1, keepdims=True)
+    y = jnp.einsum("fbi,foi->fbo", jnp.exp(x - m), w)
+    return jnp.log(y) + m
+
+
+@pytest.mark.parametrize("b", [8, 13])
+def test_clse_matmul_matches_complex128(b):
+    from cirkit_tpu.ops.lse_einsum import clse_matmul_parts
+
+    rng = np.random.default_rng(21)
+    x = _crand(rng, (3, b, 32))
+    w = _crand(rng, (3, 16, 32))
+    parts = clse_matmul_parts(x, w)
+    assert parts is not None
+    out = np.asarray(_epilogue(parts))
+    ref = np.asarray(_f64_cmatmul(x, w))
+    np.testing.assert_allclose(out.real, ref.real, rtol=5e-4, atol=5e-4)
+    # phases compared modulo 2*pi
+    dphi = np.angle(np.exp(1j * (out.imag - ref.imag)))
+    np.testing.assert_allclose(dphi, 0.0, atol=5e-4)
+
+
+def test_clse_matmul_gradients_match_fallback():
+    from cirkit_tpu.backend.jax.semiring import ComplexLSESumSemiring as C
+    from cirkit_tpu.backend.jax.utils import csafelog
+    from cirkit_tpu.ops.lse_einsum import clse_matmul_parts
+
+    rng = np.random.default_rng(22)
+    x = _crand(rng, (2, 8, 32))
+    w = _crand(rng, (2, 16, 32))
+
+    def loss_k(x, w):
+        yr, yi, m = clse_matmul_parts(x, w)
+        out = csafelog(jax.lax.complex(yr, yi)) + m
+        return jnp.sum(jnp.sin(out.real) + 0.7 * jnp.cos(out.imag))
+
+    def loss_f(x, w):
+        mx = jnp.max(x.real, axis=-1, keepdims=True)
+        y = jnp.einsum("fbi,foi->fbo", jnp.exp(x - mx), w)
+        out = csafelog(y) + mx
+        return jnp.sum(jnp.sin(out.real) + 0.7 * jnp.cos(out.imag))
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(x, w)
+    gf = jax.grad(loss_f, argnums=(0, 1))(x, w)
+    for a, b_ in zip(gk, gf):
+        np.testing.assert_allclose(
+            np.asarray(a.real), np.asarray(b_.real), rtol=5e-3, atol=5e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.imag), np.asarray(b_.imag), rtol=5e-3, atol=5e-3
+        )
+
+
+def test_complex_semiring_tucker2_kernel_matches_fallback(monkeypatch):
+    """The semiring's complex tucker2 routes through the kernel via the
+    log-space outer sum and must agree with the XLA composition."""
+    from cirkit_tpu.backend.jax.semiring import ComplexLSESumSemiring as C
+
+    rng = np.random.default_rng(23)
+    x1 = _crand(rng, (2, 8, 8))
+    x2 = _crand(rng, (2, 8, 8))
+    w = _crand(rng, (2, 16, 64))
+    got = C.tucker2(x1, x2, w)
+    monkeypatch.setenv("CIRKIT_TPU_DISABLE_PALLAS", "1")
+    want = C.tucker2(x1, x2, w)
+    np.testing.assert_allclose(
+        np.asarray(got.real), np.asarray(want.real), rtol=5e-4, atol=5e-4
+    )
+    dphi = np.angle(np.exp(1j * np.asarray(got.imag - want.imag)))
+    np.testing.assert_allclose(dphi, 0.0, atol=5e-4)
+
+
+# --------------------------------------------------------------------------- #
+# Signed kernels (the all-real SoS path): parity with the XLA composition,
+# forward and backward, including the sign-zero (exact cancellation) case.
+# --------------------------------------------------------------------------- #
+
+def _signed_fallback_matmul(a, s, w):
+    m = L._clamp_max(a)
+    y = jnp.einsum("fbi,foi->fbo", s * jnp.exp(a - m), w)
+    return jnp.log(jnp.abs(y)) + m, jnp.sign(y)
+
+
+def _signed_fallback_tucker(a1, s1, a2, s2, w):
+    k1, k2 = a1.shape[-1], a2.shape[-1]
+    m1, m2 = L._clamp_max(a1), L._clamp_max(a2)
+    w3 = w.reshape(w.shape[0], w.shape[1], k1, k2)
+    y = jnp.einsum(
+        "fbi,fbj,foij->fbo", s1 * jnp.exp(a1 - m1), s2 * jnp.exp(a2 - m2), w3
+    )
+    return jnp.log(jnp.abs(y)) + m1 + m2, jnp.sign(y)
+
+
+def _signs(rng, shape):
+    return jnp.asarray(rng.choice([-1.0, 1.0], size=shape), jnp.float32)
+
+
+@pytest.mark.parametrize("b", [8, 13])
+def test_slse_matmul_matches_fallback(b):
+    from cirkit_tpu.ops.lse_einsum import slse_dispatch
+
+    rng = np.random.default_rng(30)
+    a = _rand(rng, (3, b, 32))
+    s = _signs(rng, (3, b, 32))
+    w = _weights(rng, (3, 16, 32))
+    out = slse_dispatch((a, s), w, softmax=False, tucker=False)
+    assert out is not None
+    ra, rs = _signed_fallback_matmul(a, s, w)
+    np.testing.assert_allclose(out[0], ra, rtol=RTOL, atol=ATOL)
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(rs))
+
+
+def test_slse_tucker2_softmax_matches_fallback():
+    from cirkit_tpu.ops.lse_einsum import slse_dispatch
+
+    rng = np.random.default_rng(31)
+    a1, s1 = _rand(rng, (2, 8, 8)), _signs(rng, (2, 8, 8))
+    a2, s2 = _rand(rng, (2, 8, 8)), _signs(rng, (2, 8, 8))
+    th = _rand(rng, (2, 8, 64), scale=1.0, shift=0.0)
+    out = slse_dispatch((a1, s1, a2, s2), th, softmax=True, tucker=True)
+    assert out is not None
+    ra, rs = _signed_fallback_tucker(a1, s1, a2, s2, jax.nn.softmax(th, axis=-1))
+    np.testing.assert_allclose(out[0], ra, rtol=RTOL, atol=ATOL)
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(rs))
+
+
+def test_slse_matmul_gradients_match_fallback():
+    from cirkit_tpu.ops.lse_einsum import slse_dispatch
+
+    rng = np.random.default_rng(32)
+    a = _rand(rng, (2, 8, 32))
+    s = _signs(rng, (2, 8, 32))
+    w = _weights(rng, (2, 16, 32))
+
+    def loss_k(a, w):
+        oa, os_ = slse_dispatch((a, s), w, softmax=False, tucker=False)
+        return jnp.sum(jnp.sin(oa) * os_)
+
+    def loss_f(a, w):
+        oa, os_ = _signed_fallback_matmul(a, s, w)
+        return jnp.sum(jnp.sin(oa) * os_)
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(a, w)
+    gf = jax.grad(loss_f, argnums=(0, 1))(a, w)
+    for x, y in zip(gk, gf):
+        np.testing.assert_allclose(x, y, rtol=5e-3, atol=5e-3)
+
+
+def test_slse_tucker2_gradients_match_fallback_multi_tile(monkeypatch):
+    from cirkit_tpu.ops import lse_einsum as LL
+
+    monkeypatch.setattr(LL, "_VMEM_BUDGET", 48 * 1024)
+    rng = np.random.default_rng(33)
+    a1, s1 = _rand(rng, (1, 40, 8)), _signs(rng, (1, 40, 8))
+    a2, s2 = _rand(rng, (1, 40, 8)), _signs(rng, (1, 40, 8))
+    th = _rand(rng, (1, 8, 64), scale=1.0, shift=0.0)
+
+    def loss_k(a1, a2, th):
+        oa, os_ = LL.slse_dispatch((a1, s1, a2, s2), th, softmax=True, tucker=True)
+        return jnp.sum(jnp.sin(oa) * os_)
+
+    def loss_f(a1, a2, th):
+        oa, os_ = _signed_fallback_tucker(a1, s1, a2, s2, jax.nn.softmax(th, axis=-1))
+        return jnp.sum(jnp.sin(oa) * os_)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(a1, a2, th)
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(a1, a2, th)
+    for x, y in zip(gk, gf):
+        np.testing.assert_allclose(x, y, rtol=5e-3, atol=5e-3)
+
+
+def test_slse_exact_cancellation_sign_zero_no_nan():
+    """Exact cancellation to 0 must give sign 0, log -inf, and finite (zero)
+    gradients — the signed analogue of ComplexSafeLog."""
+    from cirkit_tpu.ops.lse_einsum import slse_dispatch
+
+    a = jnp.zeros((1, 8, 16), jnp.float32)
+    s = jnp.asarray(np.tile([1.0, -1.0], 8), jnp.float32)[None, None, :].repeat(8, 1)
+    w = jnp.ones((1, 8, 16), jnp.float32)
+    oa, os_ = slse_dispatch((a, s), w, softmax=False, tucker=False)
+    assert bool(jnp.all(os_ == 0.0))
+    assert bool(jnp.all(jnp.isneginf(oa)))
+
+    g = jax.grad(
+        lambda a: jnp.sum(jnp.where(jnp.isfinite(oa), slse_dispatch((a, s), w, softmax=False, tucker=False)[0], 0.0))
+    )(a)
+    assert not bool(jnp.any(jnp.isnan(g)))

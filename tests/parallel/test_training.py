@@ -84,3 +84,38 @@ def test_fit_batch_not_divisible_raises():
     cc = _small_image_circuit(ctx)
     with pytest.raises(ValueError, match="divide"):
         fit(cc, np.zeros((64, 16), dtype=np.int64), batch_size=31, mesh=mesh)
+
+
+def test_fit_partial_final_batch_trains_every_sample():
+    """A trailing partial batch is zero-padded and weighted instead of
+    dropped: fit over N samples with batch_size not dividing N must match a
+    manual loop that weights the padded rows to zero (exact same updates)."""
+    import jax.numpy as jnp
+
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = _small_image_circuit(ctx)
+    data = np.random.default_rng(1).integers(0, 256, size=(100, 16))  # 100 = 64 + 36
+    opt = optax.sgd(0.05)
+
+    store, losses = fit(
+        cc, data, store=dict(ctx.parameters), num_epochs=1, batch_size=64,
+        optimizer=opt, key=jax.random.PRNGKey(3), shuffle=False,
+    )
+    assert len(losses) == 2  # both batches trained, including the partial one
+
+    # manual reference: same two weighted steps
+    trainable, frozen = split_trainable(cc, ctx.parameters)
+    trainable = {k: jnp.array(v) for k, v in trainable.items()}
+    opt_state = opt.init(trainable)
+    step = data_parallel_step(cc, opt, weighted=True)
+    d32 = data.astype(np.int32)
+    b1 = jnp.asarray(d32[:64])
+    w1 = jnp.ones(64, jnp.float32)
+    trainable, opt_state, l1 = step(trainable, frozen, opt_state, b1, w1)
+    b2 = jnp.asarray(np.concatenate([d32[64:], np.zeros((28, 16), np.int32)]))
+    w2 = jnp.asarray(np.concatenate([np.ones(36), np.zeros(28)]), jnp.float32)
+    trainable, opt_state, l2 = step(trainable, frozen, opt_state, b2, w2)
+
+    np.testing.assert_allclose(losses, [float(l1), float(l2)], rtol=1e-9)
+    for k, v in trainable.items():
+        np.testing.assert_allclose(np.asarray(store[k]), np.asarray(v), rtol=1e-9)
