@@ -161,20 +161,34 @@ class JaxCircuit:
         Constant slots materialize in numpy; all random draws run in a single
         jitted program (one device dispatch per circuit, not per parameter).
         """
+        from cirkit_tpu.backend.jax.parameters import _host_init
+
         const_slots = []
+        host_slots = []
         random_slots = []
+        use_host = _host_init()
         for s in sorted(self._slots):
             node = self._slots[s]
             if all(getattr(init, "constant", None) is not None for init in node.inits):
                 const_slots.append(s)
+            elif node.host_initializable and use_host:
+                host_slots.append(s)
             else:
                 random_slots.append(s)
         store = {s: self._slots[s].initialize(None) for s in const_slots}
-        if random_slots:
+        if host_slots or random_slots:
             if key is None:
                 raise ValueError(
                     "A PRNG key is required to initialize randomly-initialized parameters"
                 )
+        if host_slots:
+            # numpy draws, no XLA programs: each slot derives its own rng
+            ks = jax.random.split(key, len(host_slots) + 1)
+            key = ks[0]
+            store.update(
+                {s: self._slots[s].initialize(ks[i + 1]) for i, s in enumerate(host_slots)}
+            )
+        if random_slots:
             # Jit the random draws into one program only on accelerators and
             # when there are few slots (folded circuits): one compile + one
             # dispatch instead of one per slot (each eager op is its own XLA
@@ -185,6 +199,12 @@ class JaxCircuit:
                     slots = tuple(random_slots)
 
                     def _init_random(k):
+                        # draw under the rbg PRNG: threefry generators over
+                        # the GB-sized flagship stores take ~20 s to compile
+                        # through the remote-compile service, rbg ~5 s
+                        k = jax.random.wrap_key_data(
+                            jnp.tile(jax.random.key_data(k), 2), impl="rbg"
+                        )
                         ks = jax.random.split(k, len(slots))
                         return {
                             s: self._slots[s].initialize(ks[i]) for i, s in enumerate(slots)

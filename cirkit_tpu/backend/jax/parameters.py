@@ -15,6 +15,7 @@ structurally-identical graphs concatenates along F (see
 
 from __future__ import annotations
 
+import os
 from abc import ABC, abstractmethod
 from collections.abc import Callable, Mapping, Sequence
 from typing import Any
@@ -25,6 +26,25 @@ import numpy as np
 
 from cirkit_tpu.backend.jax.utils import csafelog, safelog
 from cirkit_tpu.utils.algorithms import RootedDiAcyclicGraph
+
+
+def _host_init() -> bool:
+    """Whether to initialize parameters on the host in numpy.
+
+    Host init avoids all init-time XLA programs — on CPU one eager
+    jax.random call per slot costs seconds of compile each, so numpy is a
+    ~20x build-time win there. On accelerators the opposite holds: the
+    flagship stores run to GBs and the remote-tunnel host->device link
+    measures 5-40 MB/s, so device-side generation under one jitted program
+    wins (CIRKIT_TPU_HOST_INIT=1 / CIRKIT_TPU_DEVICE_INIT=1 override)."""
+    if os.environ.get("CIRKIT_TPU_HOST_INIT"):
+        return True
+    if os.environ.get("CIRKIT_TPU_DEVICE_INIT"):
+        return False
+    import jax as _jax
+
+    return _jax.default_backend() == "cpu"
+
 
 Shape = tuple[int, ...]
 Store = Mapping[str, jnp.ndarray]
@@ -120,12 +140,25 @@ class JaxTensorSlot(JaxParameterInput):
         # folding pass allocates a fresh stacked slot.
         return (type(self).__name__, self._shape, str(self.dtype), self.learnable)
 
+    @property
+    def host_initializable(self) -> bool:
+        """Whether every fold's initializer has a host (numpy) sampler."""
+        return all(
+            getattr(init, "host", None) is not None
+            or getattr(init, "constant", None) is not None
+            for init in self.inits
+        )
+
     def initialize(self, key: jax.Array | None) -> jnp.ndarray:
         """Materialize the (F, ...) initial value of this slot.
 
         Fast paths keep trace/dispatch cost O(1) per slot instead of O(F):
         constant initializers stack in numpy; folds sharing the same
-        elementwise initializer draw a single (F, ...) sample.
+        elementwise initializer draw a single (F, ...) sample. Random slots
+        whose initializers carry a host sampler draw in numpy — avoiding any
+        XLA compilation (one eager jax.random call per slot costs seconds of
+        compile on CPU, and one jitted init program costs a 2-7 s remote
+        compile per process on tunnel TPU platforms).
         """
         consts = [getattr(init, "constant", None) for init in self.inits]
         if all(c is not None for c in consts):
@@ -135,6 +168,24 @@ class JaxTensorSlot(JaxParameterInput):
                     [np.broadcast_to(np.asarray(c), self._shape) for c in consts]
                 ).astype(np_dtype)
             )
+        if key is not None and self.host_initializable and _host_init():
+            rng = np.random.default_rng(
+                np.asarray(jax.random.key_data(key), dtype=np.uint32).ravel()
+            )
+            batch_keys = {getattr(init, "batch_key", None) for init in self.inits}
+            if len(batch_keys) == 1 and None not in batch_keys:
+                # every fold shares one elementwise iid initializer: a single
+                # (F, ...) draw instead of F draws + stack
+                return jnp.asarray(
+                    self.inits[0].host(rng, (self.num_folds, *self._shape), self.dtype)
+                )
+            parts = [
+                np.broadcast_to(np.asarray(c), self._shape).astype(np.dtype(self.dtype))
+                if (c := getattr(init, "constant", None)) is not None
+                else init.host(rng, self._shape, self.dtype)
+                for init in self.inits
+            ]
+            return jnp.asarray(np.stack(parts, axis=0))
         batch_keys = {getattr(init, "batch_key", None) for init in self.inits}
         if len(batch_keys) == 1 and None not in batch_keys and key is not None:
             return self.inits[0](key, (self.num_folds, *self._shape), self.dtype)

@@ -63,7 +63,17 @@ def compile_uniform_initializer(
     def _init(key, shape, dtype):
         return jax.random.uniform(key, shape, dtype=dtype, minval=a, maxval=b)
 
+    def _host(rng, shape, dtype):
+        np_dtype = np.dtype(dtype)
+        if np_dtype == np.float32 or np_dtype == np.float64:
+            # draw in the target dtype: float64 draws + astype dominate the
+            # build time of big folded circuits (hundreds of M parameters)
+            u = rng.random(size=shape, dtype=np_dtype)
+            return u * np_dtype.type(b - a) + np_dtype.type(a)
+        return rng.uniform(a, b, size=shape).astype(np_dtype)
+
     _init.batch_key = ("uniform", a, b)
+    _init.host = _host
     return _init
 
 
@@ -80,7 +90,23 @@ def compile_normal_initializer(
             return (re + 1j * im).astype(dtype) * stddev + mean
         return jax.random.normal(key, shape, dtype=dtype) * stddev + mean
 
+    def _host(rng, shape, dtype):
+        np_dtype = np.dtype(dtype)
+        if np.issubdtype(np_dtype, np.complexfloating):
+            re = rng.normal(size=shape)
+            im = rng.normal(size=shape)
+            return ((re + 1j * im) * stddev + mean).astype(np_dtype)
+        if np_dtype == np.float32 or np_dtype == np.float64:
+            out = rng.standard_normal(size=shape, dtype=np_dtype)
+            if stddev != 1.0:
+                out *= np_dtype.type(stddev)
+            if mean != 0.0:
+                out += np_dtype.type(mean)
+            return out
+        return (rng.normal(size=shape) * stddev + mean).astype(np_dtype)
+
     _init.batch_key = ("normal", mean, stddev)
+    _init.host = _host
     return _init
 
 
@@ -99,6 +125,15 @@ def compile_dirichlet_initializer(
         sample = jax.random.dirichlet(key, a, shape=batch_shape, dtype=dtype)
         return jnp.moveaxis(sample, -1, ax)
 
+    def _host(rng, shape, dtype):
+        ax = axis if axis >= 0 else axis + len(shape)
+        k = shape[ax]
+        a = np.asarray(alpha if isinstance(alpha, list) else [alpha] * k, dtype=float)
+        batch_shape = shape[:ax] + shape[ax + 1 :]
+        sample = rng.dirichlet(a, size=batch_shape)
+        return np.moveaxis(sample, -1, ax).astype(np.dtype(dtype))
+
+    _init.host = _host
     if axis < 0:
         # Negative axes resolve identically on the fold-extended shape, so a
         # single (F, ...) draw is valid for the batched-init fast path.

@@ -78,8 +78,48 @@ def fallback_precision() -> jax.lax.Precision:
     )
 
 
-def _fast_mode() -> bool:
-    return bool(os.environ.get("CIRKIT_TPU_FAST"))
+def _fast_mode() -> str:
+    """The kernel speed/accuracy mode from CIRKIT_TPU_FAST:
+
+    - unset: bf16x3 split dots (~1.5e-5 relative, the default);
+    - ``sr``: single-pass bf16 with **stochastic rounding** of the operands
+      (pltpu.stochastic_round) — same speed as plain fast mode but the
+      rounding is unbiased in expectation, so gradient errors dither around
+      zero instead of accumulating a toward-nearest bias;
+    - any other non-empty value: single-pass round-to-nearest bf16
+      (~4e-3 worst-case relative).
+    """
+    v = os.environ.get("CIRKIT_TPU_FAST", "")
+    if not v:
+        return ""
+    return "sr" if v.lower() == "sr" else "bf16"
+
+
+def _sr_bf16(v: jnp.ndarray) -> jnp.ndarray:
+    """Stochastically round an f32 operand to bf16 (in-kernel only; the
+    kernel must have called pltpu.prng_seed first)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(v.shape), jnp.uint32)
+    return pltpu.stochastic_round(v, bits, target_dtype=jnp.bfloat16)
+
+
+def _maybe_seed(cfg, num_grid_dims: int = 2) -> None:
+    """Seed the in-kernel PRNG for stochastic-rounding mode (grid-position
+    dependent so every kernel instance draws distinct bits)."""
+    if cfg.fast == "sr":
+        pltpu.prng_seed(*(pl.program_id(i) for i in range(num_grid_dims)))
+
+
+def _cfg_fast(interpret: bool) -> str:
+    """The fast mode for a kernel config: stochastic rounding needs the
+    hardware PRNG (pltpu.prng_seed has no interpret-mode lowering), so sr
+    degrades to plain bf16 when interpreting on CPU."""
+    mode = _fast_mode()
+    return "bf16" if (mode == "sr" and interpret) else mode
+
+
+def _fcast(v: jnp.ndarray, fast) -> jnp.ndarray:
+    """The fast-mode operand cast: stochastic or round-to-nearest bf16."""
+    return _sr_bf16(v) if fast == "sr" else v.astype(jnp.bfloat16)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -151,7 +191,7 @@ def _dot3(a: jnp.ndarray, b: jnp.ndarray, dims, *, fast: bool) -> jnp.ndarray:
     separate half-width dots on v5e.
     """
     if fast:
-        return _dot1(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), dims)
+        return _dot1(_fcast(a, fast), _fcast(b, fast), dims)
     (ka,), (kb,) = dims
     af, bf = 1 - ka, 1 - kb
     ah, al = _split(a)
@@ -216,7 +256,7 @@ def _repeat_each(e1: jnp.ndarray, k2: int, *, fast: bool) -> jnp.ndarray:
     k1 = e1.shape[1]
     s = _repeat_selector(k1, k2)
     if fast:
-        return _dot1(e1.astype(jnp.bfloat16), s, ((1,), (0,)))
+        return _dot1(_fcast(e1, fast), s, ((1,), (0,)))
     hi, lo = _split(e1)
     if 2 * k1 <= 128:
         return _dot1(
@@ -233,7 +273,7 @@ def _seg_dot(p: jnp.ndarray, sel: jnp.ndarray, dims, *, fast: bool) -> jnp.ndarr
     """Exact-selection matmul of an f32 operand against a 0/1 bf16 matrix,
     with the 2-term split packed into one matmul along p's free axis."""
     if fast:
-        return _dot1(p.astype(jnp.bfloat16), sel, dims)
+        return _dot1(_fcast(p, fast), sel, dims)
     (kp,), _ = dims
     pf = 1 - kp
     hi, lo = _split(p)
@@ -269,6 +309,7 @@ def _shifted_exp(xs):
 
 
 def _fwd_kernel(cfg: _Cfg, *refs):
+    _maybe_seed(cfg)
     if cfg.tucker:
         x1_ref, x2_ref, w_ref, o_ref = refs
         (e1, e2), shift = _shifted_exp((x1_ref[0], x2_ref[0]))
@@ -283,6 +324,7 @@ def _fwd_kernel(cfg: _Cfg, *refs):
 
 
 def _bwd_kernel(cfg: _Cfg, *refs):
+    _maybe_seed(cfg)
     if cfg.tucker:
         x1_ref, x2_ref, w_ref, out_ref, g_ref, dx1_ref, dx2_ref, dw_ref = refs
         xs = (x1_ref[0], x2_ref[0])
@@ -426,7 +468,7 @@ def _dispatch(xs, w, *, softmax: bool, tucker: bool, interpret: bool | None):
         bt=bt,
         nbt=bp // bt,
         interpret=interpret,
-        fast=_fast_mode(),
+        fast=_cfg_fast(interpret),
         softmax=softmax,
         tucker=tucker,
     )
@@ -460,6 +502,7 @@ class _BCfg:
 
 
 def _blocked_fwd_kernel(cfg: _BCfg, x_ref, w_ref, o_ref, m_ref, m_s):
+    _maybe_seed(cfg, 3)
     ic = pl.program_id(2)
     x = x_ref[0]  # (BT, IC)
     cm = _clamp_max(x)
@@ -483,6 +526,7 @@ def _blocked_fwd_kernel(cfg: _BCfg, x_ref, w_ref, o_ref, m_ref, m_s):
 
 
 def _blocked_bwd_kernel(cfg: _BCfg, x_ref, w_ref, out_ref, m_ref, g_ref, dx_ref, dw_ref):
+    _maybe_seed(cfg, 3)
     bt_i = pl.program_id(2)
     x = x_ref[0]  # (BT, IC)
     m = m_ref[0]  # (BT, 1)
@@ -593,7 +637,7 @@ def _dispatch_blocked(x, w, *, interpret: bool | None):
     interpret = _interpret_default() if interpret is None else interpret
     bp = _round_up(b, bt)
     cfg = _BCfg(
-        bt=bt, nbt=bp // bt, ic=ic, nic=ip // ic, interpret=interpret, fast=_fast_mode()
+        bt=bt, nbt=bp // bt, ic=ic, nic=ip // ic, interpret=interpret, fast=_cfg_fast(interpret)
     )
     pad = jnp.finfo(x.dtype).min
     if bp != b or ip != i:
@@ -617,6 +661,7 @@ def _dispatch_blocked(x, w, *, interpret: bool | None):
 
 
 def _s_fwd_kernel(cfg: _Cfg, *refs):
+    _maybe_seed(cfg)
     if cfg.tucker:
         a1_ref, s1_ref, a2_ref, s2_ref, w_ref, oa_ref, os_ref = refs
         (e1, e2), shift = _shifted_exp((a1_ref[0], a2_ref[0]))
@@ -635,6 +680,7 @@ def _s_fwd_kernel(cfg: _Cfg, *refs):
 
 
 def _s_bwd_kernel(cfg: _Cfg, *refs):
+    _maybe_seed(cfg)
     if cfg.tucker:
         (a1_ref, s1_ref, a2_ref, s2_ref, w_ref, oa_ref, os_ref, g_ref,
          da1_ref, ds1_ref, da2_ref, ds2_ref, dw_ref) = refs
@@ -765,7 +811,7 @@ def slse_dispatch(xs, w, *, softmax: bool, tucker: bool, interpret: bool | None 
     interpret = _interpret_default() if interpret is None else interpret
     bp = _round_up(b, bt)
     cfg = _Cfg(
-        bt=bt, nbt=bp // bt, interpret=interpret, fast=_fast_mode(),
+        bt=bt, nbt=bp // bt, interpret=interpret, fast=_cfg_fast(interpret),
         softmax=softmax, tucker=tucker,
     )
     if bp != b:
@@ -797,6 +843,7 @@ def slse_dispatch(xs, w, *, softmax: bool, tucker: bool, interpret: bool | None 
 
 
 def _c_fwd_kernel(cfg: _Cfg, xr_ref, xi_ref, wr_ref, wi_ref, yr_ref, yi_ref, m_ref):
+    _maybe_seed(cfg)
     xr, xi = xr_ref[0], xi_ref[0]
     m = _clamp_max(xr)
     ea = jnp.exp(xr - m)
@@ -814,6 +861,7 @@ def _c_bwd_kernel(
     cfg: _Cfg, xr_ref, xi_ref, wr_ref, wi_ref, m_ref, gyr_ref, gyi_ref,
     dxr_ref, dxi_ref, dwr_ref, dwi_ref,
 ):
+    _maybe_seed(cfg)
     bt_i = pl.program_id(1)
     xr, xi = xr_ref[0], xi_ref[0]
     ea = jnp.exp(xr - m_ref[0])
@@ -940,7 +988,7 @@ def clse_matmul_parts(
     interpret = _interpret_default() if interpret is None else interpret
     bp = _round_up(b, bt)
     cfg = _Cfg(
-        bt=bt, nbt=bp // bt, interpret=interpret, fast=_fast_mode(),
+        bt=bt, nbt=bp // bt, interpret=interpret, fast=_cfg_fast(interpret),
         softmax=False, tucker=False,
     )
     xr, xi = jnp.real(x), jnp.imag(x)

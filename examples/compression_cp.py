@@ -53,7 +53,7 @@ def main() -> None:
         updates, opt_state = opt.update(g, opt_state)
         return optax.apply_updates(tr, updates), opt_state, l
 
-    for i in range(int(os.environ.get("STEPS", "300"))):
+    for i in range(int(os.environ.get("STEPS", "600"))):
         trainable, opt_state, mse = step(trainable, opt_state)
     rel = float(jnp.sqrt(mse)) / float(np.abs(target).mean())
     n_full = int(np.prod(shape))

@@ -12,7 +12,7 @@ EXAMPLES = {
     "logic_wmc": {},
     "sum_of_squares": {},
     "compilation_options": {"UNITS": "4", "SIDE": "4"},
-    "compression_cp": {"STEPS": "300"},
+    "compression_cp": {"STEPS": "600"},
     "learning_a_gmm": {"EPOCHS": "12"},
     "learning_a_circuit": {"SIDE": "4", "UNITS": "4", "EPOCHS": "1"},
     "learning_a_qpc": {"SIDE": "4", "UNITS": "4", "STEPS": "4"},
