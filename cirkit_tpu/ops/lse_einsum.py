@@ -50,7 +50,10 @@ to a mathematically-identical XLA composition (at ``Precision.HIGH``),
 which is also the path used for float64 parity tests. Set
 ``CIRKIT_TPU_DISABLE_PALLAS=1`` to force the fallback everywhere, and
 ``CIRKIT_TPU_FAST=1`` to trade the bf16 split for single-pass bf16
-matmuls (~2x faster, ~4e-3 worst-case relative error).
+matmuls (~4e-3 worst-case relative error), or ``CIRKIT_TPU_FAST=sr`` for
+single-pass bf16 with **stochastic rounding** of the operands — unbiased
+in expectation (measured mean error ~2e-6 vs ~5e-3 max), at ~20% more
+VPU time than plain bf16 for the in-kernel random bits.
 """
 
 from __future__ import annotations
@@ -155,7 +158,7 @@ class _Cfg:
     bt: int  # batch tile
     nbt: int  # number of batch tiles (grid dim 1)
     interpret: bool
-    fast: bool  # single-pass bf16 matmuls instead of the bf16x3 split
+    fast: str  # "" = bf16x3 splits, "bf16" = single pass, "sr" = stochastic
     softmax: bool  # weight operand is raw logits; normalize rows in VMEM
     tucker: bool  # two log-space inputs combined by an in-VMEM outer product
 

@@ -1,9 +1,12 @@
-"""Sum-of-squares (squared) circuits under the complex log semiring.
+"""Sum-of-squares (squared) circuits under the complex and signed semirings.
 
 A non-monotonic circuit c(x) — negative sum weights allowed — is not a
 distribution, but |c(x)|^2 is an unnormalized one, and it stays tractable:
 conjugate, multiply and integrate are circuit operators. This mirrors the
-reference's SoS support (complex semiring + operator suite).
+reference's SoS support (complex semiring + operator suite), and then goes
+one step further: for real-parameter circuits the ``signed-lse-sum``
+semiring evaluates the same SoS pipeline as an all-f32 program — the
+TPU-native path (complex64 programs do not compile on some TPU runtimes).
 
 Run: python examples/sum_of_squares.py
 """
@@ -56,6 +59,17 @@ def main() -> None:
     z = np.exp(np.asarray(ctx.integrate(squared)(ctx.parameters, worlds[:1]))[0, 0, 0]).real
     p = c2 / z
     print(f"|c|^2 / Z is a distribution: sum = {p.sum():.6f}, Z = {z:.6f}")
+
+    # the same SoS pipeline under the signed (all-real, TPU-native) semiring
+    sctx = PipelineContext(semiring="signed-lse-sum", fold=True, optimize=True)
+    scc = sctx.compile(sc)
+    ssq = sctx.multiply(sctx.conjugate(scc), scc)
+    logmag, sign = ssq(worlds)
+    c2s = np.asarray(sign)[:, 0, 0] * np.exp(np.asarray(logmag)[:, 0, 0])
+    np.testing.assert_allclose(c2s, c2, rtol=1e-3, atol=1e-9)
+    za, zs = sctx.integrate(ssq)(sctx.parameters, worlds[:1])
+    z_signed = float(zs[0, 0, 0]) * np.exp(float(za[0, 0, 0]))
+    print(f"signed semiring agrees: Z = {z_signed:.6f} (all-f32 program)")
 
 
 if __name__ == "__main__":

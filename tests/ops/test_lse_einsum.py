@@ -555,3 +555,19 @@ def test_slse_exact_cancellation_sign_zero_no_nan():
         lambda a: jnp.sum(jnp.where(jnp.isfinite(oa), slse_dispatch((a, s), w, softmax=False, tucker=False)[0], 0.0))
     )(a)
     assert not bool(jnp.any(jnp.isnan(g)))
+
+
+def test_sr_mode_parses_and_degrades_in_interpret(monkeypatch):
+    """CIRKIT_TPU_FAST=sr: unbiased stochastic rounding on TPU; in CPU
+    interpret mode (no pltpu PRNG lowering) it degrades to plain bf16 and
+    must stay within the fast-mode bound."""
+    monkeypatch.setenv("CIRKIT_TPU_FAST", "sr")
+    assert L._fast_mode() == "sr"
+    assert L._cfg_fast(interpret=True) == "bf16"
+    assert L._cfg_fast(interpret=False) == "sr"
+    rng = np.random.default_rng(50)
+    x = _rand(rng, (2, 8, 64))
+    w = _weights(rng, (2, 16, 64))
+    out = L.lse_matmul(x, w)
+    ref = _fallback_matmul(x, w)
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
