@@ -10,6 +10,8 @@ from cirkit_tpu.parallel.training import (
     fit,
     replicate_store,
     shard_batch,
+    shard_opt_state_zero1,
+    zero1_state_shardings,
 )
 
 __all__ = [
@@ -22,4 +24,6 @@ __all__ = [
     "fit",
     "replicate_store",
     "shard_batch",
+    "shard_opt_state_zero1",
+    "zero1_state_shardings",
 ]

@@ -119,3 +119,52 @@ def test_fit_partial_final_batch_trains_every_sample():
     np.testing.assert_allclose(losses, [float(l1), float(l2)], rtol=1e-9)
     for k, v in trainable.items():
         np.testing.assert_allclose(np.asarray(store[k]), np.asarray(v), rtol=1e-9)
+
+
+def test_zero1_sharded_optimizer_matches_replicated():
+    """ZeRO-1: optimizer state sharded over the data axis, gradients
+    reduce-scattered, updates all-gathered — numerically identical to the
+    replicated data-parallel step, with the Adam moments actually sharded."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from cirkit_tpu.parallel.training import shard_opt_state_zero1
+
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = _small_image_circuit(ctx)
+    mesh = default_mesh(8)
+    trainable, frozen = split_trainable(cc, ctx.parameters)
+    data = np.random.default_rng(4).integers(0, 256, size=(64, 16)).astype(np.int32)
+    opt = optax.adam(1e-2)
+
+    # replicated reference: two steps
+    tr_r = replicate_store(trainable, mesh)
+    fr_r = replicate_store(frozen, mesh)
+    st_r = opt.init(tr_r)
+    step_r = data_parallel_step(cc, opt, mesh=mesh)
+    b1, b2 = shard_batch(data[:32], mesh), shard_batch(data[32:], mesh)
+    tr_r, st_r, l1r = step_r(tr_r, fr_r, st_r, b1)
+    tr_r, st_r, l2r = step_r(tr_r, fr_r, st_r, b2)
+
+    # ZeRO-1 step
+    tr_z = replicate_store(trainable, mesh)
+    fr_z = replicate_store(frozen, mesh)
+    st_z = shard_opt_state_zero1(opt.init(tr_z), mesh)
+    step_z = data_parallel_step(cc, opt, mesh=mesh, zero1=True)
+    tr_z, st_z, l1z = step_z(tr_z, fr_z, st_z, shard_batch(data[:32], mesh))
+    tr_z, st_z, l2z = step_z(tr_z, fr_z, st_z, shard_batch(data[32:], mesh))
+
+    np.testing.assert_allclose([float(l1z), float(l2z)], [float(l1r), float(l2r)], rtol=1e-12)
+    for k in tr_r:
+        np.testing.assert_allclose(
+            np.asarray(tr_z[k]), np.asarray(tr_r[k]), rtol=1e-12, atol=1e-15, err_msg=k
+        )
+    # the moments must actually be sharded over the data axis
+    sharded_leaves = [
+        leaf
+        for leaf in jax.tree_util.tree_leaves(st_z)
+        if hasattr(leaf, "sharding")
+        and leaf.ndim >= 1
+        and leaf.sharding.spec == P("data")
+    ]
+    assert sharded_leaves, "expected at least one ZeRO-sharded optimizer leaf"
