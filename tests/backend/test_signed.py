@@ -146,3 +146,64 @@ def test_signed_integrate_query():
     want = sq_vals.reshape(3, 3).sum(axis=1)
     np.testing.assert_allclose(got.reshape(3, 3)[:, 0], want, rtol=1e-9)
     np.testing.assert_allclose(got.reshape(3, 3)[:, 1], want, rtol=1e-9)
+
+
+def test_signed_sos_mle_training_decreases_nll():
+    """Maximum-likelihood training of a squared non-monotonic circuit under
+    the signed semiring: minimize -log(|c(x)|^2 / Z) — fully differentiable
+    through the signed ops (sign components carry zero gradients)."""
+    import optax
+
+    sc = _nonmonotonic_pc()
+    ctx = PipelineContext(semiring="signed-lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    sq = ctx.multiply(ctx.conjugate(cc), cc)
+    zc = ctx.integrate(sq)
+
+    # data concentrated on one world: training must raise its likelihood.
+    # Train only the (sign-unconstrained) sum weight; the raw categorical
+    # probs stay frozen (training them unconstrained would need a softmax
+    # reparameterization, which is orthogonal to what this test pins).
+    data = jnp.asarray(np.array([[1, 2]] * 32 + [[0, 0]] * 8))
+    store = dict(ctx.parameters)
+    weight_slots = {
+        k for k in cc.learnable_slots if store[k].shape[1:] == (1, 2)
+    }
+    assert weight_slots, sorted(cc.learnable_slots)
+    tr = {k: v for k, v in store.items() if k in weight_slots}
+    fr = {k: v for k, v in store.items() if k not in tr}
+    opt = optax.adam(5e-2)
+    opt_state = opt.init(tr)
+
+    @jax.jit
+    def step(tr, opt_state):
+        def loss(tr):
+            st = {**tr, **fr}
+            ll, _ = sq.evaluate(st, data)
+            za, _ = zc.evaluate(st, data[:1])
+            return -jnp.mean(ll) + za[0, 0, 0]
+
+        l, g = jax.value_and_grad(loss)(tr)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(tr, updates), opt_state, l
+
+    losses = []
+    for _ in range(40):
+        tr, opt_state, l = step(tr, opt_state)
+        losses.append(float(l))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] - 0.5, (losses[0], losses[-1])
+
+    # the trained model must stay normalized and raise the likelihood of
+    # the frequent world relative to initialization
+    worlds = enumerate_worlds(2, 3)
+
+    def world_probs(st):
+        ll, _ = sq.evaluate(st, worlds)
+        za, _ = zc.evaluate(st, worlds[:1])
+        return np.exp(np.asarray(ll)[:, 0, 0] - float(za[0, 0, 0]))
+
+    probs0 = world_probs(store)
+    probs1 = world_probs({**tr, **fr})
+    np.testing.assert_allclose(probs1.sum(), 1.0, rtol=1e-6)
+    assert probs1[1 * 3 + 2] > probs0[1 * 3 + 2]

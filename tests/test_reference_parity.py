@@ -405,3 +405,30 @@ def test_quadgraph_flagship_structure_parity(sum_product):
     assert outs["jax_types"] == outs["ref_types"]
     np.testing.assert_allclose(outs["jax"], outs["ref"], rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(outs["jax_z"], outs["ref_z"], rtol=1e-9, atol=1e-9)
+
+
+def test_signed_semiring_sos_parity_with_reference_complex():
+    """The signed-lse-sum semiring (this repo's TPU-native SoS path; the
+    reference has no analogue) must agree with the reference torch backend
+    running the same squared circuit under its complex semiring."""
+    v = _values_embedding(np.random.default_rng(9))
+    worlds = _worlds(2, 2)
+
+    rapi = _ref_api()
+    rctx = _make_ctx(rapi, "complex-lse-sum")
+    rcc = rctx.compile(_build_embedding_pc(rapi, v))
+    rsq = rctx.multiply(rctx.conjugate(rcc), rcc)
+    ref_vals = np.exp(_run(rapi, rctx, rsq, worlds)[:, 0, 0]).real
+    ref_z = np.exp(complex(_scalar(_run(rapi, rctx, rctx.integrate(rsq), worlds[:1])))).real
+
+    japi = _jax_api()
+    jctx = _make_ctx(japi, "signed-lse-sum")
+    jcc = jctx.compile(_build_embedding_pc(japi, v))
+    jsq = jctx.multiply(jctx.conjugate(jcc), jcc)
+    logmag, sign = jsq.jit_evaluate(jctx.parameters, worlds)
+    got = np.asarray(sign)[:, 0, 0] * np.exp(np.asarray(logmag)[:, 0, 0])
+    za, zs = jctx.integrate(jsq).jit_evaluate(jctx.parameters, worlds[:1])
+    got_z = float(zs[0, 0, 0]) * np.exp(float(za[0, 0, 0]))
+
+    np.testing.assert_allclose(got, ref_vals, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(got_z, ref_z, rtol=1e-9)
