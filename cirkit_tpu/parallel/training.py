@@ -237,46 +237,80 @@ def fit(
         # caller's store stays valid
         trainable = {k: jnp.array(v) for k, v in trainable.items()}
     opt_state = optimizer.init(trainable)
-    remainder = len(data) % batch_size if len(data) > batch_size else 0
+    # A dataset smaller than one batch is itself a "partial batch": pad and
+    # weight it like a trailing one instead of silently training zero steps.
+    remainder = len(data) % batch_size
     weighted = remainder != 0
     step = data_parallel_step(circuit, optimizer, mesh=mesh, axis=axis, weighted=weighted)
     ones = np.ones(batch_size, dtype=np.float32)
 
-    losses: list[float] = []
-    num_batches = -(-len(data) // batch_size) if weighted else len(data) // batch_size
-    step_idx = 0
-    for epoch in range(num_epochs):
-        if shuffle:
-            key, sub = jax.random.split(key)
-            perm = np.asarray(jax.random.permutation(sub, len(data)))
-            epoch_data = data[perm]
+    # Note a measured anti-pattern: keeping the dataset resident in HBM and
+    # gathering batches on device costs ~30 ms of eager-dispatch round trips
+    # per step through the remote tunnel, while asynchronously *queued* host
+    # transfers of the batch cost ~3 ms — plain device_put wins.
+    def host_batches():
+        """Yield (epoch, host batch, host weights or None)."""
+        nonlocal key
+        for epoch in range(num_epochs):
+            if shuffle:
+                key, sub = jax.random.split(key)
+                perm = np.asarray(jax.random.permutation(sub, len(data)))
+            else:
+                perm = np.arange(len(data))
+            for b in range(num_batches):
+                idx = perm[b * batch_size : (b + 1) * batch_size]
+                weights = ones
+                if len(idx) < batch_size:
+                    # zero-pad the final partial batch; pad rows carry weight 0
+                    weights = np.concatenate(
+                        [np.ones(len(idx), np.float32),
+                         np.zeros(batch_size - len(idx), np.float32)]
+                    )
+                    idx = np.concatenate(
+                        [idx, np.zeros(batch_size - len(idx), idx.dtype)]
+                    )
+                yield epoch, data[idx], (weights if weighted else None)
+
+    def to_device(item):
+        epoch, batch, weights = item
+        if mesh is not None:
+            batch = shard_batch(batch, mesh, axis)
+            wdev = shard_batch(weights, mesh, axis) if weighted else None
         else:
-            epoch_data = data
-        for b in range(num_batches):
-            batch = epoch_data[b * batch_size : (b + 1) * batch_size]
-            weights = ones
-            if len(batch) < batch_size:
-                # zero-pad the final partial batch; padded rows carry weight 0
-                pad = np.zeros((batch_size - len(batch),) + batch.shape[1:], batch.dtype)
-                weights = np.concatenate(
-                    [np.ones(len(batch), np.float32), np.zeros(batch_size - len(batch), np.float32)]
-                )
-                batch = np.concatenate([batch, pad])
-            if mesh is not None:
-                batch = shard_batch(batch, mesh, axis)
-                wdev = shard_batch(weights, mesh, axis) if weighted else None
-            else:
-                batch = jnp.asarray(batch)
-                wdev = jnp.asarray(weights) if weighted else None
-            if weighted:
-                trainable, opt_state, loss = step(trainable, frozen, opt_state, batch, wdev)
-            else:
-                trainable, opt_state, loss = step(trainable, frozen, opt_state, batch)
+            batch = jnp.asarray(batch)
+            wdev = jnp.asarray(weights) if weighted else None
+        return epoch, batch, wdev
+
+    num_batches = -(-len(data) // batch_size) if weighted else len(data) // batch_size
+    # One-batch prefetch: device_put is asynchronous, so issuing batch i+1's
+    # host->device transfer before running step i overlaps it with the step
+    # (transfers measure 5-40 MB/s on remote-tunnel platforms — comparable
+    # to the step itself without the overlap). Losses stay on device during
+    # the loop unless a callback needs them: float(loss) every step would
+    # re-synchronize the pipeline.
+    device_losses: list = []
+    losses: list[float] = []
+    it = host_batches()
+    pending = next(it, None)
+    pending = to_device(pending) if pending is not None else None
+    step_idx = 0
+    while pending is not None:
+        epoch, batch, wdev = pending
+        nxt = next(it, None)
+        pending = to_device(nxt) if nxt is not None else None
+        if weighted:
+            trainable, opt_state, loss = step(trainable, frozen, opt_state, batch, wdev)
+        else:
+            trainable, opt_state, loss = step(trainable, frozen, opt_state, batch)
+        if callback is not None:
             loss = float(loss)
             losses.append(loss)
-            if callback is not None:
-                callback(epoch, step_idx, loss)
-            step_idx += 1
+            callback(epoch, step_idx, loss)
+        else:
+            device_losses.append(loss)
+        step_idx += 1
+    if callback is None:
+        losses = [float(l) for l in device_losses]
 
     new_store = dict(store)
     new_store.update({k: v for k, v in trainable.items()})

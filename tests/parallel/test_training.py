@@ -121,6 +121,20 @@ def test_fit_partial_final_batch_trains_every_sample():
         np.testing.assert_allclose(np.asarray(store[k]), np.asarray(v), rtol=1e-9)
 
 
+def test_fit_dataset_smaller_than_batch_trains_one_weighted_step():
+    """A dataset smaller than one batch is padded and trained as a single
+    weighted step — not silently skipped."""
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = _small_image_circuit(ctx)
+    data = np.random.default_rng(5).integers(0, 256, size=(10, 16))
+    store, losses = fit(
+        cc, data, num_epochs=3, batch_size=64, optimizer=optax.sgd(0.05),
+        key=jax.random.PRNGKey(0),
+    )
+    assert len(losses) == 3  # one step per epoch
+    assert losses[-1] < losses[0]
+
+
 def test_zero1_sharded_optimizer_matches_replicated():
     """ZeRO-1: optimizer state sharded over the data axis, gradients
     reduce-scattered, updates all-gathered — numerically identical to the
