@@ -16,6 +16,13 @@ EXAMPLES = {
     "learning_a_gmm": {"EPOCHS": "12"},
     "learning_a_circuit": {"SIDE": "4", "UNITS": "4", "EPOCHS": "1"},
     "learning_a_qpc": {"SIDE": "4", "UNITS": "4", "STEPS": "4"},
+    "classifier_circuit": {
+        "SIDE": "4", "UNITS": "4", "STEPS": "10", "BATCH": "64", "LAMBDAS": "0.5",
+    },
+    "region_graphs_comparison": {
+        "SIDE": "4", "UNITS": "4", "EPOCHS": "1", "BATCH": "128",
+        "REGION_GRAPHS": "quad-tree-2", "LAYERS": "cp,tucker",
+    },
 }
 
 
