@@ -76,14 +76,19 @@ def bench_config(sum_product: str, num_units: int, batch: int, iters: int, optim
     return batch / per_batch, per_batch, build_s, compile_s
 
 
-def bench_train(sum_product: str, num_units: int, batch: int, iters: int, optimize: bool):
+def bench_train(
+    sum_product: str, num_units: int, batch: int, iters: int, optimize: bool,
+    lowmem: bool = False,
+):
     """North-star training throughput: full jitted MLE step (fwd + bwd +
-    adam update) on the MNIST-shaped circuit."""
+    adam update) on the MNIST-shaped circuit. ``lowmem`` swaps optax.adam
+    for the bf16-state stochastic-rounding Adam (docs/PERF.md)."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from cirkit_tpu.models import image_data
+    from cirkit_tpu.parallel.optimizers import adam_lowmem
     from cirkit_tpu.parallel.training import data_parallel_step, split_trainable
     from cirkit_tpu.pipeline import PipelineContext
 
@@ -98,7 +103,7 @@ def bench_train(sum_product: str, num_units: int, batch: int, iters: int, optimi
     ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=optimize)
     cc = ctx.compile(sc)
     trainable, frozen = split_trainable(cc, ctx.parameters)
-    optimizer = optax.adam(1e-2)
+    optimizer = adam_lowmem(1e-2) if lowmem else optax.adam(1e-2)
     opt_state = optimizer.init(trainable)
     step = data_parallel_step(cc, optimizer)
     x = jnp.asarray(
@@ -207,6 +212,12 @@ def main() -> None:
         tr_sps, tr_ms = bench_train(sum_product, num_units, batch, max(iters // 2, 10), optimize)
         result[f"train_{sum_product}_samples_per_sec"] = round(tr_sps, 1)
         result[f"train_{sum_product}_step_ms"] = round(tr_ms * 1e3, 2)
+        # bf16-state Adam: same step with half the optimizer HBM traffic
+        lm_sps, lm_ms = bench_train(
+            sum_product, num_units, batch, max(iters // 2, 10), optimize, lowmem=True
+        )
+        result[f"train_{sum_product}_lowmem_samples_per_sec"] = round(lm_sps, 1)
+        result[f"train_{sum_product}_lowmem_step_ms"] = round(lm_ms * 1e3, 2)
         if sum_product != "cp":
             tr_sps, tr_ms = bench_train("cp", num_units, 256, max(iters // 2, 10), optimize)
             result["train_cp_samples_per_sec"] = round(tr_sps, 1)

@@ -1,3 +1,4 @@
+from cirkit_tpu.parallel.optimizers import adam_lowmem
 from cirkit_tpu.parallel.tensor import (
     shard_store_tp,
     tp_forward,
@@ -15,6 +16,7 @@ from cirkit_tpu.parallel.training import (
 )
 
 __all__ = [
+    "adam_lowmem",
     "data_parallel_step",
     "shard_store_tp",
     "tp_forward",

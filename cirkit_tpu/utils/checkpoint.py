@@ -32,7 +32,12 @@ def _flatten(tree: Any) -> dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = json.dumps([_path_entry(p) for p in path])
-        flat[key] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        if arr.dtype.kind == "V":  # ml_dtypes (bfloat16, ...): not npz-native
+            arr = arr.astype(np.float32)  # lossless widening; load_store
+            flat[key] = arr  # casts back to ``like``'s dtype on restore
+        else:
+            flat[key] = arr
     return flat
 
 
@@ -69,13 +74,19 @@ def load_store(path: str | PathLike[str], like: Any | None = None) -> Any:
         stored = {json.dumps(p): v for p, v in items}
         paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(like)
         leaves = []
-        for path_entries, _ in paths_and_leaves:
+        for path_entries, like_leaf in paths_and_leaves:
             key = json.dumps([_path_entry(p) for p in path_entries])
             if key not in stored:
                 raise KeyError(
                     f"Checkpoint {path!s} has no entry for pytree path {key}"
                 )
-            leaves.append(stored[key])
+            value = stored[key]
+            # non-npz-native dtypes (e.g. bf16 optimizer moments) were saved
+            # widened to float32; restore the target leaf's dtype
+            like_dtype = getattr(like_leaf, "dtype", None)
+            if like_dtype is not None and value.dtype != like_dtype:
+                value = value.astype(like_dtype)
+            leaves.append(value)
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
     def insert(container, path, value):

@@ -87,6 +87,31 @@ def test_store_roundtrip_optimizer_state_with_like(tmp_path):
         load_store(tmp_path / "opt.npz", like={"params": params, "missing": params})
 
 
+def test_store_roundtrip_bf16_optimizer_state(tmp_path):
+    """bfloat16 leaves (adam_lowmem moments) are not npz-native: they save
+    widened to float32 and restore back to bf16 via the ``like`` dtypes,
+    bit-exactly (bf16 -> f32 is lossless)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cirkit_tpu.parallel import adam_lowmem
+
+    params = {"w": jnp.linspace(-1, 1, 16, dtype=jnp.float32)}
+    opt = adam_lowmem(1e-2)
+    state = opt.init(params)
+    _, state = opt.update({"w": jnp.ones((16,), jnp.float32)}, state, params)
+
+    save_store(tmp_path / "lm.npz", state)
+    restored = load_store(tmp_path / "lm.npz", like=opt.init(params))
+    assert restored.mu["w"].dtype == jnp.bfloat16
+    assert int(restored.count) == 1
+    np.testing.assert_array_equal(
+        np.asarray(restored.nu["w"], np.float32), np.asarray(state.nu["w"], np.float32)
+    )
+    # the restored state drives the next update without error
+    opt.update({"w": jnp.ones((16,), jnp.float32)}, restored, params)
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path):
     import jax.numpy as jnp
 
