@@ -1,6 +1,6 @@
 from cirkit_tpu.backend.jax.circuit import JaxCircuit
 from cirkit_tpu.backend.jax.compiler import JaxCompiler
-from cirkit_tpu.backend.jax.queries import IntegrateQuery, Query, SamplingQuery
+from cirkit_tpu.backend.jax.queries import IntegrateQuery, MAPQuery, Query, SamplingQuery
 from cirkit_tpu.backend.jax.semiring import (
     ComplexLSESumSemiring,
     LSESumSemiring,
@@ -18,6 +18,7 @@ __all__ = [
     "SemiringImpl",
     "SumProductSemiring",
     "IntegrateQuery",
+    "MAPQuery",
     "Query",
     "SamplingQuery",
 ]

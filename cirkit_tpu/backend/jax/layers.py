@@ -35,6 +35,7 @@ from cirkit_tpu.backend.jax.semiring import (
     Semiring,
     SumProductSemiring,
 )
+from cirkit_tpu.backend.jax.utils import safelog
 
 tmap = jax.tree_util.tree_map
 """Value-space shape ops map over the semiring value's pytree leaves (a
@@ -299,6 +300,13 @@ class JaxInputLayer(JaxLayer, ABC):
         """Sample the encoded distribution: (F, K, N)."""
         raise TypeError(f"Sampling is not supported for {type(self).__name__}")
 
+    def mpe(self, store: Store) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Per-unit mode: the (max log-value (F, K), argmax state (F, K))
+        pair under the same (possibly unnormalized) measure as ``forward``.
+        Drives :class:`cirkit_tpu.backend.jax.queries.MAPQuery` — an
+        extension; the reference has no MAP/MPE query."""
+        raise TypeError(f"MPE is not supported for {type(self).__name__}")
+
 
 class JaxConstantInputLayer(JaxInputLayer, ABC):
     """An input layer over the empty scope: forward takes the batch size."""
@@ -402,6 +410,10 @@ class JaxCategoricalLayer(JaxExpFamilyLayer):
         )  # (N, F, K)
         return jnp.transpose(samples, (1, 2, 0))
 
+    def mpe(self, store):
+        lp = self._log_probs(store)  # (F, K, C), same measure as forward
+        return jnp.max(lp, axis=2), jnp.argmax(lp, axis=2)
+
 
 class JaxEmbeddingLayer(JaxInputLayer):
     """Embedding units: look up one weight column per observed state."""
@@ -446,6 +458,10 @@ class JaxEmbeddingLayer(JaxInputLayer):
     def integrate(self, store):
         value = self.weight(store).sum(axis=2)  # (F, K)
         return self.semiring.map_from(value, SumProductSemiring)
+
+    def mpe(self, store):
+        lw = safelog(self.weight(store))  # (F, K, S)
+        return jnp.max(lw, axis=2), jnp.argmax(lw, axis=2)
 
 
 class JaxBinomialLayer(JaxExpFamilyLayer):
@@ -513,6 +529,19 @@ class JaxBinomialLayer(JaxExpFamilyLayer):
         samples = (u < p[None, None]).sum(axis=1)  # (N, F, K)
         return jnp.transpose(samples, (1, 2, 0))
 
+    def mpe(self, store):
+        logits = self._logits(store)  # (F, K)
+        n = self.total_count
+        p = jax.nn.sigmoid(logits)
+        mode = jnp.clip(jnp.floor((n + 1) * p), 0, n)  # Binomial mode
+        log_comb = (
+            jax.scipy.special.gammaln(n + 1.0)
+            - jax.scipy.special.gammaln(mode + 1.0)
+            - jax.scipy.special.gammaln(n - mode + 1.0)
+        )
+        val = log_comb + mode * logits - n * jax.nn.softplus(logits)
+        return val, mode.astype(jnp.int32)
+
 
 class JaxGaussianLayer(JaxExpFamilyLayer):
     """Gaussian units, optionally unnormalized via a log-partition parameter."""
@@ -566,6 +595,14 @@ class JaxGaussianLayer(JaxExpFamilyLayer):
         eps = jax.random.normal(key, (num_samples, *mean.shape), dtype=mean.dtype)
         samples = mean[None] + stddev[None] * eps  # (N, F, K)
         return jnp.transpose(samples, (1, 2, 0))
+
+    def mpe(self, store):
+        mean = self.mean(store)  # (F, K)
+        stddev = self.stddev(store)
+        val = -jnp.log(stddev) - 0.5 * math.log(2.0 * math.pi)  # density at mean
+        if self.log_partition is not None:
+            val = val + self.log_partition(store)
+        return val, mean
 
 
 class JaxConstantValueLayer(JaxConstantInputLayer):

@@ -193,3 +193,165 @@ def _pad_samples(samples: jnp.ndarray, scope_idx: np.ndarray, num_vars: int) -> 
         raise NotImplementedError("Padding is only implemented for univariate samples")
     one_hot = jax.nn.one_hot(scope_idx[:, 0], num_vars, dtype=samples.dtype)  # (F, D)
     return samples[:, :, :, None] * one_hot[:, None, None, :]
+
+
+class MAPQuery(Query):
+    """Max-product MPE (most-probable-explanation) through the evaluation
+    plan — an extension beyond the reference, whose only queries are
+    integration and sampling (ref: ``backend/torch/queries.py:19-275``).
+
+    Sum-style layers take the *max* over their mixture inputs instead of
+    the sum and route the argmax child's assignment upward; input layers
+    contribute their per-unit mode. With evidence, observed variables
+    contribute their data log-likelihood instead, so the query completes
+    partial assignments: ``argmax_{x_miss} p(x_miss, x_obs)`` per sample
+    (image inpainting, classification under missing features, ...). The
+    evidence mask is a runtime argument — one jitted program serves every
+    query, like :class:`IntegrateQuery`.
+
+    Exact on deterministic (selective) circuits; otherwise the standard
+    max-product approximation, where the returned log-value is the weight
+    of the best latent parse — a lower bound on the returned assignment's
+    true log-probability. Requires normalized non-negative sum weights
+    (the latent-variable semantics :class:`SamplingQuery` also assumes)
+    and a circuit compiled under the ``lse-sum`` semiring.
+    """
+
+    def __init__(self, circuit: JaxCircuit) -> None:
+        from cirkit_tpu.backend.jax.semiring import LSESumSemiring
+
+        if not (circuit.properties.smooth and circuit.properties.decomposable):
+            raise ValueError(
+                f"The circuit to maximize must be smooth and decomposable, "
+                f"but found {circuit.properties}"
+            )
+        if circuit.semiring is not LSESumSemiring:
+            raise ValueError(
+                "MAPQuery requires a circuit compiled under the 'lse-sum' "
+                f"semiring, found {circuit.semiring.__name__}"
+            )
+        self._circuit = circuit
+
+    def __call__(
+        self,
+        x: jnp.ndarray | np.ndarray | None = None,
+        *,
+        evidence_mask: jnp.ndarray | np.ndarray | None = None,
+        store: Store | None = None,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Compute MPE states: returns ``(assignments (B, D), log_values
+        (B,))``. Unconditional when ``x`` is None (B=1); otherwise
+        ``evidence_mask`` (B, D) or (D,) marks the *observed* entries of
+        ``x`` and free variables are maximized per sample."""
+        cc = self._circuit
+        num_vars = max(cc.scope) + 1
+        if x is None:
+            if evidence_mask is not None:
+                raise ValueError("evidence_mask requires an input batch x")
+            x = jnp.zeros((1, num_vars))
+            mask = jnp.zeros((1, num_vars), dtype=bool)
+        else:
+            if evidence_mask is None:
+                raise ValueError(
+                    "Pass evidence_mask marking the observed entries of x "
+                    "(an all-False mask reproduces the unconditional query)"
+                )
+            x = jnp.asarray(x)
+            mask = jnp.asarray(evidence_mask)
+            if mask.dtype != jnp.bool_:
+                raise ValueError(f"Expected a boolean mask, found dtype {mask.dtype}")
+            if mask.ndim == 1:
+                mask = jnp.broadcast_to(mask[None], (x.shape[0], mask.shape[0]))
+        if store is None:
+            store = getattr(cc, "default_store", None)
+            if store is None:
+                raise ValueError("No parameter store bound; pass store=...")
+        store = cc.restrict_store(store)
+
+        fn = getattr(cc, "_map_jit", None)
+        if fn is None:
+            fn = jax.jit(self._build_run())
+            cc._map_jit = fn
+        vals, asgs = fn(store, x, mask)  # (O, K, B), (O, K, B, D)
+        return asgs[0, 0], vals[0, 0]
+
+    def _build_run(self):
+        from cirkit_tpu.backend.jax.layers import (
+            JaxConstantInputLayer,
+            JaxHadamardLayer,
+            JaxKroneckerLayer,
+            JaxSumLayer,
+        )
+        from cirkit_tpu.backend.jax.optimized import JaxCPTLayer, JaxTuckerLayer
+        from cirkit_tpu.backend.jax.utils import safelog
+
+        cc = self._circuit
+        num_vars = max(cc.scope) + 1
+
+        def _max_step(w, val, asg):
+            """Max-route through a (F, O, M) weight: val (F, M, B),
+            asg (F, M, B, D) -> (F, O, B), (F, O, B, D)."""
+            scores = safelog(w)[:, :, :, None] + val[:, None, :, :]  # (F, O, M, B)
+            idx = jnp.argmax(scores, axis=2)  # (F, O, B)
+            f_idx = jnp.arange(asg.shape[0])[:, None, None]
+            b_idx = jnp.arange(asg.shape[2])[None, None, :]
+            return jnp.max(scores, axis=2), asg[f_idx, idx, b_idx]
+
+        def _combine(val, asg):
+            """Kronecker-combine arity inputs row-major: (F, H, K, B) ->
+            (F, K^H, B) by addition (disjoint scopes)."""
+            v, a = val[:, 0], asg[:, 0]
+            for h in range(1, val.shape[1]):
+                f, _, b = v.shape
+                v = (v[:, :, None, :] + val[:, h][:, None, :, :]).reshape(f, -1, b)
+                a = (a[:, :, None] + asg[:, h][:, None]).reshape(f, -1, b, num_vars)
+            return v, a
+
+        def _run(st, xx, mk):
+            def layer_fn(layer: JaxLayer, s, xin):
+                if isinstance(layer, JaxConstantInputLayer):
+                    raise NotImplementedError(
+                        f"MAP is not supported for {type(layer).__name__}"
+                    )
+                if isinstance(layer, JaxInputLayer):
+                    if layer.num_variables != 1:
+                        raise NotImplementedError(
+                            "MAP of multivariate input layers is not supported"
+                        )
+                    mode_val, mode_arg = layer.mpe(s)  # (F, K)
+                    obs_val = jnp.transpose(layer(s, xin), (0, 2, 1))  # (F, K, B)
+                    xi = xin[..., 0].astype(obs_val.dtype)  # (F, B)
+                    m = jnp.transpose(mk[:, layer.scope_idx[:, 0]], (1, 0))[:, None, :]
+                    val = jnp.where(m, obs_val, mode_val[:, :, None])
+                    arg = jnp.where(
+                        m, xi[:, None, :], mode_arg.astype(obs_val.dtype)[:, :, None]
+                    )  # (F, K, B)
+                    one_hot = jax.nn.one_hot(
+                        layer.scope_idx[:, 0], num_vars, dtype=obs_val.dtype
+                    )  # (F, D)
+                    return val, arg[..., None] * one_hot[:, None, None, :]
+                val, asg = xin  # (F, H, K, B), (F, H, K, B, D)
+                if isinstance(layer, JaxHadamardLayer):
+                    return val.sum(axis=1), asg.sum(axis=1)
+                if isinstance(layer, JaxKroneckerLayer):
+                    return _combine(val, asg)
+                if isinstance(layer, JaxTuckerLayer):
+                    v, a = _combine(val, asg)
+                    return _max_step(layer.weight(s), v, a)
+                if isinstance(layer, JaxCPTLayer):
+                    return _max_step(layer.weight(s), val.sum(axis=1), asg.sum(axis=1))
+                if isinstance(layer, JaxSumLayer):
+                    f, h, k, b = val.shape
+                    return _max_step(
+                        layer.weight(s),
+                        val.reshape(f, h * k, b),
+                        asg.reshape(f, h * k, b, num_vars),
+                    )
+                raise NotImplementedError(
+                    f"MAP is not supported for {type(layer).__name__} "
+                    "(compile with optimize=False for Kronecker-shattered sums)"
+                )
+
+            return cc.evaluate_raw(st, xx, module_fn=layer_fn)
+
+        return _run

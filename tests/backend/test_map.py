@@ -1,0 +1,156 @@
+"""MAPQuery tests: max-product MPE against exhaustive enumeration with a
+numpy max-eval oracle, conditional completion, full-evidence consistency,
+optimized (Tucker/CPT) circuits, Gaussian modes, and error cases. The query
+is an extension — the reference has no MAP/MPE query."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cirkit_tpu.backend.jax.queries import MAPQuery
+from cirkit_tpu.pipeline import PipelineContext
+
+from tests.fixtures import (
+    build_bivariate_categorical_pc,
+    build_bivariate_gaussian_pc,
+    build_multivariate_categorical_pc,
+)
+from tests.reference_eval import max_eval_circuit, mpe_by_enumeration
+
+
+@pytest.mark.parametrize("fold", [False, True])
+@pytest.mark.parametrize("product", ["hadamard", "kronecker"])
+def test_map_unconditional_matches_enumeration(fold, product):
+    sc = build_bivariate_categorical_pc(product=product, rng=np.random.default_rng(30))
+    ctx = PipelineContext(semiring="lse-sum", fold=fold)
+    cc = ctx.compile(sc)
+    asg, val = MAPQuery(cc)(store=ctx.parameters)
+    want_asg, want_val = mpe_by_enumeration(sc, 3)
+    np.testing.assert_array_equal(np.asarray(asg[0]).astype(int), want_asg)
+    np.testing.assert_allclose(float(val[0]), np.log(want_val), rtol=1e-9)
+
+
+def test_map_deep_circuit_matches_enumeration():
+    sc = build_multivariate_categorical_pc(num_variables=4, rng=np.random.default_rng(31))
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    asg, val = MAPQuery(cc)(store=ctx.parameters)
+    want_asg, want_val = mpe_by_enumeration(sc, 2)
+    np.testing.assert_array_equal(np.asarray(asg[0]).astype(int), want_asg)
+    np.testing.assert_allclose(float(val[0]), np.log(want_val), rtol=1e-9)
+
+
+def test_map_conditional_completion_matches_restricted_enumeration():
+    """Pin variable 0 to each category; the query must return the best
+    completion over the free variables, per sample, in one batched call."""
+    sc = build_multivariate_categorical_pc(num_variables=4, rng=np.random.default_rng(32))
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    query = MAPQuery(cc)
+    x = np.zeros((2, 4), dtype=np.int64)
+    x[:, 0] = [0, 1]
+    mask = np.zeros((2, 4), dtype=bool)
+    mask[:, 0] = True
+    asg, val = query(x, evidence_mask=mask, store=ctx.parameters)
+    for b in range(2):
+        observed = np.array([x[b, 0], -1, -1, -1])
+        want_asg, want_val = mpe_by_enumeration(sc, 2, observed=observed)
+        np.testing.assert_array_equal(np.asarray(asg[b]).astype(int), want_asg)
+        np.testing.assert_allclose(float(val[b]), np.log(want_val), rtol=1e-9)
+
+
+def test_map_full_evidence_returns_input_and_best_parse_value():
+    sc = build_multivariate_categorical_pc(num_variables=4, rng=np.random.default_rng(33))
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    from tests.reference_eval import enumerate_worlds
+
+    worlds = enumerate_worlds(4, 2)
+    mask = np.ones((len(worlds), 4), dtype=bool)
+    asg, val = MAPQuery(cc)(worlds, evidence_mask=mask, store=ctx.parameters)
+    np.testing.assert_array_equal(np.asarray(asg).astype(int), worlds)
+    want = np.log(max_eval_circuit(sc, worlds)[:, 0, 0])
+    np.testing.assert_allclose(np.asarray(val), want, rtol=1e-9)
+
+
+def test_map_all_false_mask_equals_unconditional():
+    sc = build_bivariate_categorical_pc(rng=np.random.default_rng(34))
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    query = MAPQuery(cc)
+    asg_u, val_u = query(store=ctx.parameters)
+    x = np.array([[2, 2], [0, 1]], dtype=np.int64)
+    asg_c, val_c = query(x, evidence_mask=np.zeros((2, 2), dtype=bool), store=ctx.parameters)
+    for b in range(2):
+        np.testing.assert_array_equal(np.asarray(asg_c[b]), np.asarray(asg_u[0]))
+        np.testing.assert_allclose(float(val_c[b]), float(val_u[0]), rtol=1e-12)
+
+
+def test_map_gaussian_mode_routing():
+    """Continuous MPE: the returned assignment is the mean pair of the
+    best-scoring mixture component."""
+    sc = build_bivariate_gaussian_pc(num_units=3, rng=np.random.default_rng(35))
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    asg, val = MAPQuery(cc)(store=ctx.parameters)
+
+    from tests.reference_eval import eval_parameter
+
+    layers = [l for l in sc.topological_ordering()][:2]
+    means = np.stack([eval_parameter(l.mean) for l in layers])  # (2, K)
+    stds = np.stack([eval_parameter(l.stddev) for l in layers])
+    sum_layer = sc.outputs[0]
+    w = eval_parameter(sum_layer.weight)[0]  # (K,)
+    # best parse: argmax_k w_k * N_1k(mean_1k) * N_2k(mean_2k)
+    peak = 1.0 / (stds * np.sqrt(2 * np.pi))
+    scores = w * peak.prod(axis=0)
+    k_star = int(np.argmax(scores))
+    np.testing.assert_allclose(np.asarray(asg[0]), means[:, k_star], rtol=1e-9)
+    np.testing.assert_allclose(float(val[0]), np.log(scores[k_star]), rtol=1e-9)
+
+
+def test_map_on_optimized_image_circuit():
+    """Template circuit compiled folded+optimized (Tucker fusions): MAP runs
+    through the fused layers; full-evidence values must lower-bound the true
+    log-likelihood, and observed entries must round-trip."""
+    from cirkit_tpu.models import image_data
+
+    sc = image_data(
+        (1, 4, 4), "quad-graph", input_layer="categorical",
+        num_input_units=3, sum_product_layer="tucker", num_sum_units=3,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=True, seed=5)
+    cc = ctx.compile(sc)
+    query = MAPQuery(cc)
+    rng = np.random.default_rng(36)
+    x = rng.integers(0, 256, size=(3, 16))
+    mask = rng.random((3, 16)) < 0.5
+    asg, val = query(x, evidence_mask=mask, store=ctx.parameters)
+    asg = np.asarray(asg)
+    np.testing.assert_array_equal(asg[mask].astype(int), x[mask])
+    # best-parse weight lower-bounds the completed assignment's likelihood
+    ll = np.asarray(cc.evaluate(ctx.parameters, jnp.asarray(asg.astype(np.int64))))[:, 0, 0]
+    assert (np.asarray(val) <= ll + 1e-6).all()
+    assert np.isfinite(np.asarray(val)).all()
+
+
+def test_map_errors():
+    sc = build_bivariate_categorical_pc(rng=np.random.default_rng(37))
+    ctx = PipelineContext(semiring="sum-product", fold=True)
+    cc = ctx.compile(sc)
+    with pytest.raises(ValueError, match="lse-sum"):
+        MAPQuery(cc)
+
+    ctx2 = PipelineContext(semiring="lse-sum", fold=True)
+    cc2 = ctx2.compile(sc)
+    query = MAPQuery(cc2)
+    with pytest.raises(ValueError, match="evidence_mask"):
+        query(np.zeros((1, 2), dtype=np.int64), store=ctx2.parameters)
+    with pytest.raises(ValueError, match="boolean"):
+        query(
+            np.zeros((1, 2), dtype=np.int64),
+            evidence_mask=np.zeros((1, 2), dtype=np.int64),
+            store=ctx2.parameters,
+        )
+    with pytest.raises(ValueError, match="requires an input batch"):
+        query(evidence_mask=np.zeros((1, 2), dtype=bool), store=ctx2.parameters)

@@ -228,3 +228,48 @@ def partition_function(sc: sym_circuit.Circuit, num_states: int) -> np.ndarray:
     """Exhaustive-sum partition function of a discrete circuit: (O, K)."""
     worlds = enumerate_worlds(sc.num_variables, num_states)
     return eval_circuit(sc, worlds).sum(axis=0)
+
+
+def max_eval_circuit(sc: sym_circuit.Circuit, x: np.ndarray) -> np.ndarray:
+    """Best-parse (max-product) values on (B, D) assignments -> (B, O, K):
+    sum layers take the max over their weighted inputs instead of summing.
+    The ground truth for MAPQuery (max over worlds of this = the MPE)."""
+    values: dict[sym_layers.Layer, np.ndarray] = {}
+    for sl in sc.topological_ordering():
+        if isinstance(sl, sym_layers.InputLayer):
+            cols = sorted(sl.scope)
+            values[sl] = eval_input_layer(sl, x[:, cols] if cols else x[:, :0])
+            continue
+        ins = [values[i] for i in sc.layer_inputs(sl)]
+        if isinstance(sl, sym_layers.HadamardLayer):
+            out = ins[0]
+            for other in ins[1:]:
+                out = out * other
+            values[sl] = out
+        elif isinstance(sl, sym_layers.KroneckerLayer):
+            out = ins[0]
+            for other in ins[1:]:
+                out = (out[:, :, None] * other[:, None, :]).reshape(x.shape[0], -1)
+            values[sl] = out
+        elif isinstance(sl, sym_layers.SumLayer):
+            w = eval_parameter(sl.weight)
+            cat = np.concatenate(ins, axis=1)
+            values[sl] = (cat[:, None, :] * w[None]).max(axis=2)
+        else:
+            raise NotImplementedError(f"No max oracle rule for {type(sl).__name__}")
+    return np.stack([values[sl] for sl in sc.outputs], axis=1)
+
+
+def mpe_by_enumeration(
+    sc: sym_circuit.Circuit, num_states: int, observed: np.ndarray | None = None
+) -> tuple[np.ndarray, float]:
+    """Exhaustive MPE of a discrete single-output circuit: the world with
+    the largest best-parse value (restricted to worlds matching the
+    ``observed`` row — entries >= 0 are pinned)."""
+    worlds = enumerate_worlds(sc.num_variables, num_states)
+    if observed is not None:
+        keep = ((worlds == observed[None]) | (observed[None] < 0)).all(axis=1)
+        worlds = worlds[keep]
+    vals = max_eval_circuit(sc, worlds)[:, 0, 0]
+    best = int(np.argmax(vals))
+    return worlds[best], float(vals[best])
