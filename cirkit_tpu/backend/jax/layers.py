@@ -359,6 +359,11 @@ class JaxCategoricalLayer(JaxExpFamilyLayer):
         self.num_categories = num_categories
         self.probs = probs
         self.logits = logits
+        # Softmax-parameterized probs (the image_data default): compute
+        # log-probs as one fused log_softmax over the raw logits instead of
+        # log(softmax(theta)) — skips materializing the (F, K, C) softmax
+        # (51 MB on the MNIST flagship) and is the numerically stable form.
+        self._probs_logits_slot = None if probs is None else softmax_logits_slot(probs)
 
     @property
     def config(self) -> Mapping[str, Any]:
@@ -375,6 +380,8 @@ class JaxCategoricalLayer(JaxExpFamilyLayer):
 
     def _log_probs(self, store: Store) -> jnp.ndarray:
         if self.logits is None:
+            if self._probs_logits_slot is not None:
+                return jax.nn.log_softmax(store[self._probs_logits_slot], axis=-1)
             return jnp.log(self.probs(store))
         return self.logits(store)
 

@@ -170,6 +170,18 @@ def main() -> None:
         print(f"lambda={lam:.2f}, {int(missing * 100)}% pixels missing: "
               f"accuracy {100 * acc:5.1f}% (marginalized, no retraining)")
 
+    # ... or reconstruct them: MAP completion of the missing pixels
+    from cirkit_tpu.backend.jax.queries import MAPQuery
+
+    query = MAPQuery(circuit)
+    rng = np.random.default_rng(7)
+    n = min(len(x_te), 64)
+    mask = rng.random((n, x_te.shape[1])) < 0.5  # True = observed
+    completed, _ = query(jnp.asarray(x_te[:n]), evidence_mask=mask,
+                         store=stores[lam])
+    err = np.abs(np.asarray(completed)[~mask] - x_te[:n][~mask]).mean()
+    print(f"MAP inpainting of the 50% missing pixels: mean abs error {err:.1f}/255")
+
 
 if __name__ == "__main__":
     main()

@@ -134,6 +134,41 @@ def test_map_on_optimized_image_circuit():
     assert np.isfinite(np.asarray(val)).all()
 
 
+def test_map_mixing_sum_arity2_matches_enumeration():
+    """A sum over two product children (the mixing-layer shape, arity 2):
+    the max routes across the concatenated child units."""
+    from cirkit_tpu.symbolic import CategoricalLayer, Circuit, HadamardLayer, SumLayer
+    from cirkit_tpu.utils import Scope
+
+    from tests.fixtures import const_param
+
+    rng = np.random.default_rng(38)
+    k = 2
+
+    def leaf(v):
+        raw = rng.uniform(0.1, 1.0, size=(k, 3))
+        return CategoricalLayer(
+            Scope([v]), k, num_categories=3,
+            probs=const_param(raw / raw.sum(axis=1, keepdims=True)),
+        )
+
+    leaves = [leaf(0), leaf(1), leaf(0), leaf(1)]
+    prod1, prod2 = HadamardLayer(k, arity=2), HadamardLayer(k, arity=2)
+    root = SumLayer(k, 1, arity=2, weight=const_param(rng.uniform(0.1, 1.0, (1, 2 * k))))
+    sc = Circuit(
+        leaves + [prod1, prod2, root],
+        {prod1: leaves[:2], prod2: leaves[2:], root: [prod1, prod2]},
+        [root],
+    )
+    for fold in (False, True):
+        ctx = PipelineContext(semiring="lse-sum", fold=fold)
+        cc = ctx.compile(sc)
+        asg, val = MAPQuery(cc)(store=ctx.parameters)
+        want_asg, want_val = mpe_by_enumeration(sc, 3)
+        np.testing.assert_array_equal(np.asarray(asg[0]).astype(int), want_asg)
+        np.testing.assert_allclose(float(val[0]), np.log(want_val), rtol=1e-9)
+
+
 def test_map_errors():
     sc = build_bivariate_categorical_pc(rng=np.random.default_rng(37))
     ctx = PipelineContext(semiring="sum-product", fold=True)
