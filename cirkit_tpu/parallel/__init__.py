@@ -1,3 +1,4 @@
+from cirkit_tpu.parallel.em import em_slots, fit_em
 from cirkit_tpu.parallel.optimizers import adam_lowmem
 from cirkit_tpu.parallel.tensor import (
     shard_store_tp,
@@ -18,6 +19,8 @@ from cirkit_tpu.parallel.training import (
 __all__ = [
     "adam_lowmem",
     "data_parallel_step",
+    "em_slots",
+    "fit_em",
     "shard_store_tp",
     "tp_forward",
     "tp_slot_specs",

@@ -1,0 +1,173 @@
+"""Expectation-maximization training for monotonic circuits.
+
+EM is the classic PC parameter estimator (Peharz et al., "Einsum networks",
+2020): each sum unit is a latent mixture, the E-step computes **expected
+flows** — the expected number of times each mixture edge is used under the
+posterior — and the M-step sets the weights proportional to them. Neither
+the reference nor its notebooks implement EM (training is user-land SGD,
+SURVEY.md §3.5); this module is an extension.
+
+The flow trick makes the E-step one backward pass: for a normalized circuit
+with *plain* (unreparameterized) weight tensors, the expected flow of edge
+``(o, i)`` over a batch is ``w[o, i] * d/dw[o, i] sum_b log p(x_b)``. The
+M-step renormalizes flows along each unit's mixture axis, so weights stay
+nonnegative and normalized by construction — no projection, no learning
+rate, and full-batch EM increases the likelihood monotonically.
+
+Requirements, checked at build time:
+
+- sum-style weights (dense/mixing/fused Tucker/CPT) must be **plain slots**
+  (or a slot feeding a MixingWeight block-diagonal placement, whose 0/1
+  structure preserves the flow identity). Build templates with
+  ``Parameterization(activation="none", initialization="dirichlet")``.
+- categorical input layers update when parameterized by plain ``probs``.
+- other input parameters (Gaussian means, embeddings, ...) are left fixed —
+  combine EM for the discrete structure with :func:`fit` for the rest.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cirkit_tpu.backend.jax.circuit import JaxCircuit
+from cirkit_tpu.backend.jax.layers import JaxCategoricalLayer, JaxSumLayer
+from cirkit_tpu.backend.jax.optimized import (
+    JaxCPTLayer,
+    JaxTensorDotLayer,
+    JaxTuckerLayer,
+)
+from cirkit_tpu.backend.jax.parameters import (
+    JaxMixingWeightParameter,
+    JaxParameter,
+    JaxTensorSlot,
+    Store,
+)
+
+
+def _flow_slot(param: JaxParameter) -> str | None:
+    """The store slot behind a weight, if the parameter graph preserves the
+    flow identity ``flows = theta * dLL/dtheta``: a bare slot read, or a
+    slot feeding a MixingWeight 0/1 placement."""
+    nodes = list(param.topological_ordering())
+    if len(nodes) == 1 and isinstance(nodes[0], JaxTensorSlot):
+        return nodes[0].slot
+    if (
+        len(nodes) == 2
+        and isinstance(nodes[0], JaxTensorSlot)
+        and isinstance(nodes[1], JaxMixingWeightParameter)
+    ):
+        return nodes[0].slot
+    return None
+
+
+def em_slots(circuit: JaxCircuit) -> dict[str, str]:
+    """The EM-updatable slots of a compiled circuit: ``slot -> kind``
+    (``"sum"`` or ``"categorical"``). Raises if a sum-style layer's weight
+    is reparameterized (EM needs plain normalized weight tensors)."""
+    slots: dict[str, str] = {}
+    for layer in circuit.layers:
+        if isinstance(layer, (JaxSumLayer, JaxCPTLayer, JaxTuckerLayer, JaxTensorDotLayer)):
+            slot = _flow_slot(layer.weight)
+            if slot is None:
+                raise ValueError(
+                    f"EM requires plain weight tensors, but a {type(layer).__name__} "
+                    "weight is reparameterized; build the circuit with "
+                    'Parameterization(activation="none", initialization="dirichlet")'
+                )
+            slots[slot] = "sum"
+        elif isinstance(layer, JaxCategoricalLayer) and layer.probs is not None:
+            slot = _flow_slot(layer.probs)
+            if slot is not None:
+                slots[slot] = "categorical"
+    if not slots:
+        raise ValueError("The circuit has no EM-updatable parameters")
+    return slots
+
+
+def fit_em(
+    circuit: JaxCircuit,
+    data: np.ndarray | jnp.ndarray,
+    *,
+    store: Store | None = None,
+    num_epochs: int = 1,
+    batch_size: int = 1024,
+    step_size: float = 1.0,
+    pseudocount: float = 1e-6,
+    shuffle: bool = False,
+    key: jax.Array | None = None,
+) -> tuple[Store, list[float]]:
+    """Train a circuit by (mini-batch) EM.
+
+    Per epoch: accumulate expected flows over all batches (one forward +
+    backward each, no optimizer state), then update every EM slot to the
+    renormalized flows — interpolated with the previous weights when
+    ``step_size < 1`` (damped EM). ``step_size=1.0`` is exact full-dataset
+    EM, which increases the train log-likelihood monotonically.
+
+    Returns the updated store and the mean train NLL per epoch (measured
+    under the weights *before* each epoch's update).
+    """
+    if store is None:
+        store = getattr(circuit, "default_store", None)
+        if store is None:
+            raise ValueError("No parameter store bound; pass store=...")
+    store = dict(circuit.restrict_store(store))
+    slots = em_slots(circuit)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    data = np.asarray(data)
+    if not jax.config.jax_enable_x64 and data.dtype == np.int64:
+        data = data.astype(np.int32)
+
+    em_params = {k: jnp.asarray(store[k]) for k in slots}
+    frozen = {k: jnp.asarray(v) for k, v in store.items() if k not in slots}
+
+    @jax.jit
+    def flow_step(em_p, batch, weights):
+        def total_ll(p):
+            ll = circuit.evaluate({**p, **frozen}, batch)
+            per_sample = jnp.sum(ll.reshape(ll.shape[0], -1), axis=1)
+            return jnp.sum(per_sample * weights)
+
+        ll, grads = jax.value_and_grad(total_ll)(em_p)
+        flows = jax.tree_util.tree_map(lambda p, g: p * g, em_p, grads)
+        return flows, ll
+
+    @jax.jit
+    def em_update(em_p, flows):
+        def upd(p, f):
+            f = f + pseudocount
+            target = f / jnp.sum(f, axis=-1, keepdims=True)
+            return (1.0 - step_size) * p + step_size * target
+
+        return jax.tree_util.tree_map(upd, em_p, flows)
+
+    num_batches = -(-len(data) // batch_size)
+    losses: list[float] = []
+    for _ in range(num_epochs):
+        if shuffle:
+            key, sub = jax.random.split(key)
+            perm = np.asarray(jax.random.permutation(sub, len(data)))
+        else:
+            perm = np.arange(len(data))
+        acc = jax.tree_util.tree_map(jnp.zeros_like, em_params)
+        ll_total = 0.0
+        for b in range(num_batches):
+            idx = perm[b * batch_size : (b + 1) * batch_size]
+            weights = np.ones(batch_size, np.float32)
+            if len(idx) < batch_size:
+                weights[len(idx) :] = 0.0
+                idx = np.concatenate([idx, np.zeros(batch_size - len(idx), idx.dtype)])
+            flows, ll = flow_step(em_params, jnp.asarray(data[idx]), jnp.asarray(weights))
+            acc = jax.tree_util.tree_map(jnp.add, acc, flows)
+            ll_total += float(ll)
+        em_params = em_update(em_params, acc)
+        losses.append(-ll_total / len(data))
+
+    new_store = dict(store)
+    new_store.update(em_params)
+    circuit.default_store = {**getattr(circuit, "default_store", {}), **new_store}
+    return new_store, losses

@@ -1,0 +1,122 @@
+"""EM training: monotone likelihood on full-batch EM, closed-form posterior
+check on a mixture, damped/mini-batch behavior, and requirement errors."""
+
+import numpy as np
+import pytest
+
+from cirkit_tpu.models import image_data
+from cirkit_tpu.models.utils import Parameterization
+from cirkit_tpu.parallel.em import em_slots, fit_em
+from cirkit_tpu.pipeline import PipelineContext
+
+from tests.fixtures import build_bivariate_categorical_pc
+from tests.reference_eval import eval_circuit, eval_parameter
+
+
+def _em_ready_image_circuit(ctx, optimize=False):
+    sc = image_data(
+        (1, 4, 4),
+        "quad-tree-2",
+        input_layer="categorical",
+        num_input_units=3,
+        sum_product_layer="cp",
+        num_sum_units=3,
+        input_params={"probs": Parameterization(activation="none", initialization="dirichlet")},
+        sum_weight_param=Parameterization(activation="none", initialization="dirichlet"),
+    )
+    return ctx.compile(sc)
+
+
+def test_em_full_batch_monotonically_increases_likelihood():
+    ctx = PipelineContext(semiring="lse-sum", fold=True, seed=3)
+    cc = _em_ready_image_circuit(ctx)
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, size=(4, 16))
+    data = np.clip(base[rng.integers(0, 4, 512)] + rng.integers(-8, 9, (512, 16)), 0, 255)
+    store, losses = fit_em(
+        cc, data, store=ctx.parameters, num_epochs=8, batch_size=256
+    )
+    # full-batch EM: NLL non-increasing every epoch, strictly better overall
+    assert all(b <= a + 1e-9 for a, b in zip(losses, losses[1:])), losses
+    assert losses[-1] < losses[0] - 1.0, losses
+    # weights stay normalized distributions
+    for slot, kind in em_slots(cc).items():
+        w = np.asarray(store[slot])
+        assert (w >= 0).all()
+        np.testing.assert_allclose(w.sum(axis=-1), 1.0, rtol=1e-6)
+
+
+def test_em_one_step_matches_posterior_closed_form():
+    """Mixture of product-of-categoricals with frozen (softmax) leaves: the
+    exact EM update is w_k' = (1/N) sum_b posterior(k | x_b)."""
+    sc = build_bivariate_categorical_pc(
+        num_units=3, use_softmax=True, rng=np.random.default_rng(40)
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    slots = em_slots(cc)
+    assert list(slots.values()) == ["sum"]  # softmax leaves are not EM slots
+    (wslot,) = slots
+
+    rng = np.random.default_rng(41)
+    data = rng.integers(0, 3, size=(64, 2))
+    store, losses = fit_em(
+        cc, data, store=ctx.parameters, num_epochs=1, batch_size=64, pseudocount=0.0
+    )
+
+    # numpy posterior: component likelihoods from the symbolic fixture
+    layers = list(sc.topological_ordering())
+    cat0, cat1 = layers[0], layers[1]
+    p0 = eval_parameter(cat0.probs)  # (K, C)
+    p1 = eval_parameter(cat1.probs)
+    w = eval_parameter(sc.outputs[0].weight)[0]  # (K,)
+    comp = p0[:, data[:, 0]] * p1[:, data[:, 1]]  # (K, B)
+    post = (w[:, None] * comp) / (w[:, None] * comp).sum(axis=0, keepdims=True)
+    want = post.sum(axis=1) / len(data)
+    np.testing.assert_allclose(np.asarray(store[wslot])[0, 0], want, rtol=1e-5)
+
+
+def test_em_damped_step_interpolates():
+    sc = build_bivariate_categorical_pc(
+        num_units=2, use_softmax=True, rng=np.random.default_rng(42)
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    (wslot,) = em_slots(cc)
+    data = np.random.default_rng(43).integers(0, 3, size=(32, 2))
+    full, _ = fit_em(cc, data, store=ctx.parameters, num_epochs=1, pseudocount=0.0)
+    half, _ = fit_em(
+        cc, data, store=ctx.parameters, num_epochs=1, step_size=0.5, pseudocount=0.0
+    )
+    w0 = np.asarray(ctx.parameters[wslot])
+    np.testing.assert_allclose(
+        np.asarray(half[wslot]), 0.5 * w0 + 0.5 * np.asarray(full[wslot]), rtol=1e-6
+    )
+
+
+def test_em_rejects_reparameterized_weights():
+    sc = build_bivariate_categorical_pc(use_softmax=False, rng=np.random.default_rng(44))
+    # default image circuit: softmax sum weights -> not EM-trainable
+    softmax_sc = image_data(
+        (1, 2, 2), "quad-tree-2", input_layer="categorical",
+        num_input_units=2, sum_product_layer="cp", num_sum_units=2,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(softmax_sc)
+    with pytest.raises(ValueError, match="plain weight tensors"):
+        em_slots(cc)
+
+
+def test_em_partial_final_batch_counts_every_sample():
+    """63 samples with batch 32: flows must match the single-batch run."""
+    sc = build_bivariate_categorical_pc(
+        num_units=2, use_softmax=True, rng=np.random.default_rng(45)
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    (wslot,) = em_slots(cc)
+    data = np.random.default_rng(46).integers(0, 3, size=(63, 2))
+    a, la = fit_em(cc, data, store=ctx.parameters, num_epochs=1, batch_size=63)
+    b, lb = fit_em(cc, data, store=ctx.parameters, num_epochs=1, batch_size=32)
+    np.testing.assert_allclose(np.asarray(a[wslot]), np.asarray(b[wslot]), rtol=1e-6)
+    np.testing.assert_allclose(la, lb, rtol=1e-6)

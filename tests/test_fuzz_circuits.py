@@ -74,6 +74,18 @@ def test_random_circuit_matches_enumeration(seed, fold, optimize):
     # softmax-normalized circuits are proper distributions
     np.testing.assert_allclose(z, 1.0, rtol=1e-9)
 
+    # MAP: the max-product assignment and value match the exhaustive
+    # max-eval oracle on every random topology x compile option
+    from cirkit_tpu.backend.jax.queries import MAPQuery
+
+    from tests.reference_eval import max_eval_circuit
+
+    asg, val = MAPQuery(cc)(store=ctx.parameters)
+    mx = max_eval_circuit(sc, worlds)[:, 0, 0]
+    best = int(np.argmax(mx))
+    np.testing.assert_array_equal(np.asarray(asg[0]).astype(int), worlds[best])
+    np.testing.assert_allclose(float(val[0]), np.log(mx[best]), rtol=1e-9)
+
 
 def test_multiclass_circuit_outputs_normalized():
     """num_classes > 1: the root sum emits one unit per class; each class
