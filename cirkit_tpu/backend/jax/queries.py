@@ -185,6 +185,60 @@ class SamplingQuery(Query):
         samples = jnp.transpose(out, (2, 0, 1, 3))[:, 0, 0]  # (N, D)
         return samples, list(mixtures)
 
+    def conditional(
+        self,
+        x: jnp.ndarray | np.ndarray,
+        *,
+        evidence_mask: jnp.ndarray | np.ndarray,
+        key: jax.Array | None = None,
+        store: Store | None = None,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Posterior sampling given evidence — an extension: the reference
+        documents this as not implemented (ref: ``queries.py:191-194``).
+
+        Draws one completion per row: free entries of ``x`` (where
+        ``evidence_mask`` is False) are replaced by a sample from
+        ``p(x_free | x_obs)``. Returns ``(samples (B, D), log_evidence
+        (B,))`` where the value is ``log p(x_obs)`` (free variables
+        marginalized). One jitted program serves every mask; tile rows to
+        draw several completions of the same evidence. Requires normalized
+        sum weights and the ``lse-sum`` semiring (as :class:`MAPQuery`).
+        """
+        from cirkit_tpu.backend.jax.semiring import LSESumSemiring
+
+        cc = self._circuit
+        if cc.semiring is not LSESumSemiring:
+            raise ValueError(
+                "Conditional sampling requires a circuit compiled under the "
+                f"'lse-sum' semiring, found {cc.semiring.__name__}"
+            )
+        num_vars = max(cc.scope) + 1
+        x = jnp.asarray(x)
+        mask = jnp.asarray(evidence_mask)
+        if mask.dtype != jnp.bool_:
+            raise ValueError(f"Expected a boolean mask, found dtype {mask.dtype}")
+        if mask.ndim == 1:
+            mask = jnp.broadcast_to(mask[None], (x.shape[0], mask.shape[0]))
+        if mask.shape[1] != num_vars:
+            raise ValueError(
+                f"The circuit scope has {num_vars} variables, but the mask "
+                f"covers {mask.shape[1]}"
+            )
+        if key is None:
+            key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        if store is None:
+            store = getattr(cc, "default_store", None)
+            if store is None:
+                raise ValueError("No parameter store bound; pass store=...")
+        store = cc.restrict_store(store)
+
+        fn = getattr(cc, "_cond_sampling_jit", None)
+        if fn is None:
+            fn = jax.jit(_build_routing_run(cc, "sample"))
+            cc._cond_sampling_jit = fn
+        vals, asgs = fn(store, x, mask, key)  # (O, K, B), (O, K, B, D)
+        return asgs[0, 0], vals[0, 0]
+
 
 def _pad_samples(samples: jnp.ndarray, scope_idx: np.ndarray, num_vars: int) -> jnp.ndarray:
     """Scatter univariate per-unit samples (F, K, N) into zero-padded
@@ -270,88 +324,118 @@ class MAPQuery(Query):
 
         fn = getattr(cc, "_map_jit", None)
         if fn is None:
-            fn = jax.jit(self._build_run())
+            fn = jax.jit(_build_routing_run(cc, "max"))
             cc._map_jit = fn
         vals, asgs = fn(store, x, mask)  # (O, K, B), (O, K, B, D)
         return asgs[0, 0], vals[0, 0]
 
-    def _build_run(self):
-        from cirkit_tpu.backend.jax.layers import (
-            JaxConstantInputLayer,
-            JaxHadamardLayer,
-            JaxKroneckerLayer,
-            JaxSumLayer,
-        )
-        from cirkit_tpu.backend.jax.optimized import JaxCPTLayer, JaxTuckerLayer
-        from cirkit_tpu.backend.jax.utils import safelog
 
-        cc = self._circuit
-        num_vars = max(cc.scope) + 1
+def _build_routing_run(cc: JaxCircuit, kind: str):
+    """The shared bottom-up routing pass behind :class:`MAPQuery`
+    (``kind="max"``) and conditional sampling (``kind="sample"``).
 
-        def _max_step(w, val, asg):
-            """Max-route through a (F, O, M) weight: val (F, M, B),
-            asg (F, M, B, D) -> (F, O, B), (F, O, B, D)."""
-            scores = safelog(w)[:, :, :, None] + val[:, None, :, :]  # (F, O, M, B)
+    Every layer carries a ``(values (F, K, B), assignments (F, K, B, D))``
+    pair upward: values are log-space layer outputs with observed variables
+    contributing their data likelihood and free variables their mode
+    (``max``) or their marginal (``sample``); sum-style layers route the
+    argmax (``max``) or a posterior draw ``i ~ softmax(log w_i + val_i)``
+    (``sample``) of their mixture inputs. The recursion is exactly the
+    posterior factorization of a smooth decomposable circuit, which is what
+    makes the single upward pass correct for conditional sampling.
+    """
+    from cirkit_tpu.backend.jax.layers import (
+        JaxConstantInputLayer,
+        JaxHadamardLayer,
+        JaxKroneckerLayer,
+        JaxSumLayer,
+    )
+    from cirkit_tpu.backend.jax.optimized import JaxCPTLayer, JaxTuckerLayer
+    from cirkit_tpu.backend.jax.utils import safelog
+
+    num_vars = max(cc.scope) + 1
+    name = "MAP" if kind == "max" else "Conditional sampling"
+
+    def _route(w, val, asg, key):
+        """Route through a (F, O, M) weight: val (F, M, B), asg
+        (F, M, B, D) -> (F, O, B), (F, O, B, D)."""
+        scores = safelog(w)[:, :, :, None] + val[:, None, :, :]  # (F, O, M, B)
+        if kind == "max":
             idx = jnp.argmax(scores, axis=2)  # (F, O, B)
-            f_idx = jnp.arange(asg.shape[0])[:, None, None]
-            b_idx = jnp.arange(asg.shape[2])[None, None, :]
-            return jnp.max(scores, axis=2), asg[f_idx, idx, b_idx]
+            out_val = jnp.max(scores, axis=2)
+        else:
+            idx = jax.random.categorical(key, scores, axis=2)
+            out_val = jax.scipy.special.logsumexp(scores, axis=2)
+        f_idx = jnp.arange(asg.shape[0])[:, None, None]
+        b_idx = jnp.arange(asg.shape[2])[None, None, :]
+        return out_val, asg[f_idx, idx, b_idx]
 
-        def _combine(val, asg):
-            """Kronecker-combine arity inputs row-major: (F, H, K, B) ->
-            (F, K^H, B) by addition (disjoint scopes)."""
-            v, a = val[:, 0], asg[:, 0]
-            for h in range(1, val.shape[1]):
-                f, _, b = v.shape
-                v = (v[:, :, None, :] + val[:, h][:, None, :, :]).reshape(f, -1, b)
-                a = (a[:, :, None] + asg[:, h][:, None]).reshape(f, -1, b, num_vars)
-            return v, a
+    def _combine(val, asg):
+        """Kronecker-combine arity inputs row-major: (F, H, K, B) ->
+        (F, K^H, B) by addition (disjoint scopes)."""
+        v, a = val[:, 0], asg[:, 0]
+        for h in range(1, val.shape[1]):
+            f, _, b = v.shape
+            v = (v[:, :, None, :] + val[:, h][:, None, :, :]).reshape(f, -1, b)
+            a = (a[:, :, None] + asg[:, h][:, None]).reshape(f, -1, b, num_vars)
+        return v, a
 
-        def _run(st, xx, mk):
-            def layer_fn(layer: JaxLayer, s, xin):
-                if isinstance(layer, JaxConstantInputLayer):
-                    raise NotImplementedError(
-                        f"MAP is not supported for {type(layer).__name__}"
-                    )
-                if isinstance(layer, JaxInputLayer):
-                    if layer.num_variables != 1:
-                        raise NotImplementedError(
-                            "MAP of multivariate input layers is not supported"
-                        )
-                    mode_val, mode_arg = layer.mpe(s)  # (F, K)
-                    obs_val = jnp.transpose(layer(s, xin), (0, 2, 1))  # (F, K, B)
-                    xi = xin[..., 0].astype(obs_val.dtype)  # (F, B)
-                    m = jnp.transpose(mk[:, layer.scope_idx[:, 0]], (1, 0))[:, None, :]
-                    val = jnp.where(m, obs_val, mode_val[:, :, None])
-                    arg = jnp.where(
-                        m, xi[:, None, :], mode_arg.astype(obs_val.dtype)[:, :, None]
-                    )  # (F, K, B)
-                    one_hot = jax.nn.one_hot(
-                        layer.scope_idx[:, 0], num_vars, dtype=obs_val.dtype
-                    )  # (F, D)
-                    return val, arg[..., None] * one_hot[:, None, None, :]
-                val, asg = xin  # (F, H, K, B), (F, H, K, B, D)
-                if isinstance(layer, JaxHadamardLayer):
-                    return val.sum(axis=1), asg.sum(axis=1)
-                if isinstance(layer, JaxKroneckerLayer):
-                    return _combine(val, asg)
-                if isinstance(layer, JaxTuckerLayer):
-                    v, a = _combine(val, asg)
-                    return _max_step(layer.weight(s), v, a)
-                if isinstance(layer, JaxCPTLayer):
-                    return _max_step(layer.weight(s), val.sum(axis=1), asg.sum(axis=1))
-                if isinstance(layer, JaxSumLayer):
-                    f, h, k, b = val.shape
-                    return _max_step(
-                        layer.weight(s),
-                        val.reshape(f, h * k, b),
-                        asg.reshape(f, h * k, b, num_vars),
-                    )
+    def _run(st, xx, mk, key=None):
+        keys = iter(jax.random.split(key, 2 * len(cc.layers))) if key is not None else None
+
+        def layer_fn(layer: JaxLayer, s, xin):
+            lk = next(keys) if keys is not None else None
+            if isinstance(layer, JaxConstantInputLayer):
                 raise NotImplementedError(
-                    f"MAP is not supported for {type(layer).__name__} "
-                    "(compile with optimize=False for Kronecker-shattered sums)"
+                    f"{name} is not supported for {type(layer).__name__}"
                 )
+            if isinstance(layer, JaxInputLayer):
+                if layer.num_variables != 1:
+                    raise NotImplementedError(
+                        f"{name} of multivariate input layers is not supported"
+                    )
+                obs_val = jnp.transpose(layer(s, xin), (0, 2, 1))  # (F, K, B)
+                b = obs_val.shape[2]
+                if kind == "max":
+                    free_val, free_arg = layer.mpe(s)  # (F, K)
+                    free_val = free_val[:, :, None]
+                    free_arg = free_arg.astype(obs_val.dtype)[:, :, None]
+                else:
+                    # free variables: marginalized in the values, drawn from
+                    # the unit's local distribution in the assignments (the
+                    # latent path carries all dependence on the evidence)
+                    free_val = layer.integrate(s)[:, :, None]  # (F, K, 1)
+                    free_arg = layer.sample(s, lk, b).astype(obs_val.dtype)  # (F, K, B)
+                xi = xin[..., 0].astype(obs_val.dtype)  # (F, B)
+                m = jnp.transpose(mk[:, layer.scope_idx[:, 0]], (1, 0))[:, None, :]
+                val = jnp.where(m, obs_val, free_val)
+                arg = jnp.where(m, xi[:, None, :], free_arg)  # (F, K, B)
+                one_hot = jax.nn.one_hot(
+                    layer.scope_idx[:, 0], num_vars, dtype=obs_val.dtype
+                )  # (F, D)
+                return val, arg[..., None] * one_hot[:, None, None, :]
+            val, asg = xin  # (F, H, K, B), (F, H, K, B, D)
+            if isinstance(layer, JaxHadamardLayer):
+                return val.sum(axis=1), asg.sum(axis=1)
+            if isinstance(layer, JaxKroneckerLayer):
+                return _combine(val, asg)
+            if isinstance(layer, JaxTuckerLayer):
+                v, a = _combine(val, asg)
+                return _route(layer.weight(s), v, a, lk)
+            if isinstance(layer, JaxCPTLayer):
+                return _route(layer.weight(s), val.sum(axis=1), asg.sum(axis=1), lk)
+            if isinstance(layer, JaxSumLayer):
+                f, h, k, b = val.shape
+                return _route(
+                    layer.weight(s),
+                    val.reshape(f, h * k, b),
+                    asg.reshape(f, h * k, b, num_vars),
+                    lk,
+                )
+            raise NotImplementedError(
+                f"{name} is not supported for {type(layer).__name__} "
+                "(compile with optimize=False for Kronecker-shattered sums)"
+            )
 
-            return cc.evaluate_raw(st, xx, module_fn=layer_fn)
+        return cc.evaluate_raw(st, xx, module_fn=layer_fn)
 
-        return _run
+    return _run

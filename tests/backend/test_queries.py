@@ -188,3 +188,85 @@ def test_query_jits_are_cached_on_the_circuit():
     s2 = SamplingQuery(cc)
     s2(5, key=jax.random.PRNGKey(0))
     assert s1._jit_cache is s2._jit_cache and len(s1._jit_cache) == 1
+
+
+def test_conditional_sampling_matches_posterior_frequencies():
+    """Posterior completion sampling (the reference documents conditional
+    sampling as not implemented): empirical frequencies of the sampled free
+    variables must match p(x_free | x_obs) from exhaustive enumeration, and
+    the returned value must be log p(x_obs)."""
+    import jax.numpy as jnp
+
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    sc = build_multivariate_categorical_pc(num_variables=4, rng=np.random.default_rng(50))
+    cc = ctx.compile(sc)
+    query = SamplingQuery(cc)
+
+    n = 6000
+    x = np.zeros((n, 4), dtype=np.int64)
+    x[:, 0] = 1  # evidence: first variable pinned to state 1
+    mask = np.zeros((4,), dtype=bool)
+    mask[0] = True
+    samples, log_ev = query.conditional(
+        jnp.asarray(x), evidence_mask=jnp.asarray(mask),
+        key=jax.random.PRNGKey(0), store=ctx.parameters,
+    )
+    samples = np.asarray(samples).astype(int)
+    assert (samples[:, 0] == 1).all()
+
+    worlds = enumerate_worlds(4, 2)
+    joint = eval_circuit(sc, worlds)[:, 0, 0]
+    keep = worlds[:, 0] == 1
+    post = joint[keep] / joint[keep].sum()
+    np.testing.assert_allclose(
+        np.asarray(log_ev), np.log(joint[keep].sum()), rtol=1e-6
+    )
+
+    free_worlds = worlds[keep][:, 1:]
+    counts = collections.Counter(map(tuple, samples[:, 1:]))
+    freqs = np.array([counts.get(tuple(w), 0) / n for w in free_worlds])
+    # 4-sigma binomial tolerance per world
+    tol = 4 * np.sqrt(post * (1 - post) / n)
+    assert (np.abs(freqs - post) <= tol + 1e-3).all(), (freqs, post)
+
+
+def test_conditional_sampling_full_evidence_returns_input():
+    import jax.numpy as jnp
+
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    sc = build_multivariate_categorical_pc(num_variables=4, rng=np.random.default_rng(51))
+    cc = ctx.compile(sc)
+    worlds = enumerate_worlds(4, 2)
+    samples, vals = SamplingQuery(cc).conditional(
+        jnp.asarray(worlds), evidence_mask=np.ones((len(worlds), 4), dtype=bool),
+        key=jax.random.PRNGKey(1), store=ctx.parameters,
+    )
+    np.testing.assert_array_equal(np.asarray(samples).astype(int), worlds)
+    want = np.log(eval_circuit(sc, worlds)[:, 0, 0])
+    np.testing.assert_allclose(np.asarray(vals), want, rtol=1e-6)
+
+
+def test_conditional_sampling_on_optimized_circuit_runs():
+    """Folded+optimized (Tucker-fused) circuits route conditional draws
+    through the fused layers; observed entries round-trip."""
+    import jax.numpy as jnp
+
+    from cirkit_tpu.models import image_data
+
+    sc = image_data(
+        (1, 4, 4), "quad-graph", input_layer="categorical",
+        num_input_units=3, sum_product_layer="tucker", num_sum_units=3,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=True, seed=6)
+    cc = ctx.compile(sc)
+    rng = np.random.default_rng(52)
+    x = rng.integers(0, 256, size=(5, 16))
+    mask = rng.random((5, 16)) < 0.5
+    samples, log_ev = SamplingQuery(cc).conditional(
+        jnp.asarray(x), evidence_mask=jnp.asarray(mask),
+        key=jax.random.PRNGKey(2), store=ctx.parameters,
+    )
+    samples = np.asarray(samples)
+    np.testing.assert_array_equal(samples[mask].astype(int), x[mask])
+    assert ((samples >= 0) & (samples <= 255)).all()
+    assert np.isfinite(np.asarray(log_ev)).all()
