@@ -117,6 +117,14 @@ def compile_dirichlet_initializer(
 
     def _init(key, shape, dtype):
         ax = axis if axis >= 0 else axis + len(shape)
+        if not isinstance(alpha, list) and float(alpha) == 1.0:
+            # Dirichlet(1, ..., 1) = normalized exponentials (-log U). The
+            # general path's gamma rejection sampler compiles a while-loop
+            # program that the remote TPU compile service takes minutes to
+            # build at flagship sizes; this is exact for the default alpha.
+            u = jax.random.uniform(key, shape, dtype=dtype, minval=jnp.finfo(dtype).tiny)
+            e = -jnp.log(u)
+            return e / jnp.sum(e, axis=ax, keepdims=True)
         k = shape[ax]
         a = jnp.full((k,), alpha, dtype=dtype) if not isinstance(alpha, list) else jnp.asarray(
             alpha, dtype=dtype
