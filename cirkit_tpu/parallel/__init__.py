@@ -9,6 +9,7 @@ from cirkit_tpu.parallel.tensor import (
 from cirkit_tpu.parallel.training import (
     data_parallel_step,
     default_mesh,
+    evaluate_ll,
     fit,
     replicate_store,
     shard_batch,
@@ -20,6 +21,7 @@ __all__ = [
     "adam_lowmem",
     "data_parallel_step",
     "em_slots",
+    "evaluate_ll",
     "fit_em",
     "shard_store_tp",
     "tp_forward",

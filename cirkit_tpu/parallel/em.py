@@ -97,6 +97,8 @@ def fit_em(
     pseudocount: float = 1e-6,
     shuffle: bool = False,
     key: jax.Array | None = None,
+    mesh: "jax.sharding.Mesh | None" = None,
+    axis: str = "data",
 ) -> tuple[Store, list[float]]:
     """Train a circuit by (mini-batch) EM.
 
@@ -105,6 +107,11 @@ def fit_em(
     renormalized flows — interpolated with the previous weights when
     ``step_size < 1`` (damped EM). ``step_size=1.0`` is exact full-dataset
     EM, which increases the train log-likelihood monotonically.
+
+    With a ``mesh``, the batch shards over the ``axis`` and parameters/flow
+    accumulators replicate: the flows are gradients, so XLA inserts the
+    same all-reduce as data-parallel SGD and the result is bitwise the
+    single-device recursion.
 
     Returns the updated store and the mean train NLL per epoch (measured
     under the weights *before* each epoch's update).
@@ -117,6 +124,8 @@ def fit_em(
     slots = em_slots(circuit)
     if key is None:
         key = jax.random.PRNGKey(0)
+    if mesh is not None and batch_size % mesh.devices.size != 0:
+        raise ValueError("The batch size must divide evenly across the mesh devices")
 
     data = np.asarray(data)
     if not jax.config.jax_enable_x64 and data.dtype == np.int64:
@@ -124,17 +133,38 @@ def fit_em(
 
     em_params = {k: jnp.asarray(store[k]) for k in slots}
     frozen = {k: jnp.asarray(v) for k, v in store.items() if k not in slots}
+    if mesh is not None:
+        from cirkit_tpu.parallel.training import replicate_store, shard_batch
 
-    @jax.jit
-    def flow_step(em_p, batch, weights):
+        em_params = replicate_store(em_params, mesh)
+        frozen = replicate_store(frozen, mesh)
+
+    def _flow_step(em_p, acc, acc_ll, batch, weights):
+        """One E-step batch, accumulation fused into the jitted program (no
+        eager op chains through remote-dispatch tunnels)."""
+
         def total_ll(p):
             ll = circuit.evaluate({**p, **frozen}, batch)
             per_sample = jnp.sum(ll.reshape(ll.shape[0], -1), axis=1)
             return jnp.sum(per_sample * weights)
 
         ll, grads = jax.value_and_grad(total_ll)(em_p)
-        flows = jax.tree_util.tree_map(lambda p, g: p * g, em_p, grads)
-        return flows, ll
+        flows = jax.tree_util.tree_map(lambda p, g, a: a + p * g, em_p, grads, acc)
+        return flows, acc_ll + ll
+
+    if mesh is None:
+        flow_step = jax.jit(_flow_step, donate_argnums=(1, 2))
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P(axis))
+        flow_step = jax.jit(
+            _flow_step,
+            in_shardings=(repl, repl, repl, shard, shard),
+            out_shardings=(repl, repl),
+            donate_argnums=(1, 2),
+        )
 
     @jax.jit
     def em_update(em_p, flows):
@@ -154,18 +184,21 @@ def fit_em(
         else:
             perm = np.arange(len(data))
         acc = jax.tree_util.tree_map(jnp.zeros_like, em_params)
-        ll_total = 0.0
+        acc_ll = jnp.zeros(())
         for b in range(num_batches):
             idx = perm[b * batch_size : (b + 1) * batch_size]
             weights = np.ones(batch_size, np.float32)
             if len(idx) < batch_size:
                 weights[len(idx) :] = 0.0
                 idx = np.concatenate([idx, np.zeros(batch_size - len(idx), idx.dtype)])
-            flows, ll = flow_step(em_params, jnp.asarray(data[idx]), jnp.asarray(weights))
-            acc = jax.tree_util.tree_map(jnp.add, acc, flows)
-            ll_total += float(ll)
+            batch, w = jnp.asarray(data[idx]), jnp.asarray(weights)
+            if mesh is not None:
+                from cirkit_tpu.parallel.training import shard_batch
+
+                batch, w = shard_batch(batch, mesh, axis), shard_batch(w, mesh, axis)
+            acc, acc_ll = flow_step(em_params, acc, acc_ll, batch, w)
         em_params = em_update(em_params, acc)
-        losses.append(-ll_total / len(data))
+        losses.append(-float(acc_ll) / len(data))
 
     new_store = dict(store)
     new_store.update(em_params)

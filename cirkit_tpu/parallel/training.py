@@ -175,6 +175,56 @@ def data_parallel_step(
     )
 
 
+def evaluate_ll(
+    circuit: JaxCircuit,
+    data: np.ndarray | jnp.ndarray,
+    *,
+    store: Store | None = None,
+    batch_size: int = 512,
+    mesh: Mesh | None = None,
+    axis: str = "data",
+) -> float:
+    """Mean log-likelihood of a dataset: batched through one jitted program
+    (zero-padded weighted final batch, so shapes stay static), optionally
+    sharded over a mesh. The library-grade version of the eval loops the
+    reference's notebooks hand-roll."""
+    if store is None:
+        store = getattr(circuit, "default_store", None)
+        if store is None:
+            raise ValueError("No parameter store bound; pass store=...")
+    store = circuit.restrict_store(store)
+    data = np.asarray(data)
+    if not jax.config.jax_enable_x64:
+        if data.dtype == np.int64:
+            data = data.astype(np.int32)
+        elif data.dtype == np.float64:
+            data = data.astype(np.float32)
+    if mesh is not None:
+        if batch_size % mesh.devices.size != 0:
+            raise ValueError("The batch size must divide evenly across the mesh devices")
+        store = replicate_store(store, mesh)
+
+    @jax.jit
+    def chunk_ll(st, batch, weights):
+        ll = circuit.evaluate(st, batch)
+        per_sample = jnp.mean(ll.reshape(ll.shape[0], -1), axis=1)
+        return jnp.sum(per_sample * weights)
+
+    total = jnp.zeros(())
+    for i in range(0, len(data), batch_size):
+        batch = data[i : i + batch_size]
+        weights = np.ones(batch_size, np.float32)
+        if len(batch) < batch_size:
+            weights[len(batch) :] = 0.0
+            pad = np.zeros((batch_size - len(batch),) + batch.shape[1:], batch.dtype)
+            batch = np.concatenate([batch, pad])
+        bdev, wdev = jnp.asarray(batch), jnp.asarray(weights)
+        if mesh is not None:
+            bdev, wdev = shard_batch(bdev, mesh, axis), shard_batch(wdev, mesh, axis)
+        total = total + chunk_ll(store, bdev, wdev)
+    return float(total) / len(data)
+
+
 def split_trainable(circuit: JaxCircuit, store: Store) -> tuple[Store, Store]:
     """Split a store into (trainable, frozen) according to the circuit spec."""
     learnable = circuit.learnable_slots

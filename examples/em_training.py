@@ -83,12 +83,12 @@ def main() -> None:
     ]
     print("Adam  NLL/epoch:", " ".join(f"{l:8.2f}" for l in means))
 
-    import jax.numpy as jnp
+    from cirkit_tpu.parallel import evaluate_ll
 
     for name, circuit, store, secs in (
         ("EM", cc, em_store, em_s), ("Adam", cc2, adam_store, adam_s),
     ):
-        ll = float(jnp.mean(circuit.evaluate(store, jnp.asarray(test_x))))
+        ll = evaluate_ll(circuit, test_x, store=store)
         print(f"{name:>4}: test bpd {-ll * nats2bpd:6.3f}  ({secs:.1f}s train)")
 
 

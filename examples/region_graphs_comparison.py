@@ -72,10 +72,9 @@ def main() -> None:
                 batch_size=batch_size,
                 optimizer=optax.adam(1e-2),
             )
-            import jax.numpy as jnp
+            from cirkit_tpu.parallel import evaluate_ll
 
-            ll = circuit.evaluate(store, jnp.asarray(test_x))
-            avg_ll = float(jnp.mean(ll))
+            avg_ll = evaluate_ll(circuit, test_x, store=store)
             bpd = -avg_ll / (num_pixels * math.log(2.0))
             results[(rg_name, layer)] = (avg_ll, bpd, num_params)
             print(

@@ -94,6 +94,29 @@ def test_em_damped_step_interpolates():
     )
 
 
+def test_em_mesh_matches_single_device():
+    """Data-parallel EM over the 8-device mesh: same losses and same final
+    weights as the single-device recursion (flows all-reduce like grads)."""
+    from cirkit_tpu.parallel import default_mesh
+
+    data = np.random.default_rng(47).integers(0, 256, size=(128, 16))
+
+    def run(mesh):
+        ctx = PipelineContext(semiring="lse-sum", fold=True, seed=11)
+        cc = _em_ready_image_circuit(ctx)
+        return fit_em(
+            cc, data, store=ctx.parameters, num_epochs=2, batch_size=32, mesh=mesh
+        )
+
+    store_1, losses_1 = run(None)
+    store_8, losses_8 = run(default_mesh(8))
+    np.testing.assert_allclose(losses_8, losses_1, rtol=1e-9)
+    for k in store_1:
+        np.testing.assert_allclose(
+            np.asarray(store_8[k]), np.asarray(store_1[k]), rtol=1e-9, err_msg=k
+        )
+
+
 def test_em_rejects_reparameterized_weights():
     sc = build_bivariate_categorical_pc(use_softmax=False, rng=np.random.default_rng(44))
     # default image circuit: softmax sum weights -> not EM-trainable

@@ -135,6 +135,25 @@ def test_fit_dataset_smaller_than_batch_trains_one_weighted_step():
     assert losses[-1] < losses[0]
 
 
+def test_evaluate_ll_matches_direct_and_shards():
+    """evaluate_ll: batched + padded evaluation equals the direct mean LL,
+    on one device and over the 8-device mesh."""
+    import jax.numpy as jnp
+
+    from cirkit_tpu.parallel import evaluate_ll
+
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = _small_image_circuit(ctx)
+    data = np.random.default_rng(9).integers(0, 256, size=(100, 16))  # partial batch
+    direct = float(jnp.mean(cc.evaluate(ctx.parameters, jnp.asarray(data))))
+    got = evaluate_ll(cc, data, store=ctx.parameters, batch_size=32)
+    np.testing.assert_allclose(got, direct, rtol=1e-6)
+    got_mesh = evaluate_ll(
+        cc, data, store=ctx.parameters, batch_size=32, mesh=default_mesh(8)
+    )
+    np.testing.assert_allclose(got_mesh, direct, rtol=1e-6)
+
+
 def test_zero1_sharded_optimizer_matches_replicated():
     """ZeRO-1: optimizer state sharded over the data axis, gradients
     reduce-scattered, updates all-gathered — numerically identical to the
