@@ -1,6 +1,7 @@
 from cirkit_tpu.backend.jax.circuit import JaxCircuit
 from cirkit_tpu.backend.jax.compiler import JaxCompiler
 from cirkit_tpu.backend.jax.queries import IntegrateQuery, MAPQuery, Query, SamplingQuery
+from cirkit_tpu.backend.jax.serving import bf16_weight_store, weight_slots
 from cirkit_tpu.backend.jax.semiring import (
     ComplexLSESumSemiring,
     LSESumSemiring,
@@ -19,6 +20,8 @@ __all__ = [
     "SumProductSemiring",
     "IntegrateQuery",
     "MAPQuery",
+    "bf16_weight_store",
+    "weight_slots",
     "Query",
     "SamplingQuery",
 ]

@@ -121,7 +121,10 @@ def _cfg_fast(interpret: bool) -> str:
 
 
 def _fcast(v: jnp.ndarray, fast) -> jnp.ndarray:
-    """The fast-mode operand cast: stochastic or round-to-nearest bf16."""
+    """The fast-mode operand cast: stochastic or round-to-nearest bf16.
+    bf16-resident operands (the serving weight store) pass through."""
+    if v.dtype == jnp.bfloat16:
+        return v
     return _sr_bf16(v) if fast == "sr" else v.astype(jnp.bfloat16)
 
 
@@ -321,7 +324,7 @@ def _fwd_kernel(cfg: _Cfg, *refs):
     else:
         x_ref, w_ref, o_ref = refs
         (e,), shift = _shifted_exp((x_ref[0],))
-    w = _softmax_rows(w_ref[0]) if cfg.softmax else w_ref[0]  # (O, I)
+    w = _softmax_rows(w_ref[0].astype(jnp.float32)) if cfg.softmax else w_ref[0]
     y = _dot3(e, w, ((1,), (1,)), fast=cfg.fast)  # (BT, O)
     o_ref[0] = jnp.log(y) + shift
 
@@ -336,7 +339,7 @@ def _bwd_kernel(cfg: _Cfg, *refs):
         xs = (x_ref[0],)
     bt_i = pl.program_id(1)
     es, shift = _shifted_exp(xs)
-    w = _softmax_rows(w_ref[0]) if cfg.softmax else w_ref[0]  # (O, I)
+    w = _softmax_rows(w_ref[0].astype(jnp.float32)) if cfg.softmax else w_ref[0]
     # g / y with SafeLog-style zeroing of non-finite ratios.
     gy = g_ref[0] * jnp.exp(shift - out_ref[0])
     gy = jnp.where(jnp.isfinite(gy), gy, 0.0)
@@ -415,8 +418,10 @@ def _call_bwd(cfg: _Cfg, xs, w, out, g):
         in_specs=[_x_spec(cfg.bt, x.shape[2]) for x in xs]
         + [_w_spec(o, i), _x_spec(cfg.bt, o), _x_spec(cfg.bt, o)],
         out_specs=[_x_spec(cfg.bt, x.shape[2]) for x in xs] + [_w_spec(o, i)],
+        # dL/dw accumulates across batch tiles in f32 even for a
+        # bf16-resident weight; the VJP casts back at the boundary
         out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype) for x in xs]
-        + [jax.ShapeDtypeStruct(w.shape, w.dtype)],
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32)],
         interpret=cfg.interpret,
     )(*xs, w, out, g)
 
@@ -434,7 +439,7 @@ def _fused_p_fwd(cfg: _Cfg, xs, w):
 def _fused_p_bwd(cfg: _Cfg, res, g):
     xs, w, out = res
     grads = _call_bwd(cfg, xs, w, out, g)
-    return tuple(grads[:-1]), grads[-1]
+    return tuple(grads[:-1]), grads[-1].astype(w.dtype)
 
 
 _fused_p.defvjp(_fused_p_fwd, _fused_p_bwd)
@@ -444,7 +449,12 @@ def _dispatch(xs, w, *, softmax: bool, tucker: bool, interpret: bool | None):
     """Pick the Pallas kernel when shapes/dtypes/platform allow, else None."""
     if not _pallas_enabled():
         return None
-    if any(x.dtype != jnp.float32 for x in xs) or w.dtype != jnp.float32:
+    if any(x.dtype != jnp.float32 for x in xs):
+        return None
+    # activations must be f32; the weight may be stored bf16 (the serving
+    # store): it is cast/split in VMEM anyway, and bf16 residency halves
+    # the dominant HBM stream (the weights) on the flagship shapes
+    if w.dtype not in (jnp.float32, jnp.bfloat16):
         return None
     f, b = xs[0].shape[:2]
     o, i = w.shape[1:]
@@ -792,7 +802,12 @@ def slse_dispatch(xs, w, *, softmax: bool, tucker: bool, interpret: bool | None 
     apply (callers fall back to the XLA composition)."""
     if not _pallas_enabled():
         return None
-    if any(x.dtype != jnp.float32 for x in xs) or w.dtype != jnp.float32:
+    if any(x.dtype != jnp.float32 for x in xs):
+        return None
+    # activations must be f32; the weight may be stored bf16 (the serving
+    # store): it is cast/split in VMEM anyway, and bf16 residency halves
+    # the dominant HBM stream (the weights) on the flagship shapes
+    if w.dtype not in (jnp.float32, jnp.bfloat16):
         return None
     f, b = xs[0].shape[:2]
     o, i = w.shape[1:]
@@ -1041,6 +1056,8 @@ def lse_matmul_softmax(
     out = _dispatch((x,), theta, softmax=True, tucker=False, interpret=interpret)
     if out is not None:
         return out
+    if theta.dtype == jnp.bfloat16:
+        theta = theta.astype(jnp.float32)
     return lse_matmul(x, jax.nn.softmax(theta, axis=-1), interpret=interpret)
 
 
@@ -1094,4 +1111,6 @@ def lse_tucker2_softmax(
     out = _dispatch((x1, x2), theta, softmax=True, tucker=True, interpret=interpret)
     if out is not None:
         return out
+    if theta.dtype == jnp.bfloat16:
+        theta = theta.astype(jnp.float32)
     return lse_tucker2(x1, x2, jax.nn.softmax(theta, axis=-1), interpret=interpret)
