@@ -21,8 +21,14 @@ Requirements, checked at build time:
   structure preserves the flow identity). Build templates with
   ``Parameterization(activation="none", initialization="dirichlet")``.
 - categorical input layers update when parameterized by plain ``probs``.
-- other input parameters (Gaussian means, embeddings, ...) are left fixed —
-  combine EM for the discrete structure with :func:`fit` for the rest.
+- Gaussian input layers update when mean AND stddev are plain slots: the
+  unit responsibilities come from the gradient of the log-likelihood with
+  respect to a zero additive offset on each unit's log-output (that
+  derivative *is* the expected count), and the weighted sufficient
+  statistics are recovered in closed form from the mean/stddev gradients —
+  no extra passes.
+- other input parameters (embeddings, binomials, ...) are left fixed —
+  combine EM for the rest with :func:`fit`.
 """
 
 from __future__ import annotations
@@ -32,7 +38,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from cirkit_tpu.backend.jax.circuit import JaxCircuit
-from cirkit_tpu.backend.jax.layers import JaxCategoricalLayer, JaxSumLayer
+from cirkit_tpu.backend.jax.layers import (
+    JaxCategoricalLayer,
+    JaxGaussianLayer,
+    JaxSumLayer,
+)
 from cirkit_tpu.backend.jax.optimized import (
     JaxCPTLayer,
     JaxTensorDotLayer,
@@ -81,9 +91,25 @@ def em_slots(circuit: JaxCircuit) -> dict[str, str]:
             slot = _flow_slot(layer.probs)
             if slot is not None:
                 slots[slot] = "categorical"
-    if not slots:
+    if not slots and not gaussian_em_layers(circuit):
         raise ValueError("The circuit has no EM-updatable parameters")
     return slots
+
+
+def gaussian_em_layers(
+    circuit: JaxCircuit,
+) -> list[tuple[int, "JaxGaussianLayer", str, str]]:
+    """Gaussian input layers whose mean AND stddev are plain slots, as
+    ``(layer_index, layer, mean_slot, stddev_slot)``; others stay fixed."""
+    out = []
+    for i, layer in enumerate(circuit.layers):
+        if not isinstance(layer, JaxGaussianLayer) or layer.log_partition is not None:
+            continue
+        mean_slot = _flow_slot(layer.mean)
+        std_slot = _flow_slot(layer.stddev)
+        if mean_slot is not None and std_slot is not None:
+            out.append((i, layer, mean_slot, std_slot))
+    return out
 
 
 def fit_em(
@@ -128,32 +154,68 @@ def fit_em(
         raise ValueError("The batch size must divide evenly across the mesh devices")
 
     data = np.asarray(data)
-    if not jax.config.jax_enable_x64 and data.dtype == np.int64:
-        data = data.astype(np.int32)
+    if not jax.config.jax_enable_x64:
+        if data.dtype == np.int64:
+            data = data.astype(np.int32)
+        elif data.dtype == np.float64:
+            data = data.astype(np.float32)
 
+    gauss = gaussian_em_layers(circuit)
+    gauss_slots = {s for _, _, ms, ss in gauss for s in (ms, ss)}
     em_params = {k: jnp.asarray(store[k]) for k in slots}
-    frozen = {k: jnp.asarray(v) for k, v in store.items() if k not in slots}
+    gauss_params = {k: jnp.asarray(store[k]) for k in gauss_slots}
+    frozen = {
+        k: jnp.asarray(v)
+        for k, v in store.items()
+        if k not in slots and k not in gauss_slots
+    }
     if mesh is not None:
         from cirkit_tpu.parallel.training import replicate_store, shard_batch
 
         em_params = replicate_store(em_params, mesh)
+        gauss_params = replicate_store(gauss_params, mesh)
         frozen = replicate_store(frozen, mesh)
 
-    def _flow_step(em_p, acc, acc_ll, batch, weights):
+    # zero additive offsets on each EM-Gaussian layer's log-output: the
+    # gradient w.r.t. them is the layer's expected unit count S0 (the E-step
+    # responsibilities), at no extra evaluation cost
+    layer_to_off = {id(layer): f"__off{i}" for i, layer, _, _ in gauss}
+    off_zeros = {
+        f"__off{i}": jnp.zeros(
+            (layer.num_folds, 1, layer.num_output_units), jnp.result_type(float)
+        )
+        for i, layer, _, _ in gauss
+    }
+
+    def _module_fn(layer, st, xin):
+        out = layer(st, xin)
+        name = layer_to_off.get(id(layer))
+        if name is not None:
+            out = out + st[name]
+        return out
+
+    def _flow_step(em_p, g_p, acc, acc_ll, batch, weights):
         """One E-step batch, accumulation fused into the jitted program (no
         eager op chains through remote-dispatch tunnels)."""
 
-        def total_ll(p):
-            ll = circuit.evaluate({**p, **frozen}, batch)
+        def total_ll(p_all):
+            p, gp, off = p_all
+            st = {**p, **gp, **off, **frozen}
+            ll = circuit.evaluate(st, batch, module_fn=_module_fn if gauss else None)
             per_sample = jnp.sum(ll.reshape(ll.shape[0], -1), axis=1)
             return jnp.sum(per_sample * weights)
 
-        ll, grads = jax.value_and_grad(total_ll)(em_p)
-        flows = jax.tree_util.tree_map(lambda p, g, a: a + p * g, em_p, grads, acc)
-        return flows, acc_ll + ll
+        ll, (g_em, g_gauss, g_off) = jax.value_and_grad(total_ll)(
+            (em_p, g_p, off_zeros)
+        )
+        acc_f, acc_g, acc_o = acc
+        flows = jax.tree_util.tree_map(lambda p, g, a: a + p * g, em_p, g_em, acc_f)
+        acc_g = jax.tree_util.tree_map(jnp.add, acc_g, g_gauss)
+        acc_o = jax.tree_util.tree_map(jnp.add, acc_o, g_off)
+        return (flows, acc_g, acc_o), acc_ll + ll
 
     if mesh is None:
-        flow_step = jax.jit(_flow_step, donate_argnums=(1, 2))
+        flow_step = jax.jit(_flow_step, donate_argnums=(2, 3))
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -161,19 +223,40 @@ def fit_em(
         shard = NamedSharding(mesh, P(axis))
         flow_step = jax.jit(
             _flow_step,
-            in_shardings=(repl, repl, repl, shard, shard),
+            in_shardings=(repl, repl, repl, repl, shard, shard),
             out_shardings=(repl, repl),
-            donate_argnums=(1, 2),
+            donate_argnums=(2, 3),
         )
 
     @jax.jit
-    def em_update(em_p, flows):
+    def em_update(em_p, g_p, acc):
+        flows, acc_g, acc_o = acc
+
         def upd(p, f):
             f = f + pseudocount
             target = f / jnp.sum(f, axis=-1, keepdims=True)
             return (1.0 - step_size) * p + step_size * target
 
-        return jax.tree_util.tree_map(upd, em_p, flows)
+        new_em = jax.tree_util.tree_map(upd, em_p, flows)
+        new_g = dict(g_p)
+        for i, layer, mean_slot, std_slot in gauss:
+            mu, sd = g_p[mean_slot], g_p[std_slot]
+            s0 = acc_o[f"__off{i}"][:, 0, :]  # (F, K) expected counts
+            g_mu, g_sd = acc_g[mean_slot], acc_g[std_slot]
+            ok = s0 > 1e-6
+            s0s = jnp.where(ok, s0, 1.0)
+            # weighted sufficient stats recovered from the gradients:
+            # g_mu = S1'/sd^2 with S1' = sum r (x - mu);
+            # g_sd = sum r (x-mu)^2 / sd^3 - S0 / sd
+            mu_t = mu + sd * sd * g_mu / s0s
+            sum_sq = sd**3 * g_sd + sd * sd * s0
+            var_t = (sum_sq - s0 * jnp.square(mu_t - mu)) / s0s
+            sd_t = jnp.sqrt(jnp.maximum(var_t, 1e-8))
+            mu_n = jnp.where(ok, (1.0 - step_size) * mu + step_size * mu_t, mu)
+            sd_n = jnp.where(ok, (1.0 - step_size) * sd + step_size * sd_t, sd)
+            new_g[mean_slot] = mu_n
+            new_g[std_slot] = sd_n
+        return new_em, new_g
 
     num_batches = -(-len(data) // batch_size)
     losses: list[float] = []
@@ -183,7 +266,11 @@ def fit_em(
             perm = np.asarray(jax.random.permutation(sub, len(data)))
         else:
             perm = np.arange(len(data))
-        acc = jax.tree_util.tree_map(jnp.zeros_like, em_params)
+        acc = (
+            jax.tree_util.tree_map(jnp.zeros_like, em_params),
+            jax.tree_util.tree_map(jnp.zeros_like, gauss_params),
+            jax.tree_util.tree_map(jnp.zeros_like, off_zeros),
+        )
         acc_ll = jnp.zeros(())
         for b in range(num_batches):
             idx = perm[b * batch_size : (b + 1) * batch_size]
@@ -196,11 +283,12 @@ def fit_em(
                 from cirkit_tpu.parallel.training import shard_batch
 
                 batch, w = shard_batch(batch, mesh, axis), shard_batch(w, mesh, axis)
-            acc, acc_ll = flow_step(em_params, acc, acc_ll, batch, w)
-        em_params = em_update(em_params, acc)
+            acc, acc_ll = flow_step(em_params, gauss_params, acc, acc_ll, batch, w)
+        em_params, gauss_params = em_update(em_params, gauss_params, acc)
         losses.append(-float(acc_ll) / len(data))
 
     new_store = dict(store)
     new_store.update(em_params)
+    new_store.update(gauss_params)
     circuit.default_store = {**getattr(circuit, "default_store", {}), **new_store}
     return new_store, losses

@@ -143,3 +143,85 @@ def test_em_partial_final_batch_counts_every_sample():
     b, lb = fit_em(cc, data, store=ctx.parameters, num_epochs=1, batch_size=32)
     np.testing.assert_allclose(np.asarray(a[wslot]), np.asarray(b[wslot]), rtol=1e-6)
     np.testing.assert_allclose(la, lb, rtol=1e-6)
+
+
+def _gmm_circuit(num_vars, k, rng):
+    """K-component mixture of product-of-Gaussians with plain const params."""
+    from cirkit_tpu.symbolic import Circuit, GaussianLayer, HadamardLayer, SumLayer
+    from cirkit_tpu.utils import Scope
+
+    from tests.fixtures import const_param
+
+    leaves = [
+        GaussianLayer(
+            Scope([v]), k,
+            mean=const_param(rng.normal(size=(k,))),
+            stddev=const_param(rng.uniform(0.6, 1.4, size=(k,))),
+        )
+        for v in range(num_vars)
+    ]
+    w = rng.uniform(0.1, 1.0, size=(1, k))
+    root = SumLayer(k, 1, weight=const_param(w / w.sum()))
+    if num_vars == 1:
+        return Circuit(leaves + [root], {root: leaves}, [root])
+    prod = HadamardLayer(k, arity=num_vars)
+    return Circuit(leaves + [prod, root], {prod: leaves, root: [prod]}, [root])
+
+
+def test_gaussian_em_one_step_matches_closed_form_gmm():
+    """1-D GMM: one EM step must equal the textbook responsibility-weighted
+    updates of weights, means, variances."""
+    from scipy.stats import norm
+
+    from cirkit_tpu.parallel.em import gaussian_em_layers
+    from tests.reference_eval import eval_parameter
+
+    rng = np.random.default_rng(21)
+    sc = _gmm_circuit(1, 2, rng)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    (i, layer, mean_slot, std_slot) = gaussian_em_layers(cc)[0]
+    (wslot,) = em_slots(cc)
+
+    store0 = dict(ctx.parameters)
+    mu0 = np.asarray(store0[mean_slot]).reshape(-1)
+    sd0 = np.asarray(store0[std_slot]).reshape(-1)
+    w0 = np.asarray(store0[wslot]).reshape(-1)
+
+    x = np.random.default_rng(22).normal(size=(64, 1)) * 1.5
+    store, losses = fit_em(
+        cc, x, store=store0, num_epochs=1, batch_size=64, pseudocount=0.0
+    )
+
+    # numpy closed form
+    like = np.stack([norm.pdf(x[:, 0], mu0[k], sd0[k]) for k in range(2)])  # (K, B)
+    post = (w0[:, None] * like) / (w0[:, None] * like).sum(0, keepdims=True)
+    s0 = post.sum(1)
+    w_want = s0 / s0.sum()
+    mu_want = (post * x[:, 0]).sum(1) / s0
+    var_want = (post * (x[:, 0] - mu_want[:, None]) ** 2).sum(1) / s0
+
+    np.testing.assert_allclose(np.asarray(store[wslot]).reshape(-1), w_want, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(store[mean_slot]).reshape(-1), mu_want, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(store[std_slot]).reshape(-1), np.sqrt(var_want), rtol=1e-6
+    )
+    # and full-batch EM keeps improving monotonically
+    store2, losses2 = fit_em(cc, x, store=store0, num_epochs=3, batch_size=64)
+    assert all(b <= a + 1e-9 for a, b in zip(losses2, losses2[1:])), losses2
+
+
+def test_gaussian_em_multivariate_monotone():
+    """Mixture of product-of-Gaussians over 3 variables: full-batch EM over
+    means/stddevs/weights is monotone and fits clustered data."""
+    rng = np.random.default_rng(23)
+    sc = _gmm_circuit(3, 3, rng)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    store0 = dict(ctx.parameters)
+    data_rng = np.random.default_rng(24)
+    centers = data_rng.normal(scale=3.0, size=(3, 3))
+    x = centers[data_rng.integers(0, 3, 256)] + data_rng.normal(scale=0.3, size=(256, 3))
+    store, losses = fit_em(cc, x, store=store0, num_epochs=6, batch_size=256)
+    assert all(b <= a + 1e-9 for a, b in zip(losses, losses[1:])), losses
+    assert losses[-1] < losses[0] - 0.5, losses
