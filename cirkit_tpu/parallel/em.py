@@ -27,8 +27,11 @@ Requirements, checked at build time:
   derivative *is* the expected count), and the weighted sufficient
   statistics are recovered in closed form from the mean/stddev gradients —
   no extra passes.
-- other input parameters (embeddings, binomials, ...) are left fixed —
-  combine EM for the rest with :func:`fit`.
+- Binomial input layers update when parameterized by a plain ``probs`` or
+  ``logits`` slot, via the same offset-gradient responsibilities and the
+  closed-form success-probability update.
+- other input parameters (embeddings, polynomial coefficients, ...) are
+  left fixed — combine EM for the rest with :func:`fit`.
 """
 
 from __future__ import annotations
@@ -39,6 +42,7 @@ import numpy as np
 
 from cirkit_tpu.backend.jax.circuit import JaxCircuit
 from cirkit_tpu.backend.jax.layers import (
+    JaxBinomialLayer,
     JaxCategoricalLayer,
     JaxGaussianLayer,
     JaxSumLayer,
@@ -91,7 +95,11 @@ def em_slots(circuit: JaxCircuit) -> dict[str, str]:
             slot = _flow_slot(layer.probs)
             if slot is not None:
                 slots[slot] = "categorical"
-    if not slots and not gaussian_em_layers(circuit):
+    if (
+        not slots
+        and not gaussian_em_layers(circuit)
+        and not binomial_em_layers(circuit)
+    ):
         raise ValueError("The circuit has no EM-updatable parameters")
     return slots
 
@@ -109,6 +117,26 @@ def gaussian_em_layers(
         std_slot = _flow_slot(layer.stddev)
         if mean_slot is not None and std_slot is not None:
             out.append((i, layer, mean_slot, std_slot))
+    return out
+
+
+def binomial_em_layers(
+    circuit: JaxCircuit,
+) -> list[tuple[int, "JaxBinomialLayer", str, str]]:
+    """Binomial input layers with a plain ``probs`` or ``logits`` slot, as
+    ``(layer_index, layer, slot, kind)`` with kind "probs"/"logits"."""
+    out = []
+    for i, layer in enumerate(circuit.layers):
+        if not isinstance(layer, JaxBinomialLayer):
+            continue
+        if layer.probs is not None:
+            slot = _flow_slot(layer.probs)
+            if slot is not None:
+                out.append((i, layer, slot, "probs"))
+        else:
+            slot = _flow_slot(layer.logits)
+            if slot is not None:
+                out.append((i, layer, slot, "logits"))
     return out
 
 
@@ -161,7 +189,9 @@ def fit_em(
             data = data.astype(np.float32)
 
     gauss = gaussian_em_layers(circuit)
+    binom = binomial_em_layers(circuit)
     gauss_slots = {s for _, _, ms, ss in gauss for s in (ms, ss)}
+    gauss_slots |= {s for _, _, s, _ in binom}
     em_params = {k: jnp.asarray(store[k]) for k in slots}
     gauss_params = {k: jnp.asarray(store[k]) for k in gauss_slots}
     frozen = {
@@ -179,12 +209,14 @@ def fit_em(
     # zero additive offsets on each EM-Gaussian layer's log-output: the
     # gradient w.r.t. them is the layer's expected unit count S0 (the E-step
     # responsibilities), at no extra evaluation cost
-    layer_to_off = {id(layer): f"__off{i}" for i, layer, _, _ in gauss}
+    off_layers = [(i, layer) for i, layer, _, _ in gauss]
+    off_layers += [(i, layer) for i, layer, _, _ in binom]
+    layer_to_off = {id(layer): f"__off{i}" for i, layer in off_layers}
     off_zeros = {
         f"__off{i}": jnp.zeros(
             (layer.num_folds, 1, layer.num_output_units), jnp.result_type(float)
         )
-        for i, layer, _, _ in gauss
+        for i, layer in off_layers
     }
 
     def _module_fn(layer, st, xin):
@@ -201,7 +233,9 @@ def fit_em(
         def total_ll(p_all):
             p, gp, off = p_all
             st = {**p, **gp, **off, **frozen}
-            ll = circuit.evaluate(st, batch, module_fn=_module_fn if gauss else None)
+            ll = circuit.evaluate(
+                st, batch, module_fn=_module_fn if off_layers else None
+            )
             per_sample = jnp.sum(ll.reshape(ll.shape[0], -1), axis=1)
             return jnp.sum(per_sample * weights)
 
@@ -256,6 +290,28 @@ def fit_em(
             sd_n = jnp.where(ok, (1.0 - step_size) * sd + step_size * sd_t, sd)
             new_g[mean_slot] = mu_n
             new_g[std_slot] = sd_n
+        for i, layer, slot, kind in binom:
+            n = layer.total_count
+            s0 = acc_o[f"__off{i}"][:, 0, :]
+            g = acc_g[slot]
+            ok = s0 > 1e-6
+            s0s = jnp.where(ok, s0, 1.0)
+            theta = g_p[slot]
+            if kind == "logits":
+                # d log pmf/dtheta = k - n*sigmoid(theta):
+                # sum r k = g + n p S0 -> p' = p + g / (n S0)
+                p0 = jax.nn.sigmoid(theta)
+                p_t = p0 + g / (n * s0s)
+            else:
+                # d log pmf/dp = k/p - (n-k)/(1-p):
+                # sum r k = p(1-p) g + n p S0 -> p' = p + p(1-p) g / (n S0)
+                p0 = theta
+                p_t = p0 + p0 * (1.0 - p0) * g / (n * s0s)
+            p_t = jnp.clip(p_t, 1e-7, 1.0 - 1e-7)
+            p_n = jnp.where(ok, (1.0 - step_size) * p0 + step_size * p_t, p0)
+            new_g[slot] = (
+                jnp.log(p_n) - jnp.log1p(-p_n) if kind == "logits" else p_n
+            )
         return new_em, new_g
 
     num_batches = -(-len(data) // batch_size)

@@ -225,3 +225,54 @@ def test_gaussian_em_multivariate_monotone():
     store, losses = fit_em(cc, x, store=store0, num_epochs=6, batch_size=256)
     assert all(b <= a + 1e-9 for a, b in zip(losses, losses[1:])), losses
     assert losses[-1] < losses[0] - 0.5, losses
+
+
+def test_binomial_em_one_step_matches_closed_form():
+    """Mixture of Binomial units: one EM step must equal the closed form
+    p_k' = sum_b r_bk k_b / (n sum_b r_bk), for both parameterizations."""
+    from scipy.stats import binom as sp_binom
+
+    from cirkit_tpu.symbolic import BinomialLayer, Circuit, SumLayer
+    from cirkit_tpu.utils import Scope
+
+    from tests.fixtures import const_param
+
+    n = 10
+    for kind in ("probs", "logits"):
+        rng = np.random.default_rng(25)
+        p0 = rng.uniform(0.2, 0.8, size=(2,))
+        if kind == "probs":
+            leaf = BinomialLayer(Scope([0]), 2, total_count=n, probs=const_param(p0))
+        else:
+            leaf = BinomialLayer(
+                Scope([0]), 2, total_count=n,
+                logits=const_param(np.log(p0) - np.log1p(-p0)),
+            )
+        w0 = np.array([[0.4, 0.6]])
+        root = SumLayer(2, 1, weight=const_param(w0))
+        sc = Circuit([leaf, root], {root: [leaf]}, [root])
+        ctx = PipelineContext(semiring="lse-sum", fold=True)
+        cc = ctx.compile(sc)
+
+        x = rng.integers(0, n + 1, size=(48, 1))
+        store, _ = fit_em(
+            cc, x, store=ctx.parameters, num_epochs=1, batch_size=48, pseudocount=0.0
+        )
+
+        like = np.stack([sp_binom.pmf(x[:, 0], n, p0[k]) for k in range(2)])
+        post = (w0[0][:, None] * like) / (w0[0][:, None] * like).sum(0, keepdims=True)
+        s0 = post.sum(1)
+        p_want = (post * x[:, 0]).sum(1) / (n * s0)
+
+        from cirkit_tpu.parallel.em import binomial_em_layers, em_slots as _slots
+
+        (_, _, slot, got_kind) = binomial_em_layers(cc)[0]
+        assert got_kind == kind
+        got = np.asarray(store[slot]).reshape(-1)
+        if kind == "logits":
+            got = 1.0 / (1.0 + np.exp(-got))
+        np.testing.assert_allclose(got, p_want, rtol=1e-6)
+        (wslot,) = _slots(cc)
+        np.testing.assert_allclose(
+            np.asarray(store[wslot]).reshape(-1), s0 / s0.sum(), rtol=1e-6
+        )
