@@ -270,3 +270,43 @@ def test_conditional_sampling_on_optimized_circuit_runs():
     np.testing.assert_array_equal(samples[mask].astype(int), x[mask])
     assert ((samples >= 0) & (samples <= 255)).all()
     assert np.isfinite(np.asarray(log_ev)).all()
+
+
+def test_conditional_sampling_gaussian_posterior_moments():
+    """Continuous evidence: observing x0 reweights the mixture; sampled x1
+    moments must match the posterior mixture moments."""
+    import jax.numpy as jnp
+    from scipy.stats import norm
+
+    from tests.fixtures import build_bivariate_gaussian_pc
+    from tests.reference_eval import eval_parameter
+
+    sc = build_bivariate_gaussian_pc(num_units=3, rng=np.random.default_rng(60))
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+
+    x0 = 0.7
+    n = 8000
+    x = np.zeros((n, 2))
+    x[:, 0] = x0
+    mask = np.array([True, False])
+    samples, log_ev = SamplingQuery(cc).conditional(
+        jnp.asarray(x), evidence_mask=jnp.asarray(mask),
+        key=jax.random.PRNGKey(3), store=ctx.parameters,
+    )
+    draws = np.asarray(samples)[:, 1]
+
+    layers = list(sc.topological_ordering())
+    mu = np.stack([eval_parameter(l.mean) for l in layers[:2]])  # (2, K)
+    sd = np.stack([eval_parameter(l.stddev) for l in layers[:2]])
+    w = eval_parameter(sc.outputs[0].weight)[0]
+    # posterior over components given x0
+    lik0 = norm.pdf(x0, mu[0], sd[0])
+    post = w * lik0 / (w * lik0).sum()
+    mean_want = (post * mu[1]).sum()
+    var_want = (post * (sd[1] ** 2 + mu[1] ** 2)).sum() - mean_want**2
+    np.testing.assert_allclose(draws.mean(), mean_want, atol=4 * np.sqrt(var_want / n))
+    np.testing.assert_allclose(draws.var(), var_want, rtol=0.1)
+    np.testing.assert_allclose(
+        np.asarray(log_ev)[0], np.log((w * lik0).sum()), rtol=1e-6
+    )
