@@ -61,6 +61,32 @@ def main() -> None:
     print("log p at centers:", ll[:3].round(2), " far away:", round(float(ll[3]), 2))
     assert ll[:3].min() > ll[3] + 3.0, "centers should be far likelier"
 
+    # the same GMM by EM (plain dirichlet weights + plain Gaussian leaves):
+    # closed-form responsibility updates, no learning rate, monotone NLL
+    from cirkit_tpu.parallel import fit_em
+    from cirkit_tpu.symbolic.initializers import DirichletInitializer
+    from cirkit_tpu.models.utils import parameterization_to_factory as ptf
+
+    dirichlet = ptf(Parameterization(activation="none", initialization="dirichlet"))
+    normal = ptf(Parameterization(activation="none", initialization="normal"))
+    spread = ptf(Parameterization(activation="none", initialization="uniform"))
+    k = 8
+    # plain mean/stddev slots make the Gaussian leaves EM-updatable
+    g0 = GaussianLayer(Scope([0]), k, mean_factory=normal, stddev_factory=spread)
+    g1 = GaussianLayer(Scope([1]), k, mean_factory=normal, stddev_factory=spread)
+    prod = HadamardLayer(k, arity=2)
+    mix = SumLayer(k, 1, weight_factory=dirichlet)
+    ctx2 = PipelineContext(semiring="lse-sum", fold=True, seed=5)
+    em_circuit = ctx2.compile(
+        Circuit([g0, g1, prod, mix], {prod: [g0, g1], mix: [prod]}, [mix])
+    )
+    em_store, em_losses = fit_em(
+        em_circuit, data, store=ctx2.parameters,
+        num_epochs=max(4, int(os.environ.get("EPOCHS", "60")) // 3), batch_size=512,
+    )
+    print(f"EM  NLL: {em_losses[0]:.3f} -> {em_losses[-1]:.3f} (monotone)")
+    assert all(b <= a + 1e-6 for a, b in zip(em_losses, em_losses[1:]))
+
 
 if __name__ == "__main__":
     main()
