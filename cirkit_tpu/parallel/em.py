@@ -148,6 +148,7 @@ def fit_em(
     num_epochs: int = 1,
     batch_size: int = 1024,
     step_size: float = 1.0,
+    update_every: str = "epoch",
     pseudocount: float = 1e-6,
     shuffle: bool = False,
     key: jax.Array | None = None,
@@ -161,6 +162,12 @@ def fit_em(
     renormalized flows — interpolated with the previous weights when
     ``step_size < 1`` (damped EM). ``step_size=1.0`` is exact full-dataset
     EM, which increases the train log-likelihood monotonically.
+
+    ``update_every="batch"`` switches to **online (mini-batch) EM**: the
+    M-step runs after every batch on that batch's flows, damped by
+    ``step_size`` — much faster progress per pass on large datasets, at the
+    cost of the full-batch monotonicity guarantee (use ``step_size`` well
+    below 1, e.g. 0.1).
 
     With a ``mesh``, the batch shards over the ``axis`` and parameters/flow
     accumulators replicate: the flows are gradients, so XLA inserts the
@@ -180,6 +187,8 @@ def fit_em(
         key = jax.random.PRNGKey(0)
     if mesh is not None and batch_size % mesh.devices.size != 0:
         raise ValueError("The batch size must divide evenly across the mesh devices")
+    if update_every not in ("epoch", "batch"):
+        raise ValueError(f"update_every must be 'epoch' or 'batch', got {update_every!r}")
 
     data = np.asarray(data)
     if not jax.config.jax_enable_x64:
@@ -322,11 +331,14 @@ def fit_em(
             perm = np.asarray(jax.random.permutation(sub, len(data)))
         else:
             perm = np.arange(len(data))
-        acc = (
-            jax.tree_util.tree_map(jnp.zeros_like, em_params),
-            jax.tree_util.tree_map(jnp.zeros_like, gauss_params),
-            jax.tree_util.tree_map(jnp.zeros_like, off_zeros),
-        )
+        def _zero_acc():
+            return (
+                jax.tree_util.tree_map(jnp.zeros_like, em_params),
+                jax.tree_util.tree_map(jnp.zeros_like, gauss_params),
+                jax.tree_util.tree_map(jnp.zeros_like, off_zeros),
+            )
+
+        acc = _zero_acc()
         acc_ll = jnp.zeros(())
         for b in range(num_batches):
             idx = perm[b * batch_size : (b + 1) * batch_size]
@@ -339,8 +351,13 @@ def fit_em(
                 from cirkit_tpu.parallel.training import shard_batch
 
                 batch, w = shard_batch(batch, mesh, axis), shard_batch(w, mesh, axis)
+            if update_every == "batch":
+                acc = _zero_acc()
             acc, acc_ll = flow_step(em_params, gauss_params, acc, acc_ll, batch, w)
-        em_params, gauss_params = em_update(em_params, gauss_params, acc)
+            if update_every == "batch":
+                em_params, gauss_params = em_update(em_params, gauss_params, acc)
+        if update_every == "epoch":
+            em_params, gauss_params = em_update(em_params, gauss_params, acc)
         losses.append(-float(acc_ll) / len(data))
 
     new_store = dict(store)

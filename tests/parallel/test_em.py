@@ -276,3 +276,33 @@ def test_binomial_em_one_step_matches_closed_form():
         np.testing.assert_allclose(
             np.asarray(store[wslot]).reshape(-1), s0 / s0.sum(), rtol=1e-6
         )
+
+
+def test_online_em_improves_and_matches_epoch_on_single_batch():
+    """update_every='batch': with one batch per epoch it equals epoch mode;
+    with several batches it still drives the NLL down under damping."""
+    rng = np.random.default_rng(26)
+    sc = _gmm_circuit(2, 3, rng)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    store0 = dict(ctx.parameters)
+    data_rng = np.random.default_rng(27)
+    centers = data_rng.normal(scale=2.5, size=(3, 2))
+    x = centers[data_rng.integers(0, 3, 192)] + data_rng.normal(scale=0.3, size=(192, 2))
+
+    a, la = fit_em(cc, x, store=store0, num_epochs=2, batch_size=192)
+    b, lb = fit_em(cc, x, store=store0, num_epochs=2, batch_size=192, update_every="batch")
+    np.testing.assert_allclose(la, lb, rtol=1e-9)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]), rtol=1e-7)
+
+    _, lo = fit_em(
+        cc, x, store=store0, num_epochs=6, batch_size=64,
+        update_every="batch", step_size=0.3,
+    )
+    assert lo[-1] < lo[0] - 0.5, lo
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="update_every"):
+        fit_em(cc, x, store=store0, update_every="sometimes")
