@@ -349,7 +349,11 @@ def _build_routing_run(cc: JaxCircuit, kind: str):
         JaxKroneckerLayer,
         JaxSumLayer,
     )
-    from cirkit_tpu.backend.jax.optimized import JaxCPTLayer, JaxTuckerLayer
+    from cirkit_tpu.backend.jax.optimized import (
+        JaxCPTLayer,
+        JaxTensorDotLayer,
+        JaxTuckerLayer,
+    )
     from cirkit_tpu.backend.jax.utils import safelog
 
     num_vars = max(cc.scope) + 1
@@ -378,6 +382,33 @@ def _build_routing_run(cc: JaxCircuit, kind: str):
             v = (v[:, :, None, :] + val[:, h][:, None, :, :]).reshape(f, -1, b)
             a = (a[:, :, None] + asg[:, h][:, None]).reshape(f, -1, b, num_vars)
         return v, a
+
+    def _route_tensordot(layer, w, val, asg, key):
+        """Route through one Monarch half: input unit i = (j, q) row-major
+        over (Kj, Kq); output unit o = (q, k) row-major over (Kq, Kk) with
+        ``out[q*Kk+k] = over_j w[k, j] . in[j*Kq+q]`` (see
+        JaxTensorDotLayer.forward). Each (k, q) output mixes over j only, so
+        the two chained halves realize the Kronecker-factored sum's mixture
+        as nested independent choices — max and ancestral draws both
+        factorize exactly."""
+        f, m, bsz = val.shape
+        kk, kj = w.shape[1:]
+        kq = m // kj
+        v = val.reshape(f, kj, kq, bsz)
+        scores = safelog(w)[:, :, :, None, None] + v[:, None, :, :, :]  # (F,Kk,Kj,Kq,B)
+        if kind == "max":
+            idx = jnp.argmax(scores, axis=2)  # (F, Kk, Kq, B)
+            out_val = jnp.max(scores, axis=2)
+        else:
+            idx = jax.random.categorical(key, scores, axis=2)
+            out_val = jax.scipy.special.logsumexp(scores, axis=2)
+        child = idx * kq + jnp.arange(kq)[None, None, :, None]  # flat input index
+        f_idx = jnp.arange(f)[:, None, None, None]
+        b_idx = jnp.arange(bsz)[None, None, None, :]
+        picked = asg[f_idx, child, b_idx]  # (F, Kk, Kq, B, D)
+        out_val = jnp.transpose(out_val, (0, 2, 1, 3)).reshape(f, kq * kk, bsz)
+        out_asg = jnp.transpose(picked, (0, 2, 1, 3, 4)).reshape(f, kq * kk, bsz, num_vars)
+        return out_val, out_asg
 
     def _run(st, xx, mk, key=None):
         keys = iter(jax.random.split(key, 2 * len(cc.layers))) if key is not None else None
@@ -431,9 +462,10 @@ def _build_routing_run(cc: JaxCircuit, kind: str):
                     asg.reshape(f, h * k, b, num_vars),
                     lk,
                 )
+            if isinstance(layer, JaxTensorDotLayer):
+                return _route_tensordot(layer, layer.weight(s), val[:, 0], asg[:, 0], lk)
             raise NotImplementedError(
-                f"{name} is not supported for {type(layer).__name__} "
-                "(compile with optimize=False for Kronecker-shattered sums)"
+                f"{name} is not supported for {type(layer).__name__}"
             )
 
         return cc.evaluate_raw(st, xx, module_fn=layer_fn)

@@ -189,3 +189,48 @@ def test_map_errors():
         )
     with pytest.raises(ValueError, match="requires an input batch"):
         query(evidence_mask=np.zeros((1, 2), dtype=bool), store=ctx2.parameters)
+
+
+@pytest.mark.parametrize("fold", [False, True])
+def test_map_through_tensordot_shattered_sums(fold):
+    """Product circuits compile (optimize=True) to Kronecker-shattered
+    tensor-dot pairs; MAP must route through both Monarch halves and still
+    match exhaustive enumeration of the symbolic product."""
+    import cirkit_tpu.symbolic.functional as SF
+    from cirkit_tpu.backend.jax.optimized import JaxTensorDotLayer
+
+    sc1 = build_multivariate_categorical_pc(rng=np.random.default_rng(61))
+    sc2 = build_multivariate_categorical_pc(rng=np.random.default_rng(62))
+    psc = SF.multiply(sc1, sc2)
+    ctx = PipelineContext(semiring="lse-sum", fold=fold, optimize=True)
+    cc = ctx.compile(psc)
+    assert any(isinstance(l, JaxTensorDotLayer) for l in cc.layers)
+
+    asg, val = MAPQuery(cc)(store=ctx.parameters)
+    want_asg, want_val = mpe_by_enumeration(psc, 2)
+    np.testing.assert_array_equal(np.asarray(asg[0]).astype(int), want_asg)
+    np.testing.assert_allclose(float(val[0]), np.log(want_val), rtol=1e-9)
+
+
+def test_conditional_sampling_through_tensordot():
+    """Full-evidence conditional draws through tensor-dot pairs return the
+    input and the product circuit's log-likelihood."""
+    import jax
+
+    import cirkit_tpu.symbolic.functional as SF
+    from cirkit_tpu.backend.jax.queries import SamplingQuery
+    from tests.reference_eval import enumerate_worlds, eval_circuit
+
+    sc1 = build_multivariate_categorical_pc(rng=np.random.default_rng(63))
+    sc2 = build_multivariate_categorical_pc(rng=np.random.default_rng(64))
+    psc = SF.multiply(sc1, sc2)
+    ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=True)
+    cc = ctx.compile(psc)
+    worlds = enumerate_worlds(4, 2)
+    samples, vals = SamplingQuery(cc).conditional(
+        worlds, evidence_mask=np.ones((len(worlds), 4), dtype=bool),
+        key=jax.random.PRNGKey(4), store=ctx.parameters,
+    )
+    np.testing.assert_array_equal(np.asarray(samples).astype(int), worlds)
+    want = np.log(eval_circuit(sc1, worlds)[:, 0, 0] * eval_circuit(sc2, worlds)[:, 0, 0])
+    np.testing.assert_allclose(np.asarray(vals), want, rtol=1e-8)
