@@ -214,11 +214,7 @@ class SamplingQuery(Query):
             )
         num_vars = max(cc.scope) + 1
         x = jnp.asarray(x)
-        mask = jnp.asarray(evidence_mask)
-        if mask.dtype != jnp.bool_:
-            raise ValueError(f"Expected a boolean mask, found dtype {mask.dtype}")
-        if mask.ndim == 1:
-            mask = jnp.broadcast_to(mask[None], (x.shape[0], mask.shape[0]))
+        mask = _evidence_to_mask(cc, evidence_mask, x.shape[0])
         if mask.shape[1] != num_vars:
             raise ValueError(
                 f"The circuit scope has {num_vars} variables, but the mask "
@@ -295,8 +291,9 @@ class MAPQuery(Query):
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Compute MPE states: returns ``(assignments (B, D), log_values
         (B,))``. Unconditional when ``x`` is None (B=1); otherwise
-        ``evidence_mask`` (B, D) or (D,) marks the *observed* entries of
-        ``x`` and free variables are maximized per sample."""
+        ``evidence_mask`` — a (B, D)/(D,) boolean mask, a Scope, or a
+        sequence of Scopes (like IntegrateQuery) — marks the *observed*
+        entries of ``x`` and free variables are maximized per sample."""
         cc = self._circuit
         num_vars = max(cc.scope) + 1
         if x is None:
@@ -311,11 +308,7 @@ class MAPQuery(Query):
                     "(an all-False mask reproduces the unconditional query)"
                 )
             x = jnp.asarray(x)
-            mask = jnp.asarray(evidence_mask)
-            if mask.dtype != jnp.bool_:
-                raise ValueError(f"Expected a boolean mask, found dtype {mask.dtype}")
-            if mask.ndim == 1:
-                mask = jnp.broadcast_to(mask[None], (x.shape[0], mask.shape[0]))
+            mask = _evidence_to_mask(cc, evidence_mask, x.shape[0])
         if store is None:
             store = getattr(cc, "default_store", None)
             if store is None:
@@ -328,6 +321,26 @@ class MAPQuery(Query):
             cc._map_jit = fn
         vals, asgs = fn(store, x, mask)  # (O, K, B), (O, K, B, D)
         return asgs[0, 0], vals[0, 0]
+
+
+def _evidence_to_mask(cc: JaxCircuit, evidence_mask, batch: int) -> jnp.ndarray:
+    """Normalize an evidence specification — boolean array (B, D)/(D,), a
+    Scope, or a sequence of Scopes of length 1 or B — to a (B, D) mask."""
+    if isinstance(evidence_mask, (jnp.ndarray, np.ndarray)):
+        mask = jnp.asarray(evidence_mask)
+        if mask.dtype != jnp.bool_:
+            raise ValueError(f"Expected a boolean mask, found dtype {mask.dtype}")
+        if mask.ndim == 1:
+            mask = jnp.broadcast_to(mask[None], (batch, mask.shape[0]))
+    else:
+        mask = jnp.asarray(IntegrateQuery.scopes_to_mask(cc, evidence_mask))
+    if mask.shape[0] == 1 and batch != 1:
+        mask = jnp.broadcast_to(mask, (batch, mask.shape[1]))
+    if mask.shape[0] != batch:
+        raise ValueError(
+            f"The evidence mask covers {mask.shape[0]} samples, expected {batch}"
+        )
+    return mask
 
 
 def _build_routing_run(cc: JaxCircuit, kind: str):

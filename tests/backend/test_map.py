@@ -234,3 +234,35 @@ def test_conditional_sampling_through_tensordot():
     np.testing.assert_array_equal(np.asarray(samples).astype(int), worlds)
     want = np.log(eval_circuit(sc1, worlds)[:, 0, 0] * eval_circuit(sc2, worlds)[:, 0, 0])
     np.testing.assert_allclose(np.asarray(vals), want, rtol=1e-8)
+
+
+def test_map_and_conditional_accept_scope_evidence():
+    """Scope-based evidence specs work like IntegrateQuery's (observed =
+    the given scope), matching the boolean-mask result exactly."""
+    import jax
+
+    from cirkit_tpu.backend.jax.queries import SamplingQuery
+    from cirkit_tpu.utils import Scope
+
+    sc = build_multivariate_categorical_pc(num_variables=4, rng=np.random.default_rng(65))
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    x = np.array([[1, 0, 1, 0], [0, 1, 0, 1]], dtype=np.int64)
+    mask = np.zeros((2, 4), dtype=bool)
+    mask[:, [0, 2]] = True
+
+    q = MAPQuery(cc)
+    a1, v1 = q(x, evidence_mask=mask, store=ctx.parameters)
+    a2, v2 = q(x, evidence_mask=Scope([0, 2]), store=ctx.parameters)
+    a3, v3 = q(x, evidence_mask=[Scope([0, 2]), Scope([0, 2])], store=ctx.parameters)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a3))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-12)
+
+    s1, _ = SamplingQuery(cc).conditional(
+        x, evidence_mask=mask, key=jax.random.PRNGKey(5), store=ctx.parameters
+    )
+    s2, _ = SamplingQuery(cc).conditional(
+        x, evidence_mask=Scope([0, 2]), key=jax.random.PRNGKey(5), store=ctx.parameters
+    )
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
