@@ -306,3 +306,47 @@ def test_online_em_improves_and_matches_epoch_on_single_batch():
 
     with _pytest.raises(ValueError, match="update_every"):
         fit_em(cc, x, store=store0, update_every="sometimes")
+
+
+def test_heterogeneous_tabular_em_all_leaf_families():
+    """One tabular circuit with categorical + Gaussian + binomial leaves:
+    fit_em updates all three families (plus the sum weights) in one pass
+    and stays monotone."""
+    from cirkit_tpu.models import tabular_data
+    from cirkit_tpu.models.utils import parameterization_to_factory as ptf
+    from cirkit_tpu.parallel.em import binomial_em_layers, gaussian_em_layers
+
+    plain_probs = ptf(Parameterization(activation="none", initialization="dirichlet"))
+    plain_mean = ptf(Parameterization(activation="none", initialization="normal"))
+    plain_pos = ptf(Parameterization(activation="none", initialization="uniform"))
+
+    sc = tabular_data(
+        "random-binary-tree",
+        num_features=3,
+        input_layers=[
+            {"name": "categorical", "args": {"num_categories": 5, "probs_factory": plain_probs}},
+            {"name": "gaussian", "args": {"mean_factory": plain_mean, "stddev_factory": plain_pos}},
+            {"name": "binomial", "args": {"total_count": 6, "probs_factory": plain_pos}},
+        ],
+        num_input_units=3,
+        sum_product_layer="cp",
+        num_sum_units=3,
+        sum_weight_param=Parameterization(activation="none", initialization="dirichlet"),
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True, seed=29)
+    cc = ctx.compile(sc)
+    assert gaussian_em_layers(cc) and binomial_em_layers(cc)
+    assert "categorical" in em_slots(cc).values()
+
+    rng = np.random.default_rng(30)
+    x = np.stack(
+        [
+            rng.integers(0, 5, 300).astype(float),
+            rng.normal(1.0, 0.5, 300),
+            rng.binomial(6, 0.7, 300).astype(float),
+        ],
+        axis=1,
+    )
+    store, losses = fit_em(cc, x, store=ctx.parameters, num_epochs=5, batch_size=300)
+    assert all(b <= a + 1e-9 for a, b in zip(losses, losses[1:])), losses
+    assert losses[-1] < losses[0] - 0.2, losses
