@@ -232,8 +232,8 @@ class SamplingQuery(Query):
         if fn is None:
             fn = jax.jit(_build_routing_run(cc, "sample"))
             cc._cond_sampling_jit = fn
-        vals, asgs = fn(store, x, mask, key)  # (O, K, B), (O, K, B, D)
-        return asgs[0, 0], vals[0, 0]
+        asg, vals = fn(store, x, mask, key)  # (B, D), (O, K, B)
+        return asg, vals[0, 0]
 
 
 def _pad_samples(samples: jnp.ndarray, scope_idx: np.ndarray, num_vars: int) -> jnp.ndarray:
@@ -319,8 +319,8 @@ class MAPQuery(Query):
         if fn is None:
             fn = jax.jit(_build_routing_run(cc, "max"))
             cc._map_jit = fn
-        vals, asgs = fn(store, x, mask)  # (O, K, B), (O, K, B, D)
-        return asgs[0, 0], vals[0, 0]
+        asg, vals = fn(store, x, mask)  # (B, D), (O, K, B)
+        return asg, vals[0, 0]
 
 
 def _evidence_to_mask(cc: JaxCircuit, evidence_mask, batch: int) -> jnp.ndarray:
@@ -344,17 +344,31 @@ def _evidence_to_mask(cc: JaxCircuit, evidence_mask, batch: int) -> jnp.ndarray:
 
 
 def _build_routing_run(cc: JaxCircuit, kind: str):
-    """The shared bottom-up routing pass behind :class:`MAPQuery`
-    (``kind="max"``) and conditional sampling (``kind="sample"``).
+    """The shared two-pass routing behind :class:`MAPQuery` (``kind="max"``)
+    and conditional sampling (``kind="sample"``).
 
-    Every layer carries a ``(values (F, K, B), assignments (F, K, B, D))``
-    pair upward: values are log-space layer outputs with observed variables
-    contributing their data likelihood and free variables their mode
-    (``max``) or their marginal (``sample``); sum-style layers route the
-    argmax (``max``) or a posterior draw ``i ~ softmax(log w_i + val_i)``
-    (``sample``) of their mixture inputs. The recursion is exactly the
-    posterior factorization of a smooth decomposable circuit, which is what
-    makes the single upward pass correct for conditional sampling.
+    **Upward pass** over the evaluation plan: every layer produces log-space
+    values (F, K, B) — observed variables contribute their data likelihood,
+    free variables their mode (``max``) or marginal (``sample``) — and
+    sum-style layers *record* the argmax (``max``) or a posterior draw
+    ``i ~ softmax(log w_i + val_i)`` (``sample``) of their mixture inputs as
+    an (F, O, B) index array. The recursion is exactly the posterior
+    factorization of a smooth decomposable circuit.
+
+    **Downward pass** over the reversed plan: a 0/1 selection count
+    (F, K, B) per entry, seeded at the root unit, is pushed through the
+    recorded indices (scatter-adds) and the plan's static fold gathers; the
+    output assignment is the selection-weighted sum of the input layers'
+    per-unit states scattered at their scopes. Decomposability guarantees
+    each (fold, unit, sample) is selected at most once per parse, so the
+    counts stay 0/1 and the weighted sum IS the parse's assignment.
+
+    The memory high-water mark is a few activation-sized arrays per layer.
+    The earlier one-pass design carried zero-padded (F, K, B, D) assignment
+    tensors upward, which is quadratic in the number of variables — 20 GB
+    at the MNIST flagship's input layer (784 folds x 64 units x batch 128 x
+    784 variables) and an OOM on a 16 GB chip; this formulation runs the
+    same query in activation-scale memory.
     """
     from cirkit_tpu.backend.jax.layers import (
         JaxConstantInputLayer,
@@ -371,62 +385,26 @@ def _build_routing_run(cc: JaxCircuit, kind: str):
 
     num_vars = max(cc.scope) + 1
     name = "MAP" if kind == "max" else "Conditional sampling"
+    entries = cc._entries
 
-    def _route(w, val, asg, key):
-        """Route through a (F, O, M) weight: val (F, M, B), asg
-        (F, M, B, D) -> (F, O, B), (F, O, B, D)."""
-        scores = safelog(w)[:, :, :, None] + val[:, None, :, :]  # (F, O, M, B)
+    def _choose(scores, key, axis):
+        """argmax / categorical over ``axis`` + the chosen-or-marginal value."""
         if kind == "max":
-            idx = jnp.argmax(scores, axis=2)  # (F, O, B)
-            out_val = jnp.max(scores, axis=2)
-        else:
-            idx = jax.random.categorical(key, scores, axis=2)
-            out_val = jax.scipy.special.logsumexp(scores, axis=2)
-        f_idx = jnp.arange(asg.shape[0])[:, None, None]
-        b_idx = jnp.arange(asg.shape[2])[None, None, :]
-        return out_val, asg[f_idx, idx, b_idx]
-
-    def _combine(val, asg):
-        """Kronecker-combine arity inputs row-major: (F, H, K, B) ->
-        (F, K^H, B) by addition (disjoint scopes)."""
-        v, a = val[:, 0], asg[:, 0]
-        for h in range(1, val.shape[1]):
-            f, _, b = v.shape
-            v = (v[:, :, None, :] + val[:, h][:, None, :, :]).reshape(f, -1, b)
-            a = (a[:, :, None] + asg[:, h][:, None]).reshape(f, -1, b, num_vars)
-        return v, a
-
-    def _route_tensordot(layer, w, val, asg, key):
-        """Route through one Monarch half: input unit i = (j, q) row-major
-        over (Kj, Kq); output unit o = (q, k) row-major over (Kq, Kk) with
-        ``out[q*Kk+k] = over_j w[k, j] . in[j*Kq+q]`` (see
-        JaxTensorDotLayer.forward). Each (k, q) output mixes over j only, so
-        the two chained halves realize the Kronecker-factored sum's mixture
-        as nested independent choices — max and ancestral draws both
-        factorize exactly."""
-        f, m, bsz = val.shape
-        kk, kj = w.shape[1:]
-        kq = m // kj
-        v = val.reshape(f, kj, kq, bsz)
-        scores = safelog(w)[:, :, :, None, None] + v[:, None, :, :, :]  # (F,Kk,Kj,Kq,B)
-        if kind == "max":
-            idx = jnp.argmax(scores, axis=2)  # (F, Kk, Kq, B)
-            out_val = jnp.max(scores, axis=2)
-        else:
-            idx = jax.random.categorical(key, scores, axis=2)
-            out_val = jax.scipy.special.logsumexp(scores, axis=2)
-        child = idx * kq + jnp.arange(kq)[None, None, :, None]  # flat input index
-        f_idx = jnp.arange(f)[:, None, None, None]
-        b_idx = jnp.arange(bsz)[None, None, None, :]
-        picked = asg[f_idx, child, b_idx]  # (F, Kk, Kq, B, D)
-        out_val = jnp.transpose(out_val, (0, 2, 1, 3)).reshape(f, kq * kk, bsz)
-        out_asg = jnp.transpose(picked, (0, 2, 1, 3, 4)).reshape(f, kq * kk, bsz, num_vars)
-        return out_val, out_asg
+            return jnp.max(scores, axis=axis), jnp.argmax(scores, axis=axis)
+        return (
+            jax.scipy.special.logsumexp(scores, axis=axis),
+            jax.random.categorical(key, scores, axis=axis),
+        )
 
     def _run(st, xx, mk, key=None):
-        keys = iter(jax.random.split(key, 2 * len(cc.layers))) if key is not None else None
+        bsz = xx.shape[0]
+        keys = iter(jax.random.split(key, 2 * len(entries))) if key is not None else None
 
-        def layer_fn(layer: JaxLayer, s, xin):
+        # ---- upward pass: values (F, K, B) + routing records ----------------
+        vals: list[jnp.ndarray] = []
+        recs: list = []
+        for entry in entries:
+            layer = entry.layer
             lk = next(keys) if keys is not None else None
             if isinstance(layer, JaxConstantInputLayer):
                 raise NotImplementedError(
@@ -437,50 +415,191 @@ def _build_routing_run(cc: JaxCircuit, kind: str):
                     raise NotImplementedError(
                         f"{name} of multivariate input layers is not supported"
                     )
-                obs_val = jnp.transpose(layer(s, xin), (0, 2, 1))  # (F, K, B)
-                b = obs_val.shape[2]
+                si = layer.scope_idx
+                xin = jnp.transpose(xx[:, si], (1, 0, 2))  # (F, B, 1)
+                obs_val = jnp.transpose(layer(st, xin), (0, 2, 1))  # (F, K, B)
                 if kind == "max":
-                    free_val, free_arg = layer.mpe(s)  # (F, K)
+                    free_val, free_arg = layer.mpe(st)  # (F, K)
                     free_val = free_val[:, :, None]
                     free_arg = free_arg.astype(obs_val.dtype)[:, :, None]
                 else:
-                    # free variables: marginalized in the values, drawn from
-                    # the unit's local distribution in the assignments (the
-                    # latent path carries all dependence on the evidence)
-                    free_val = layer.integrate(s)[:, :, None]  # (F, K, 1)
-                    free_arg = layer.sample(s, lk, b).astype(obs_val.dtype)  # (F, K, B)
+                    free_val = layer.integrate(st)[:, :, None]  # (F, K, 1)
+                    free_arg = layer.sample(st, lk, bsz).astype(obs_val.dtype)
                 xi = xin[..., 0].astype(obs_val.dtype)  # (F, B)
-                m = jnp.transpose(mk[:, layer.scope_idx[:, 0]], (1, 0))[:, None, :]
-                val = jnp.where(m, obs_val, free_val)
-                arg = jnp.where(m, xi[:, None, :], free_arg)  # (F, K, B)
-                one_hot = jax.nn.one_hot(
-                    layer.scope_idx[:, 0], num_vars, dtype=obs_val.dtype
-                )  # (F, D)
-                return val, arg[..., None] * one_hot[:, None, None, :]
-            val, asg = xin  # (F, H, K, B), (F, H, K, B, D)
-            if isinstance(layer, JaxHadamardLayer):
-                return val.sum(axis=1), asg.sum(axis=1)
-            if isinstance(layer, JaxKroneckerLayer):
-                return _combine(val, asg)
-            if isinstance(layer, JaxTuckerLayer):
-                v, a = _combine(val, asg)
-                return _route(layer.weight(s), v, a, lk)
-            if isinstance(layer, JaxCPTLayer):
-                return _route(layer.weight(s), val.sum(axis=1), asg.sum(axis=1), lk)
-            if isinstance(layer, JaxSumLayer):
-                f, h, k, b = val.shape
-                return _route(
-                    layer.weight(s),
-                    val.reshape(f, h * k, b),
-                    asg.reshape(f, h * k, b, num_vars),
-                    lk,
-                )
-            if isinstance(layer, JaxTensorDotLayer):
-                return _route_tensordot(layer, layer.weight(s), val[:, 0], asg[:, 0], lk)
-            raise NotImplementedError(
-                f"{name} is not supported for {type(layer).__name__}"
-            )
+                m = jnp.transpose(mk[:, si[:, 0]], (1, 0))[:, None, :]  # (F, 1, B)
+                vals.append(jnp.where(m, obs_val, free_val))
+                recs.append(("input", jnp.where(m, xi[:, None, :], free_arg)))
+                continue
 
-        return cc.evaluate_raw(st, xx, module_fn=layer_fn)
+            cat = (
+                vals[entry.in_ids[0]]
+                if len(entry.in_ids) == 1
+                else jnp.concatenate([vals[i] for i in entry.in_ids], axis=0)
+            )
+            v = cat[:, None] if entry.fold_idx is None else cat[entry.fold_idx]
+            # v: (F, H, K, B)
+            if isinstance(layer, JaxHadamardLayer):
+                vals.append(v.sum(axis=1))
+                recs.append(("hadamard",))
+            elif isinstance(layer, JaxKroneckerLayer):
+                f, h, k, b = v.shape
+                out = v[:, 0]
+                for hh in range(1, h):
+                    out = (out[:, :, None, :] + v[:, hh][:, None, :, :]).reshape(f, -1, b)
+                vals.append(out)
+                recs.append(("kronecker", h, k))
+            elif isinstance(layer, JaxTuckerLayer):
+                f, h, k, b = v.shape
+                comb = v[:, 0]
+                for hh in range(1, h):
+                    comb = (comb[:, :, None, :] + v[:, hh][:, None, :, :]).reshape(f, -1, b)
+                scores = safelog(layer.weight(st))[:, :, :, None] + comb[:, None, :, :]
+                val, idx = _choose(scores, lk, 2)  # (F, O, B)
+                vals.append(val)
+                recs.append(("tucker", idx, h, k))
+            elif isinstance(layer, JaxCPTLayer):
+                comb = v.sum(axis=1)  # (F, K, B)
+                scores = safelog(layer.weight(st))[:, :, :, None] + comb[:, None, :, :]
+                val, idx = _choose(scores, lk, 2)
+                vals.append(val)
+                recs.append(("cpt", idx, v.shape[1], v.shape[2]))
+            elif isinstance(layer, JaxSumLayer):
+                f, h, k, b = v.shape
+                flat = v.reshape(f, h * k, b)
+                scores = safelog(layer.weight(st))[:, :, :, None] + flat[:, None, :, :]
+                val, idx = _choose(scores, lk, 2)  # idx in [0, H*K)
+                vals.append(val)
+                recs.append(("sum", idx, h, k))
+            elif isinstance(layer, JaxTensorDotLayer):
+                # input unit i = (j, q) row-major over (Kj, Kq); output unit
+                # o = (q, k) row-major over (Kq, Kk); out[q*Kk+k] over_j
+                # w[k, j] . in[j*Kq+q] (see JaxTensorDotLayer.forward)
+                f, h, m, b = v.shape
+                w = layer.weight(st)
+                kk, kj = w.shape[1:]
+                kq = m // kj
+                vv = v[:, 0].reshape(f, kj, kq, b)
+                scores = safelog(w)[:, :, :, None, None] + vv[:, None, :, :, :]
+                val, idx = _choose(scores, lk, 2)  # (F, Kk, Kq, B)
+                vals.append(
+                    jnp.transpose(val, (0, 2, 1, 3)).reshape(f, kq * kk, b)
+                )
+                recs.append(("tensordot", idx, kj, kq, kk))
+            else:
+                raise NotImplementedError(
+                    f"{name} is not supported for {type(layer).__name__}"
+                )
+
+        # root values: (O, K, B)
+        out_cat = (
+            vals[cc._outputs.out_ids[0]]
+            if len(cc._outputs.out_ids) == 1
+            else jnp.concatenate([vals[i] for i in cc._outputs.out_ids], axis=0)
+        )
+        root_vals = out_cat if cc._outputs.fold_idx is None else out_cat[cc._outputs.fold_idx]
+
+        # ---- downward pass: 0/1 selection counts ----------------------------
+        sels: list = [
+            jnp.zeros((v.shape[0], v.shape[1], bsz), v.dtype) for v in vals
+        ]
+        # seed output 0, unit 0 (the query contract returns that head)
+        root_entry = cc._outputs.out_ids[0]
+        root_fold = 0
+        if len(cc._outputs.out_ids) > 1 or cc._outputs.fold_idx is not None:
+            # resolve output 0 through the flattening gather
+            flat0 = 0 if cc._outputs.fold_idx is None else int(cc._outputs.fold_idx[0])
+            off = 0
+            for i in cc._outputs.out_ids:
+                nf = vals[i].shape[0]
+                if flat0 < off + nf:
+                    root_entry, root_fold = i, flat0 - off
+                    break
+                off += nf
+        sels[root_entry] = sels[root_entry].at[root_fold, 0, :].set(1.0)
+
+        def _push_to_children(e, sel_in):
+            """Scatter (F, H, K, B) operand selections through entry e's
+            static fold gather into the producers' selection arrays."""
+            entry = entries[e]
+            if entry.fold_idx is None:
+                sels[entry.in_ids[0]] = sels[entry.in_ids[0]] + sel_in[:, 0]
+                return
+            total = sum(vals[i].shape[0] for i in entry.in_ids)
+            k, b = sel_in.shape[2], sel_in.shape[3]
+            cat = jnp.zeros((total, k, b), sel_in.dtype).at[entry.fold_idx].add(sel_in)
+            off = 0
+            for i in entry.in_ids:
+                nf = vals[i].shape[0]
+                sels[i] = sels[i] + cat[off : off + nf]
+                off += nf
+
+        f_of = lambda a: jnp.arange(a.shape[0])[:, None, None]
+        b_of = lambda a: jnp.arange(a.shape[-1])[None, None, :]
+        for e in range(len(entries) - 1, -1, -1):
+            rec = recs[e]
+            if rec[0] == "input":
+                continue
+            sel = sels[e]  # (F, K_out, B)
+            f = sel.shape[0]
+            if rec[0] == "hadamard":
+                h = entries[e].layer.arity
+                sel_in = jnp.broadcast_to(sel[:, None], (f, h, *sel.shape[1:]))
+            elif rec[0] == "kronecker":
+                _, h, k = rec
+                shaped = sel.reshape(f, *([k] * h), sel.shape[-1])
+                parts = []
+                for hh in range(h):
+                    axes = tuple(1 + a for a in range(h) if a != hh)
+                    parts.append(shaped.sum(axis=axes))
+                sel_in = jnp.stack(parts, axis=1)  # (F, H, K, B)
+            elif rec[0] == "sum":
+                _, idx, h, k = rec
+                sel_in = jnp.zeros((f, h, k, sel.shape[-1]), sel.dtype)
+                sel_in = sel_in.at[f_of(idx), idx // k, idx % k, b_of(idx)].add(sel)
+            elif rec[0] == "cpt":
+                _, idx, h, k = rec
+                sel_k = jnp.zeros((f, k, sel.shape[-1]), sel.dtype)
+                sel_k = sel_k.at[f_of(idx), idx, b_of(idx)].add(sel)
+                sel_in = jnp.broadcast_to(sel_k[:, None], (f, h, k, sel.shape[-1]))
+            elif rec[0] == "tucker":
+                _, idx, h, k = rec
+                b = sel.shape[-1]
+                sel_in = jnp.zeros((f, h, k, b), sel.dtype)
+                rem = idx
+                for hh in range(h - 1, -1, -1):
+                    digit = rem % k
+                    rem = rem // k
+                    sel_in = sel_in.at[
+                        f_of(idx), hh, digit, b_of(idx)
+                    ].add(sel)
+            else:  # tensordot
+                _, idx, kj, kq, kk = rec
+                b = sel.shape[-1]
+                # sel over output units (q, k): (F, Kq, Kk, B)
+                sel_qk = sel.reshape(f, kq, kk, b)
+                q_idx = jnp.arange(kq)[None, None, :, None]
+                child = idx * kq + q_idx  # (F, Kk, Kq, B) flat input units
+                sel_t = jnp.transpose(sel_qk, (0, 2, 1, 3))  # (F, Kk, Kq, B)
+                sel_flat = jnp.zeros((f, kj * kq, b), sel.dtype)
+                fi = jnp.arange(f)[:, None, None, None]
+                bi = jnp.arange(b)[None, None, None, :]
+                sel_flat = sel_flat.at[fi, child, bi].add(sel_t)
+                sel_in = sel_flat[:, None]  # (F, 1, K_in, B)
+            _push_to_children(e, sel_in)
+
+        # ---- assemble the assignment ---------------------------------------
+        dtype = root_vals.dtype
+        out_asg = jnp.zeros((bsz, num_vars), dtype)
+        for e, rec in enumerate(recs):
+            if rec[0] != "input":
+                continue
+            arg = rec[1]  # (F, K, B)
+            w = (sels[e] * arg).sum(axis=1)  # (F, B)
+            onehot = jax.nn.one_hot(
+                entries[e].layer.scope_idx[:, 0], num_vars, dtype=dtype
+            )
+            out_asg = out_asg + jnp.einsum("fb,fd->bd", w, onehot)
+        out_asg = jnp.where(mk, xx.astype(dtype), out_asg)
+        return out_asg, root_vals
 
     return _run
