@@ -498,15 +498,19 @@ def _build_routing_run(cc: JaxCircuit, kind: str):
         )
         root_vals = out_cat if cc._outputs.fold_idx is None else out_cat[cc._outputs.fold_idx]
 
-        # ---- downward pass: 0/1 selection counts ----------------------------
+        # ---- downward pass: selected-unit indices ---------------------------
+        # Decomposability means each (entry, fold, sample) is active at most
+        # once per parse, so the full selection state is ONE unit index per
+        # (fold, sample) (-1 = inactive) — no K-sized scatters at all; every
+        # push-down is (F, B)-shaped integer arithmetic and the DAG combine
+        # is an elementwise max.
+        neg = jnp.int32(-1)
         sels: list = [
-            jnp.zeros((v.shape[0], v.shape[1], bsz), v.dtype) for v in vals
+            jnp.full((v.shape[0], bsz), neg, jnp.int32) for v in vals
         ]
-        # seed output 0, unit 0 (the query contract returns that head)
         root_entry = cc._outputs.out_ids[0]
         root_fold = 0
         if len(cc._outputs.out_ids) > 1 or cc._outputs.fold_idx is not None:
-            # resolve output 0 through the flattening gather
             flat0 = 0 if cc._outputs.fold_idx is None else int(cc._outputs.fold_idx[0])
             off = 0
             for i in cc._outputs.out_ids:
@@ -515,77 +519,80 @@ def _build_routing_run(cc: JaxCircuit, kind: str):
                     root_entry, root_fold = i, flat0 - off
                     break
                 off += nf
-        sels[root_entry] = sels[root_entry].at[root_fold, 0, :].set(1.0)
+        sels[root_entry] = sels[root_entry].at[root_fold, :].set(0)
 
-        def _push_to_children(e, sel_in):
-            """Scatter (F, H, K, B) operand selections through entry e's
-            static fold gather into the producers' selection arrays."""
+        def _push_to_children(e, units_per_op):
+            """Push per-operand (F, B) unit choices through entry e's static
+            fold gather (constant indices) into the producers' selections."""
             entry = entries[e]
+            units_per_op = [u.astype(jnp.int32) for u in units_per_op]
             if entry.fold_idx is None:
-                sels[entry.in_ids[0]] = sels[entry.in_ids[0]] + sel_in[:, 0]
+                sels[entry.in_ids[0]] = jnp.maximum(
+                    sels[entry.in_ids[0]], units_per_op[0]
+                )
                 return
             total = sum(vals[i].shape[0] for i in entry.in_ids)
-            k, b = sel_in.shape[2], sel_in.shape[3]
-            cat = jnp.zeros((total, k, b), sel_in.dtype).at[entry.fold_idx].add(sel_in)
+            cat = jnp.full((total, units_per_op[0].shape[1]), neg, jnp.int32)
+            for h, u in enumerate(units_per_op):
+                cat = cat.at[entry.fold_idx[:, h]].max(u)
             off = 0
             for i in entry.in_ids:
                 nf = vals[i].shape[0]
-                sels[i] = sels[i] + cat[off : off + nf]
+                sels[i] = jnp.maximum(sels[i], cat[off : off + nf])
                 off += nf
 
-        f_of = lambda a: jnp.arange(a.shape[0])[:, None, None]
-        b_of = lambda a: jnp.arange(a.shape[-1])[None, None, :]
         for e in range(len(entries) - 1, -1, -1):
             rec = recs[e]
             if rec[0] == "input":
                 continue
-            sel = sels[e]  # (F, K_out, B)
-            f = sel.shape[0]
+            sel = sels[e]  # (F, B) unit index or -1
+            active = sel >= 0
+            safe = jnp.maximum(sel, 0)
+            layer = entries[e].layer
             if rec[0] == "hadamard":
-                h = entries[e].layer.arity
-                sel_in = jnp.broadcast_to(sel[:, None], (f, h, *sel.shape[1:]))
+                units = [sel] * layer.arity
             elif rec[0] == "kronecker":
                 _, h, k = rec
-                shaped = sel.reshape(f, *([k] * h), sel.shape[-1])
-                parts = []
-                for hh in range(h):
-                    axes = tuple(1 + a for a in range(h) if a != hh)
-                    parts.append(shaped.sum(axis=axes))
-                sel_in = jnp.stack(parts, axis=1)  # (F, H, K, B)
-            elif rec[0] == "sum":
-                _, idx, h, k = rec
-                sel_in = jnp.zeros((f, h, k, sel.shape[-1]), sel.dtype)
-                sel_in = sel_in.at[f_of(idx), idx // k, idx % k, b_of(idx)].add(sel)
-            elif rec[0] == "cpt":
-                _, idx, h, k = rec
-                sel_k = jnp.zeros((f, k, sel.shape[-1]), sel.dtype)
-                sel_k = sel_k.at[f_of(idx), idx, b_of(idx)].add(sel)
-                sel_in = jnp.broadcast_to(sel_k[:, None], (f, h, k, sel.shape[-1]))
-            elif rec[0] == "tucker":
-                _, idx, h, k = rec
-                b = sel.shape[-1]
-                sel_in = jnp.zeros((f, h, k, b), sel.dtype)
-                rem = idx
+                units = []
+                rem = safe
                 for hh in range(h - 1, -1, -1):
-                    digit = rem % k
+                    units.append(jnp.where(active, rem % k, neg))
                     rem = rem // k
-                    sel_in = sel_in.at[
-                        f_of(idx), hh, digit, b_of(idx)
-                    ].add(sel)
-            else:  # tensordot
-                _, idx, kj, kq, kk = rec
-                b = sel.shape[-1]
-                # sel over output units (q, k): (F, Kq, Kk, B)
-                sel_qk = sel.reshape(f, kq, kk, b)
-                q_idx = jnp.arange(kq)[None, None, :, None]
-                child = idx * kq + q_idx  # (F, Kk, Kq, B) flat input units
-                sel_t = jnp.transpose(sel_qk, (0, 2, 1, 3))  # (F, Kk, Kq, B)
-                sel_flat = jnp.zeros((f, kj * kq, b), sel.dtype)
-                fi = jnp.arange(f)[:, None, None, None]
-                bi = jnp.arange(b)[None, None, None, :]
-                sel_flat = sel_flat.at[fi, child, bi].add(sel_t)
-                sel_in = sel_flat[:, None]  # (F, 1, K_in, B)
-            _push_to_children(e, sel_in)
+                units.reverse()
+            else:
+                # sum-style: gather the recorded routing index at the
+                # selected output unit, then decompose it per operand
+                idx = rec[1]
+                if rec[0] == "tensordot":
+                    _, idx, kj, kq, kk = rec
+                    f = idx.shape[0]
+                    # output unit o = q*Kk + k; idx is (F, Kk, Kq, B)
+                    q, kout = safe // kk, safe % kk
+                    fi = jnp.arange(f)[:, None]
+                    bi = jnp.arange(sel.shape[1])[None, :]
+                    j = idx[fi, kout, q, bi]  # (F, B)
+                    units = [jnp.where(active, j * kq + q, neg)]
+                else:
+                    m = jnp.take_along_axis(idx, safe[:, None, :], axis=1)[:, 0]
+                    if rec[0] == "sum":
+                        _, _, h, k = rec
+                        op, unit = m // k, m % k
+                        units = [
+                            jnp.where(active & (op == hh), unit, neg)
+                            for hh in range(h)
+                        ]
+                    elif rec[0] == "cpt":
+                        _, _, h, k = rec
+                        units = [jnp.where(active, m, neg)] * h
+                    else:  # tucker: composite row-major over arity digits
+                        _, _, h, k = rec
+                        units = []
+                        rem = m
+                        for hh in range(h - 1, -1, -1):
+                            units.append(jnp.where(active, rem % k, neg))
+                            rem = rem // k
+                        units.reverse()
+            _push_to_children(e, units)
 
         # ---- assemble the assignment ---------------------------------------
         dtype = root_vals.dtype
@@ -593,8 +600,12 @@ def _build_routing_run(cc: JaxCircuit, kind: str):
         for e, rec in enumerate(recs):
             if rec[0] != "input":
                 continue
-            arg = rec[1]  # (F, K, B)
-            w = (sels[e] * arg).sum(axis=1)  # (F, B)
+            arg = rec[1]  # (F, K, B) per-unit states
+            sel = sels[e]  # (F, B)
+            picked = jnp.take_along_axis(
+                arg, jnp.maximum(sel, 0)[:, None, :], axis=1
+            )[:, 0]
+            w = jnp.where(sel >= 0, picked, jnp.zeros((), dtype))  # (F, B)
             onehot = jax.nn.one_hot(
                 entries[e].layer.scope_idx[:, 0], num_vars, dtype=dtype
             )
