@@ -147,7 +147,13 @@ class SamplingQuery(Query):
         self, num_samples: int = 1, *, key: jax.Array | None = None, store: Store | None = None
     ) -> tuple[jnp.ndarray, list[jnp.ndarray]]:
         """Draw samples: returns (samples of shape (N, D), per-layer latent
-        mixture samples)."""
+        mixture samples).
+
+        On ``lse-sum`` circuits this routes through the scalable two-pass
+        machinery (conditional sampling with no evidence), whose memory is
+        activation-sized; other semirings use the padded bottom-up routing,
+        which is quadratic in the variable count (the reference's own
+        representation, ``queries.py:262-275``)."""
         if num_samples <= 0:
             raise ValueError("The number of samples must be a positive number")
         cc = self._circuit
@@ -159,6 +165,18 @@ class SamplingQuery(Query):
                 raise ValueError("No parameter store bound; pass store=...")
         store = cc.restrict_store(store)
         num_vars = max(cc.scope) + 1
+
+        from cirkit_tpu.backend.jax.semiring import LSESumSemiring
+
+        if cc.semiring is LSESumSemiring:
+            fn = getattr(cc, "_cond_sampling_jit", None)
+            if fn is None:
+                fn = jax.jit(_build_routing_run(cc, "sample"))
+                cc._cond_sampling_jit = fn
+            x = jnp.zeros((num_samples, num_vars))
+            mask = jnp.zeros((num_samples, num_vars), dtype=bool)
+            samples, _, mixtures = fn(store, x, mask, key)
+            return samples, list(mixtures)
 
         if num_samples not in self._jit_cache:
 
@@ -232,7 +250,7 @@ class SamplingQuery(Query):
         if fn is None:
             fn = jax.jit(_build_routing_run(cc, "sample"))
             cc._cond_sampling_jit = fn
-        asg, vals = fn(store, x, mask, key)  # (B, D), (O, K, B)
+        asg, vals, _ = fn(store, x, mask, key)  # (B, D), (O, K, B)
         return asg, vals[0, 0]
 
 
@@ -319,7 +337,7 @@ class MAPQuery(Query):
         if fn is None:
             fn = jax.jit(_build_routing_run(cc, "max"))
             cc._map_jit = fn
-        asg, vals = fn(store, x, mask)  # (B, D), (O, K, B)
+        asg, vals, _ = fn(store, x, mask)  # (B, D), (O, K, B)
         return asg, vals[0, 0]
 
 
@@ -611,6 +629,9 @@ def _build_routing_run(cc: JaxCircuit, kind: str):
             )
             out_asg = out_asg + jnp.einsum("fb,fd->bd", w, onehot)
         out_asg = jnp.where(mk, xx.astype(dtype), out_asg)
-        return out_asg, root_vals
+        mixtures = tuple(
+            r[1] for r in recs if r[0] in ("sum", "cpt", "tucker", "tensordot")
+        )
+        return out_asg, root_vals, mixtures
 
     return _run

@@ -187,7 +187,15 @@ def test_query_jits_are_cached_on_the_circuit():
     s1(5, key=jax.random.PRNGKey(0))
     s2 = SamplingQuery(cc)
     s2(5, key=jax.random.PRNGKey(0))
-    assert s1._jit_cache is s2._jit_cache and len(s1._jit_cache) == 1
+    # lse-sum circuits route through the shared two-pass program, cached on
+    # the circuit (and reused verbatim by conditional sampling)
+    fn = getattr(cc, "_cond_sampling_jit")
+    assert fn is not None
+    s2.conditional(
+        worlds[:5], evidence_mask=np.ones((5, 2), dtype=bool),
+        key=jax.random.PRNGKey(1),
+    )
+    assert getattr(cc, "_cond_sampling_jit") is fn
 
 
 def test_conditional_sampling_matches_posterior_frequencies():
