@@ -318,3 +318,39 @@ def test_conditional_sampling_gaussian_posterior_moments():
     np.testing.assert_allclose(
         np.asarray(log_ev)[0], np.log((w * lik0).sum()), rtol=1e-6
     )
+
+
+def test_sampling_frequencies_with_wide_mixture_axis():
+    """A wide composite mixture axis (M=1024 through a fused Tucker layer):
+    world frequencies must match the density exactly."""
+    rng = np.random.default_rng(70)
+    from cirkit_tpu.symbolic import CategoricalLayer, Circuit, KroneckerLayer, SumLayer
+    from tests.fixtures import const_param
+
+    k = 32
+    layers = []
+    for v in range(2):
+        raw = rng.uniform(0.1, 1.0, (k, 3))
+        layers.append(
+            CategoricalLayer(
+                Scope([v]), k, num_categories=3,
+                probs=const_param(raw / raw.sum(axis=1, keepdims=True)),
+            )
+        )
+    kr = KroneckerLayer(k, arity=2)
+    w = rng.uniform(0.1, 1.0, (1, k * k))
+    s = SumLayer(k * k, 1, weight=const_param(w / w.sum()))
+    sc = Circuit(layers + [kr, s], {kr: layers, s: [kr]}, [s])
+
+    ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=True)
+    cc = ctx.compile(sc)
+    n = 20000
+    samples, _ = SamplingQuery(cc)(n, key=jax.random.PRNGKey(7), store=ctx.parameters)
+    samples = np.asarray(samples).astype(int)
+    counts = collections.Counter(map(tuple, samples.tolist()))
+    worlds = enumerate_worlds(2, 3)
+    probs = eval_circuit(sc, worlds)[:, 0, 0]
+    probs = probs / probs.sum()
+    for world, p in zip(map(tuple, worlds.tolist()), probs):
+        freq = counts.get(world, 0) / n
+        assert abs(freq - p) < 4 * np.sqrt(p * (1 - p) / n) + 1e-3, (world, freq, p)
