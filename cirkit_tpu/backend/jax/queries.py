@@ -373,13 +373,14 @@ def _build_routing_run(cc: JaxCircuit, kind: str):
     an (F, O, B) index array. The recursion is exactly the posterior
     factorization of a smooth decomposable circuit.
 
-    **Downward pass** over the reversed plan: a 0/1 selection count
-    (F, K, B) per entry, seeded at the root unit, is pushed through the
-    recorded indices (scatter-adds) and the plan's static fold gathers; the
-    output assignment is the selection-weighted sum of the input layers'
-    per-unit states scattered at their scopes. Decomposability guarantees
-    each (fold, unit, sample) is selected at most once per parse, so the
-    counts stay 0/1 and the weighted sum IS the parse's assignment.
+    **Downward pass** over the reversed plan: decomposability guarantees a
+    parse activates each (entry, fold, sample) at most once, so the entire
+    selection state is ONE unit index per (fold, sample) (-1 = inactive),
+    combined across DAG consumers by elementwise max. Each entry gathers
+    its recorded routing index at the selected output unit, decomposes it
+    per operand (integer arithmetic only), and pushes it through the plan's
+    static fold gathers; the output assignment gathers the selected input
+    layers' per-unit states and scatters them at their scopes.
 
     The memory high-water mark is a few activation-sized arrays per layer.
     The earlier one-pass design carried zero-padded (F, K, B, D) assignment
