@@ -354,3 +354,38 @@ def test_sampling_frequencies_with_wide_mixture_axis():
     for world, p in zip(map(tuple, worlds.tolist()), probs):
         freq = counts.get(world, 0) / n
         assert abs(freq - p) < 4 * np.sqrt(p * (1 - p) / n) + 1e-3, (world, freq, p)
+
+
+def test_sampling_sum_product_semiring_uses_dense_path():
+    """Non-lse circuits keep the padded bottom-up sampler; frequencies must
+    still match the density."""
+    rng = np.random.default_rng(71)
+    from cirkit_tpu.symbolic import CategoricalLayer, Circuit, HadamardLayer, SumLayer
+    from tests.fixtures import const_param
+
+    layers = []
+    for v in range(2):
+        raw = rng.uniform(0.1, 1.0, (2, 2))
+        layers.append(
+            CategoricalLayer(
+                Scope([v]), 2, num_categories=2,
+                probs=const_param(raw / raw.sum(axis=1, keepdims=True)),
+            )
+        )
+    h = HadamardLayer(2, arity=2)
+    w = rng.uniform(0.1, 1.0, (1, 2))
+    s = SumLayer(2, 1, weight=const_param(w / w.sum()))
+    sc = Circuit(layers + [h, s], {h: layers, s: [h]}, [s])
+
+    ctx = PipelineContext(semiring="sum-product", fold=True)
+    cc = ctx.compile(sc)
+    n = 20000
+    samples, mixtures = SamplingQuery(cc)(n, key=jax.random.PRNGKey(8), store=ctx.parameters)
+    samples = np.asarray(samples).astype(int)
+    counts = collections.Counter(map(tuple, samples.tolist()))
+    worlds = enumerate_worlds(2, 2)
+    probs = eval_circuit(sc, worlds)[:, 0, 0]
+    probs = probs / probs.sum()
+    for world, p in zip(map(tuple, worlds.tolist()), probs):
+        assert abs(counts.get(world, 0) / n - p) < 0.02, (world, p)
+    assert len(mixtures) >= 1
