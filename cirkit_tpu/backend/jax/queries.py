@@ -221,6 +221,13 @@ class SamplingQuery(Query):
         marginalized). One jitted program serves every mask; tile rows to
         draw several completions of the same evidence. Requires normalized
         sum weights and the ``lse-sum`` semiring (as :class:`MAPQuery`).
+
+        Root contract: the completion is drawn from the distribution of the
+        circuit's FIRST output unit — flat output 0, unit 0 — matching the
+        returned ``log_evidence = vals[0, 0]``. On circuits with several
+        root output units (e.g. class-conditional roots), condition on a
+        single-root circuit per class (slice or re-compile) to target the
+        other units.
         """
         from cirkit_tpu.backend.jax.semiring import LSESumSemiring
 
@@ -283,6 +290,12 @@ class MAPQuery(Query):
     true log-probability. Requires normalized non-negative sum weights
     (the latent-variable semantics :class:`SamplingQuery` also assumes)
     and a circuit compiled under the ``lse-sum`` semiring.
+
+    Root contract: the assignment maximizes the circuit's FIRST output
+    unit — flat output 0, unit 0 — matching the returned ``log_values =
+    vals[0, 0]``. On circuits with several root output units (e.g. one
+    root per class) the other units' MPE states are not returned; query a
+    single-root circuit per class to obtain them.
     """
 
     def __init__(self, circuit: JaxCircuit) -> None:

@@ -2,7 +2,11 @@
 probabilistic graphical models and logic circuits."""
 
 from cirkit_tpu.models import logic, region_graph
-from cirkit_tpu.models.data_modalities import image_data, tabular_data
+from cirkit_tpu.models.data_modalities import (
+    em_input_parameterizations,
+    image_data,
+    tabular_data,
+)
 from cirkit_tpu.models.pgms import fully_factorized, hmm
 from cirkit_tpu.models.tensor_factorizations import cp, tensor_train, tucker
 from cirkit_tpu.models.utils import (

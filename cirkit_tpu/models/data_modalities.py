@@ -38,6 +38,39 @@ _IMAGE_REGION_GRAPHS = (
 )
 
 
+def em_input_parameterizations(input_layer: str) -> dict[str, Parameterization]:
+    """EM-eligible leaf parameterizations by input-layer name: plain
+    (activation-free) parameter slots with positive/normalized initial
+    values, so :func:`cirkit_tpu.parallel.fit_em` can update them in closed
+    form (``parallel/em.py`` requires plain slots; the library defaults —
+    softmax categorical probs, ScaledSigmoid Gaussian stddev — are not
+    EM-eligible). The M-step keeps them valid by construction (renormalized
+    probs, clamped variances)."""
+    if input_layer == "categorical":
+        return {"probs": Parameterization(activation="none", initialization="dirichlet")}
+    if input_layer == "binomial":
+        return {
+            "probs": Parameterization(
+                activation="none",
+                initialization="uniform",
+                initialization_kwargs={"a": 0.1, "b": 0.9},
+            )
+        }
+    if input_layer == "gaussian":
+        return {
+            "mean": Parameterization(activation="none", initialization="normal"),
+            "stddev": Parameterization(
+                activation="none",
+                initialization="uniform",
+                initialization_kwargs={"a": 0.5, "b": 1.5},
+            ),
+        }
+    raise ValueError(
+        f"No EM-ready parameterization exists for input layer {input_layer!r}; "
+        "EM updates categorical, binomial, and gaussian leaves"
+    )
+
+
 def _sum_weight_factories(
     sum_weight_param: Parameterization | None, use_mixing_weights: bool
 ) -> tuple[ParameterFactory, ParameterFactory]:
@@ -63,10 +96,17 @@ def image_data(
     input_params: dict[str, Parameterization] | None = None,
     sum_weight_param: Parameterization | None = None,
     use_mixing_weights: bool = True,
+    em_ready: bool = False,
 ) -> Circuit:
     """A symbolic circuit tailored for (C, H, W) image data: an image region
     graph + per-pixel input layers (256-state defaults) + cp/cp-t/tucker
-    sum-product blocks with softmax sum weights."""
+    sum-product blocks with softmax sum weights.
+
+    ``em_ready=True`` makes the whole circuit trainable by
+    :func:`cirkit_tpu.parallel.fit_em`: leaf parameters default to the
+    plain slots of :func:`em_input_parameterizations` (explicit
+    ``input_params`` still win) and, unless given, ``sum_weight_param``
+    defaults to plain Dirichlet-initialized weights."""
     if (
         not isinstance(image_shape, tuple)
         or len(image_shape) != 3
@@ -96,6 +136,14 @@ def image_data(
         "embedding": {"num_states": 256},
         "gaussian": {},
     }[input_layer]
+    if em_ready:
+        merged = em_input_parameterizations(input_layer)
+        merged.update(input_params or {})
+        input_params = merged
+        if sum_weight_param is None:
+            sum_weight_param = Parameterization(
+                activation="none", initialization="dirichlet"
+            )
     if input_params is not None:
         input_kwargs.update(
             (f"{name}_factory", parameterization_to_factory(p))
@@ -130,10 +178,17 @@ def tabular_data(
     num_classes: int = 1,
     sum_weight_param: Parameterization | None = None,
     use_mixing_weights: bool = True,
+    em_ready: bool = False,
 ) -> Circuit:
     """A symbolic circuit tailored for tabular data: a random binary tree or
     a data-learned Chow-Liu tree, with (possibly heterogeneous) per-feature
-    input layers."""
+    input layers.
+
+    ``em_ready=True`` injects the plain leaf parameterizations of
+    :func:`em_input_parameterizations` into every input-layer spec that
+    does not already fix its parameters, and defaults ``sum_weight_param``
+    to plain Dirichlet-initialized weights, so the circuit trains under
+    :func:`cirkit_tpu.parallel.fit_em`."""
     if region_graph == "random-binary-tree":
         if num_features is None:
             if data is None:
@@ -163,6 +218,28 @@ def tabular_data(
         rg = rg_result
     else:
         raise ValueError(f"Unknown region graph called {region_graph}")
+
+    if em_ready:
+        if sum_weight_param is None:
+            sum_weight_param = Parameterization(
+                activation="none", initialization="dirichlet"
+            )
+
+        def _emify(spec: dict) -> dict:
+            args = dict(spec.get("args", {}))
+            fixed = ("probs", "logits", "mean", "stddev")
+            if not any(k.endswith("_factory") or k in fixed for k in args):
+                args.update(
+                    (f"{name}_factory", parameterization_to_factory(p))
+                    for name, p in em_input_parameterizations(spec["name"]).items()
+                )
+            return {**spec, "args": args}
+
+        input_layers = (
+            _emify(input_layers)
+            if isinstance(input_layers, dict)
+            else [_emify(s) for s in input_layers]
+        )
 
     sum_weight_factory, nary_sum_weight_factory = _sum_weight_factories(
         sum_weight_param, use_mixing_weights

@@ -686,7 +686,7 @@ def _s_fwd_kernel(cfg: _Cfg, *refs):
         a_ref, s_ref, w_ref, oa_ref, os_ref = refs
         (e,), shift = _shifted_exp((a_ref[0],))
         e = e * s_ref[0]
-    w = _softmax_rows(w_ref[0]) if cfg.softmax else w_ref[0]
+    w = _softmax_rows(w_ref[0].astype(jnp.float32)) if cfg.softmax else w_ref[0]
     y = _dot3(e, w, ((1,), (1,)), fast=cfg.fast)
     oa_ref[0] = jnp.log(jnp.abs(y)) + shift
     os_ref[0] = jnp.sign(y)
@@ -706,7 +706,7 @@ def _s_bwd_kernel(cfg: _Cfg, *refs):
         signs = (s_ref[0],)
         es = (es[0] * signs[0],)
     bt_i = pl.program_id(1)
-    w = _softmax_rows(w_ref[0]) if cfg.softmax else w_ref[0]
+    w = _softmax_rows(w_ref[0].astype(jnp.float32)) if cfg.softmax else w_ref[0]
     # dL/dy = g / y = g * sign(y) * exp(shift - log|y|), zeroed when not finite
     gy = g_ref[0] * os_ref[0] * jnp.exp(shift - oa_ref[0])
     gy = jnp.where(jnp.isfinite(gy), gy, 0.0)
@@ -770,8 +770,10 @@ def _s_call_bwd(cfg: _Cfg, xs, w, oa, os_, g):
         in_specs=[_x_spec(cfg.bt, x.shape[2]) for x in xs]
         + [_w_spec(o, i), _x_spec(cfg.bt, o), _x_spec(cfg.bt, o), _x_spec(cfg.bt, o)],
         out_specs=[_x_spec(cfg.bt, x.shape[2]) for x in xs] + [_w_spec(o, i)],
+        # dL/dw accumulates across batch tiles in f32 even for a bf16-resident
+        # weight store; the caller casts back (mirrors _call_bwd above)
         out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype) for x in xs]
-        + [jax.ShapeDtypeStruct(w.shape, w.dtype)],
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32)],
         interpret=cfg.interpret,
     )(*xs, w, oa, os_, g)
 
@@ -790,7 +792,7 @@ def _sfused_p_bwd(cfg: _Cfg, res, gs):
     xs, w, oa, os_ = res
     g, _gs = gs  # the sign output is piecewise constant: cotangent dropped
     grads = _s_call_bwd(cfg, xs, w, oa, os_, g)
-    return tuple(grads[:-1]), grads[-1]
+    return tuple(grads[:-1]), grads[-1].astype(w.dtype)
 
 
 _sfused_p.defvjp(_sfused_p_fwd, _sfused_p_bwd)

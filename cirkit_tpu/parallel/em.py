@@ -36,6 +36,9 @@ Requirements, checked at build time:
 
 from __future__ import annotations
 
+import warnings
+from collections.abc import Callable
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -147,10 +150,11 @@ def fit_em(
     store: Store | None = None,
     num_epochs: int = 1,
     batch_size: int = 1024,
-    step_size: float = 1.0,
+    step_size: float | str | Callable[[int], float] = 1.0,
     update_every: str = "epoch",
     pseudocount: float = 1e-6,
     shuffle: bool = False,
+    strict: bool = False,
     key: jax.Array | None = None,
     mesh: "jax.sharding.Mesh | None" = None,
     axis: str = "data",
@@ -166,16 +170,31 @@ def fit_em(
     ``update_every="batch"`` switches to **online (mini-batch) EM**: the
     M-step runs after every batch on that batch's flows, damped by
     ``step_size`` — much faster progress per pass on large datasets, at the
-    cost of the full-batch monotonicity guarantee (use ``step_size`` well
-    below 1, e.g. 0.1).
+    cost of the full-batch monotonicity guarantee.
+
+    ``step_size`` may also be a *schedule*: the string ``"robbins-monro"``
+    (the classic stochastic-approximation decay ``(t + 2) ** -0.75`` of
+    Sato 1999 / Cappé & Moulines 2009, satisfying the Robbins-Monro
+    conditions) or any callable ``t -> float`` of the 0-based M-step
+    counter. Schedules pair with ``update_every="batch"``; the step size is
+    a runtime scalar, so schedules do not retrace the update program.
+
+    Input leaves update only when their parameter slots are *plain* (see
+    module docstring); build templates with ``em_ready=True`` to get
+    EM-eligible leaf parameterizations. When the circuit has input leaves
+    but none are EM-updatable, a warning is emitted (sum weights still
+    train); pass ``strict=True`` to raise instead.
 
     With a ``mesh``, the batch shards over the ``axis`` and parameters/flow
     accumulators replicate: the flows are gradients, so XLA inserts the
     same all-reduce as data-parallel SGD and the result is bitwise the
     single-device recursion.
 
-    Returns the updated store and the mean train NLL per epoch (measured
-    under the weights *before* each epoch's update).
+    Returns the updated store and the mean train NLL per epoch. With
+    ``update_every="epoch"`` each entry is measured under the weights
+    before that epoch's update; in online mode parameters change mid-epoch,
+    so the entry mixes batch losses under the evolving within-epoch
+    weights (still a faithful progress signal, not a fixed-parameter NLL).
     """
     if store is None:
         store = getattr(circuit, "default_store", None)
@@ -189,6 +208,14 @@ def fit_em(
         raise ValueError("The batch size must divide evenly across the mesh devices")
     if update_every not in ("epoch", "batch"):
         raise ValueError(f"update_every must be 'epoch' or 'batch', got {update_every!r}")
+    if callable(step_size):
+        schedule = step_size
+    elif isinstance(step_size, str):
+        if step_size != "robbins-monro":
+            raise ValueError(f"Unknown step-size schedule {step_size!r}")
+        schedule = lambda t: (t + 2.0) ** -0.75  # noqa: E731
+    else:
+        schedule = None
 
     data = np.asarray(data)
     if not jax.config.jax_enable_x64:
@@ -199,6 +226,22 @@ def fit_em(
 
     gauss = gaussian_em_layers(circuit)
     binom = binomial_em_layers(circuit)
+    leaf_types = (JaxCategoricalLayer, JaxGaussianLayer, JaxBinomialLayer)
+    has_leaves = any(isinstance(l, leaf_types) for l in circuit.layers)
+    leaves_updatable = (
+        bool(gauss) or bool(binom) or any(v == "categorical" for v in slots.values())
+    )
+    if has_leaves and not leaves_updatable:
+        msg = (
+            "fit_em: the circuit has input leaves but none are EM-updatable "
+            "(their parameters are reparameterized, e.g. the default "
+            "ScaledSigmoid Gaussian stddev) — only sum weights will train. "
+            "Build the template with em_ready=True (or plain leaf parameter "
+            "slots) to train the leaves; strict=True turns this into an error."
+        )
+        if strict:
+            raise ValueError(msg)
+        warnings.warn(msg, stacklevel=2)
     gauss_slots = {s for _, _, ms, ss in gauss for s in (ms, ss)}
     gauss_slots |= {s for _, _, s, _ in binom}
     em_params = {k: jnp.asarray(store[k]) for k in slots}
@@ -272,7 +315,7 @@ def fit_em(
         )
 
     @jax.jit
-    def em_update(em_p, g_p, acc):
+    def em_update(em_p, g_p, acc, step_size):
         flows, acc_g, acc_o = acc
 
         def upd(p, f):
@@ -325,6 +368,12 @@ def fit_em(
 
     num_batches = -(-len(data) // batch_size)
     losses: list[float] = []
+    m_steps = 0
+
+    def _step_size():
+        s = step_size if schedule is None else schedule(m_steps)
+        return jnp.asarray(s, dtype=jnp.result_type(float))
+
     for _ in range(num_epochs):
         if shuffle:
             key, sub = jax.random.split(key)
@@ -355,9 +404,13 @@ def fit_em(
                 acc = _zero_acc()
             acc, acc_ll = flow_step(em_params, gauss_params, acc, acc_ll, batch, w)
             if update_every == "batch":
-                em_params, gauss_params = em_update(em_params, gauss_params, acc)
+                em_params, gauss_params = em_update(
+                    em_params, gauss_params, acc, _step_size()
+                )
+                m_steps += 1
         if update_every == "epoch":
-            em_params, gauss_params = em_update(em_params, gauss_params, acc)
+            em_params, gauss_params = em_update(em_params, gauss_params, acc, _step_size())
+            m_steps += 1
         losses.append(-float(acc_ll) / len(data))
 
     new_store = dict(store)

@@ -539,6 +539,42 @@ def test_slse_tucker2_gradients_match_fallback_multi_tile(monkeypatch):
         np.testing.assert_allclose(x, y, rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.parametrize("softmax", [False, True], ids=["plain", "softmax"])
+def test_slse_bf16_weight_gradients(softmax):
+    """Gradients through a bf16-resident weight store on the signed kernel:
+    dL/dw accumulates in f32 in VMEM and is cast back to bf16 on exit
+    (regression: the backward used to allocate dw as bf16 and crash with an
+    'Invalid dtype for swap' error when storing the f32 accumulator)."""
+    from cirkit_tpu.ops.lse_einsum import slse_dispatch
+
+    rng = np.random.default_rng(34)
+    a = _rand(rng, (2, 8, 32))
+    s = _signs(rng, (2, 8, 32))
+    if softmax:
+        w32 = _rand(rng, (2, 16, 32), scale=1.0, shift=0.0)
+    else:
+        w32 = _weights(rng, (2, 16, 32))
+    w16 = w32.astype(jnp.bfloat16)
+
+    def loss_k(a, w):
+        oa, os_ = slse_dispatch((a, s), w, softmax=softmax, tucker=False)
+        return jnp.sum(jnp.sin(oa) * os_)
+
+    def loss_f(a, w):
+        wf = w.astype(jnp.float32)
+        wf = jax.nn.softmax(wf, axis=-1) if softmax else wf
+        oa, os_ = _signed_fallback_matmul(a, s, wf)
+        return jnp.sum(jnp.sin(oa) * os_)
+
+    ga_k, gw_k = jax.grad(loss_k, argnums=(0, 1))(a, w16)
+    ga_f, gw_f = jax.grad(loss_f, argnums=(0, 1))(a, w16)
+    assert gw_k.dtype == jnp.bfloat16
+    np.testing.assert_allclose(ga_k, ga_f, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(
+        gw_k.astype(jnp.float32), gw_f.astype(jnp.float32), rtol=5e-2, atol=5e-2
+    )
+
+
 def test_slse_exact_cancellation_sign_zero_no_nan():
     """Exact cancellation to 0 must give sign 0, log -inf, and finite (zero)
     gradients — the signed analogue of ComplexSafeLog."""

@@ -308,6 +308,117 @@ def test_online_em_improves_and_matches_epoch_on_single_batch():
         fit_em(cc, x, store=store0, update_every="sometimes")
 
 
+def test_em_ready_image_gaussian_trains_leaves():
+    """image_data(..., input_layer='gaussian', em_ready=True): the default
+    template becomes fully EM-eligible — plain Dirichlet sum weights AND
+    plain mean/stddev leaves — and fit_em moves the leaf parameters."""
+    from cirkit_tpu.parallel.em import gaussian_em_layers
+
+    sc = image_data(
+        (1, 2, 2), "quad-tree-2", input_layer="gaussian",
+        num_input_units=3, sum_product_layer="cp", num_sum_units=3,
+        em_ready=True,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True, seed=31)
+    cc = ctx.compile(sc)
+    gauss = gaussian_em_layers(cc)
+    assert gauss, "em_ready gaussian leaves must be EM-eligible"
+    assert all(v == "sum" for v in em_slots(cc).values())
+
+    rng = np.random.default_rng(32)
+    centers = rng.normal(scale=2.0, size=(3, 4))
+    x = centers[rng.integers(0, 3, 256)] + rng.normal(scale=0.4, size=(256, 4))
+    store0 = dict(ctx.parameters)
+    store, losses = fit_em(cc, x, store=store0, num_epochs=5, batch_size=256)
+    assert all(b <= a + 1e-9 for a, b in zip(losses, losses[1:])), losses
+    assert losses[-1] < losses[0] - 0.2, losses
+    _, _, mean_slot, std_slot = gauss[0]
+    assert not np.allclose(np.asarray(store[mean_slot]), np.asarray(store0[mean_slot]))
+    assert not np.allclose(np.asarray(store[std_slot]), np.asarray(store0[std_slot]))
+    assert (np.asarray(store[std_slot]) > 0).all()
+
+
+def test_em_warns_when_leaves_not_updatable():
+    """Default (ScaledSigmoid-stddev) Gaussian leaves with plain sum
+    weights: fit_em warns that only sum weights train; strict=True raises."""
+    sc = image_data(
+        (1, 2, 2), "quad-tree-2", input_layer="gaussian",
+        num_input_units=2, sum_product_layer="cp", num_sum_units=2,
+        sum_weight_param=Parameterization(activation="none", initialization="dirichlet"),
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True, seed=33)
+    cc = ctx.compile(sc)
+    x = np.random.default_rng(34).normal(size=(32, 4))
+    with pytest.warns(UserWarning, match="none are EM-updatable"):
+        fit_em(cc, x, store=ctx.parameters, num_epochs=1, batch_size=32)
+    with pytest.raises(ValueError, match="none are EM-updatable"):
+        fit_em(cc, x, store=ctx.parameters, num_epochs=1, batch_size=32, strict=True)
+
+
+def test_em_step_size_schedules():
+    """Schedules: a constant callable matches the float; 'robbins-monro'
+    parses, decays, and still fits; unknown names raise."""
+    rng = np.random.default_rng(35)
+    sc = _gmm_circuit(2, 3, rng)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    store0 = dict(ctx.parameters)
+    data_rng = np.random.default_rng(36)
+    centers = data_rng.normal(scale=2.5, size=(3, 2))
+    x = centers[data_rng.integers(0, 3, 192)] + data_rng.normal(scale=0.3, size=(192, 2))
+
+    a, _ = fit_em(cc, x, store=store0, num_epochs=2, batch_size=64,
+                  update_every="batch", step_size=0.4)
+    b, _ = fit_em(cc, x, store=store0, num_epochs=2, batch_size=64,
+                  update_every="batch", step_size=lambda t: 0.4)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]), rtol=1e-7)
+
+    _, lo = fit_em(cc, x, store=store0, num_epochs=6, batch_size=64,
+                   update_every="batch", step_size="robbins-monro")
+    assert lo[-1] < lo[0] - 0.5, lo
+
+    with pytest.raises(ValueError, match="schedule"):
+        fit_em(cc, x, store=store0, step_size="linear")
+
+
+def test_em_ready_tabular_all_leaf_families():
+    """tabular_data(..., em_ready=True) injects plain leaf factories into
+    every spec that does not fix its parameters."""
+    from cirkit_tpu.models import tabular_data
+    from cirkit_tpu.parallel.em import binomial_em_layers, gaussian_em_layers
+
+    sc = tabular_data(
+        "random-binary-tree",
+        num_features=3,
+        input_layers=[
+            {"name": "categorical", "args": {"num_categories": 5}},
+            {"name": "gaussian", "args": {}},
+            {"name": "binomial", "args": {"total_count": 6}},
+        ],
+        num_input_units=3,
+        sum_product_layer="cp",
+        num_sum_units=3,
+        em_ready=True,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True, seed=37)
+    cc = ctx.compile(sc)
+    assert gaussian_em_layers(cc) and binomial_em_layers(cc)
+    assert "categorical" in em_slots(cc).values()
+
+    rng = np.random.default_rng(38)
+    x = np.stack(
+        [
+            rng.integers(0, 5, 200).astype(float),
+            rng.normal(1.0, 0.5, 200),
+            rng.binomial(6, 0.7, 200).astype(float),
+        ],
+        axis=1,
+    )
+    _, losses = fit_em(cc, x, store=ctx.parameters, num_epochs=4, batch_size=200)
+    assert all(b <= a + 1e-9 for a, b in zip(losses, losses[1:])), losses
+
+
 def test_heterogeneous_tabular_em_all_leaf_families():
     """One tabular circuit with categorical + Gaussian + binomial leaves:
     fit_em updates all three families (plus the sum weights) in one pass
