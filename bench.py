@@ -163,6 +163,194 @@ def bench_sos(*, batch: int, iters: int, side: int = 12, units: int = 32):
     return batch / best, best
 
 
+def _fwd_gflops_per_sample(cc) -> float:
+    """Useful (single-pass) forward MACs x2 of the sum-style contractions,
+    per sample — the numerator of the MFU figure. Elementwise input/product
+    work is negligible next to the MXU contractions."""
+    from cirkit_tpu.backend.jax.layers import JaxSumLayer
+    from cirkit_tpu.backend.jax.optimized import (
+        JaxCPTLayer,
+        JaxTensorDotLayer,
+        JaxTuckerLayer,
+    )
+
+    macs = 0
+    for layer in cc.layers:
+        f = layer.num_folds
+        if isinstance(layer, JaxTuckerLayer):
+            comp = layer.num_input_units ** layer.arity
+            macs += f * (layer.num_output_units * comp + comp)
+        elif isinstance(layer, JaxCPTLayer):
+            macs += f * layer.num_output_units * layer.num_input_units
+        elif isinstance(layer, JaxTensorDotLayer):
+            kj = layer._num_contract_units
+            macs += f * layer.num_output_units * kj
+        elif isinstance(layer, JaxSumLayer):
+            macs += f * layer.num_output_units * layer.arity * layer.num_input_units
+    return 2.0 * macs / 1e9
+
+
+def bench_queries(sum_product: str, num_units: int, batch: int, iters: int):
+    """Flagship query throughput: IntegrateQuery (50% marginalized),
+    MAPQuery (50% evidence completion), SamplingQuery (unconditional).
+    Pins the docs/PERF.md numbers in the driver-run artifact."""
+    import jax
+    import jax.numpy as jnp
+
+    from cirkit_tpu.backend.jax.queries import IntegrateQuery, MAPQuery, SamplingQuery
+    from cirkit_tpu.models import image_data
+    from cirkit_tpu.pipeline import PipelineContext
+
+    sc = image_data(
+        (1, 28, 28),
+        "quad-graph",
+        input_layer="categorical",
+        num_input_units=num_units,
+        sum_product_layer=sum_product,
+        num_sum_units=num_units,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=True)
+    cc = ctx.compile(sc)
+    store = cc.restrict_store(ctx.parameters)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 256, size=(batch, 784), dtype=np.int32))
+    mask = jnp.asarray(rng.random((batch, 784)) < 0.5)
+    key = jax.random.PRNGKey(0)
+
+    def time_it(fn, n):
+        fn()  # compile / warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(n):
+                out = fn()
+            jax.tree_util.tree_map(
+                lambda a: float(jnp.sum(a.astype(jnp.float32))), out
+            )
+            best = min(best, (time.time() - t0) / n)
+        return best * 1e3  # ms
+
+    out = {}
+    iq = IntegrateQuery(cc)
+    out["integrate_query_ms"] = round(
+        time_it(lambda: iq(x, integrate_vars=mask, store=store), iters), 2
+    )
+    mq = MAPQuery(cc)
+    out["map_query_ms"] = round(
+        time_it(lambda: mq(x, evidence_mask=mask, store=store), max(iters // 10, 3)), 2
+    )
+    sq = SamplingQuery(cc)
+    out["sample_query_ms"] = round(
+        time_it(lambda: sq(batch, key=key, store=store)[0], 3), 1
+    )
+    return out
+
+
+def bench_em(sum_product: str, num_units: int, batch: int, iters: int):
+    """EM flow-step latency on the EM-ready flagship (plain Dirichlet sum
+    weights + plain categorical leaf probs): the fastest training mode —
+    no optimizer state traffic."""
+    import jax.numpy as jnp
+
+    from cirkit_tpu.models import image_data
+    from cirkit_tpu.parallel import em_programs
+    from cirkit_tpu.pipeline import PipelineContext
+
+    sc = image_data(
+        (1, 28, 28),
+        "quad-graph",
+        input_layer="categorical",
+        num_input_units=num_units,
+        sum_product_layer=sum_product,
+        num_sum_units=num_units,
+        em_ready=True,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=True)
+    cc = ctx.compile(sc)
+    flow_step, em_update, state = em_programs(cc, ctx.parameters)
+    em_p, g_p = state["em_params"], state["gauss_params"]
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, size=(batch, 784), dtype=np.int32)
+    )
+    w = jnp.ones((batch,), jnp.float32)
+    acc, acc_ll = state["zero_acc"](), jnp.zeros(())
+    acc, acc_ll = flow_step(em_p, g_p, acc, acc_ll, x, w)  # compile
+    float(acc_ll)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            acc, acc_ll = flow_step(em_p, g_p, acc, acc_ll, x, w)
+        float(acc_ll)
+        best = min(best, (time.time() - t0) / iters)
+    em_p, g_p = em_update(em_p, g_p, acc, jnp.float32(1.0))  # sanity: runs
+    float(jnp.sum(next(iter(em_p.values()))))
+    return best * 1e3
+
+
+def bench_serving(sum_product: str, num_units: int, iters: int):
+    """Serving-scale forward: batch sweep x {f32-grade, fast bf16 + bf16
+    weight store}, with samples/s and useful TFLOP/s (MFU numerator is the
+    single-pass contraction math; the v5e bf16 peak is ~197 TFLOP/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cirkit_tpu.backend.jax.serving import bf16_weight_store
+    from cirkit_tpu.models import image_data
+    from cirkit_tpu.pipeline import PipelineContext
+
+    batches = [int(b) for b in os.environ.get("BENCH_SERVING_BATCHES", "512,2048").split(",")]
+    rows = []
+    for fast in (False, True):
+        if fast:
+            os.environ["CIRKIT_TPU_FAST"] = "1"
+        try:
+            sc = image_data(
+                (1, 28, 28),
+                "quad-graph",
+                input_layer="categorical",
+                num_input_units=num_units,
+                sum_product_layer=sum_product,
+                num_sum_units=num_units,
+            )
+            ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=True)
+            cc = ctx.compile(sc)
+            store = cc.restrict_store(ctx.parameters)
+            if fast:
+                store = bf16_weight_store(cc, store)
+            gflops = _fwd_gflops_per_sample(cc)
+            fwd = jax.jit(lambda st, xx: cc.evaluate(st, xx))
+            for batch in batches:
+                x = jnp.asarray(
+                    np.random.default_rng(0).integers(
+                        0, 256, size=(batch, 784), dtype=np.int32
+                    )
+                )
+                out = fwd(store, x)
+                float(jnp.sum(out))
+                n = max(2, int(iters * 128 / batch))
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.time()
+                    for _ in range(n):
+                        out = fwd(store, x)
+                    float(jnp.sum(out))
+                    best = min(best, (time.time() - t0) / n)
+                sps = batch / best
+                rows.append(
+                    {
+                        "mode": "bf16_fast" if fast else "f32_grade",
+                        "batch": batch,
+                        "samples_per_sec": round(sps, 1),
+                        "batch_ms": round(best * 1e3, 2),
+                        "useful_tflops": round(sps * gflops / 1e3, 2),
+                    }
+                )
+        finally:
+            os.environ.pop("CIRKIT_TPU_FAST", None)
+    return rows
+
+
 def main() -> None:
     import jax
 
@@ -226,6 +414,14 @@ def main() -> None:
         sos_sps, sos_ms = bench_sos(batch=batch, iters=iters)
         result["sos_signed_samples_per_sec"] = round(sos_sps, 1)
         result["sos_signed_batch_ms"] = round(sos_ms * 1e3, 2)
+    if os.environ.get("BENCH_SKIP_EM", "0") != "1":
+        result["em_step_ms"] = round(
+            bench_em(sum_product, num_units, batch, max(iters // 2, 10)), 2
+        )
+    if os.environ.get("BENCH_SKIP_QUERIES", "0") != "1":
+        result.update(bench_queries(sum_product, num_units, batch, iters))
+    if os.environ.get("BENCH_SKIP_SERVING", "0") != "1":
+        result["serving"] = bench_serving(sum_product, num_units, iters)
     print(json.dumps(result))
 
 

@@ -8,7 +8,6 @@ flags, and a memoized symbolic<->compiled circuit map.
 
 from __future__ import annotations
 
-import typing
 from abc import ABC, abstractmethod
 from collections.abc import Callable
 from typing import Any, Generic, TypeVar

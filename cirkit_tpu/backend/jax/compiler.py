@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from typing import Any
 
-import numpy as np
 
 from cirkit_tpu.backend.base import (
     AbstractCompiler,
@@ -39,8 +38,7 @@ from cirkit_tpu.backend.jax.rules import (
 )
 from cirkit_tpu.backend.jax.semiring import SemiringImpl
 from cirkit_tpu.symbolic.circuit import Circuit, pipeline_topological_ordering
-from cirkit_tpu.symbolic.initializers import Initializer
-from cirkit_tpu.symbolic.layers import InputLayer, Layer
+from cirkit_tpu.symbolic.layers import Layer
 from cirkit_tpu.symbolic.parameters import Parameter, TensorParameter
 
 

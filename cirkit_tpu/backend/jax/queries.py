@@ -257,8 +257,8 @@ class SamplingQuery(Query):
         if fn is None:
             fn = jax.jit(_build_routing_run(cc, "sample"))
             cc._cond_sampling_jit = fn
-        asg, vals, _ = fn(store, x, mask, key)  # (B, D), (O, K, B)
-        return asg, vals[0, 0]
+        asg, vals, _ = fn(store, x, mask, key)  # (B, D), (O, B, K)
+        return asg, vals[0, :, 0]
 
 
 def _pad_samples(samples: jnp.ndarray, scope_idx: np.ndarray, num_vars: int) -> jnp.ndarray:
@@ -350,8 +350,8 @@ class MAPQuery(Query):
         if fn is None:
             fn = jax.jit(_build_routing_run(cc, "max"))
             cc._map_jit = fn
-        asg, vals, _ = fn(store, x, mask)  # (B, D), (O, K, B)
-        return asg, vals[0, 0]
+        asg, vals, _ = fn(store, x, mask)  # (B, D), (O, B, K)
+        return asg, vals[0, :, 0]
 
 
 def _evidence_to_mask(cc: JaxCircuit, evidence_mask, batch: int) -> jnp.ndarray:
@@ -379,28 +379,38 @@ def _build_routing_run(cc: JaxCircuit, kind: str):
     and conditional sampling (``kind="sample"``).
 
     **Upward pass** over the evaluation plan: every layer produces log-space
-    values (F, K, B) — observed variables contribute their data likelihood,
-    free variables their mode (``max``) or marginal (``sample``) — and
-    sum-style layers *record* the argmax (``max``) or a posterior draw
-    ``i ~ softmax(log w_i + val_i)`` (``sample``) of their mixture inputs as
-    an (F, O, B) index array. The recursion is exactly the posterior
-    factorization of a smooth decomposable circuit.
+    values (F, B, K) — observed variables contribute their data likelihood,
+    free variables their mode (``max``) or marginal (``sample``). For
+    ``sample`` this is exactly the circuit's own (masked-integrate) forward,
+    so every inner layer runs its regular ``forward`` — i.e. the fused
+    Pallas contraction kernels; for ``max`` the sum-style layers take the
+    max over their mixture scores instead (a tropical forward). Nothing is
+    drawn or argmaxed on the way up.
 
     **Downward pass** over the reversed plan: decomposability guarantees a
     parse activates each (entry, fold, sample) at most once, so the entire
     selection state is ONE unit index per (fold, sample) (-1 = inactive),
-    combined across DAG consumers by elementwise max. Each entry gathers
-    its recorded routing index at the selected output unit, decomposes it
-    per operand (integer arithmetic only), and pushes it through the plan's
-    static fold gathers; the output assignment gathers the selected input
-    layers' per-unit states and scatters them at their scopes.
+    combined across DAG consumers by elementwise max. At each sum-style
+    entry the routing choice is made **lazily, only at the selected output
+    unit**: the chosen unit's weight row is extracted with a one-hot
+    matmul (an MXU contraction, not a gather), the mixture scores
+    ``log w[o*, m] + comb[m]`` are recomputed from the child values, and a
+    single argmax (``max``) or Gumbel/categorical draw (``sample``) over
+    the composite axis picks the route. This is standard top-down ancestral
+    sampling of the latent parse and cuts the per-entry choice work from
+    (F, O, M, B) to (F, M, B) — on the MNIST flagship it reduces the
+    sampled-noise volume by the unit count O=64 (52G -> 0.8G perturbed
+    scores per batch), which took conditional sampling from 2.1 s to the
+    forward-dominated regime. The chosen index decomposes per operand with
+    integer arithmetic only and pushes through the plan's static fold
+    gathers; the output assignment gathers the selected input layers'
+    per-unit states and scatters them at their scopes.
 
     The memory high-water mark is a few activation-sized arrays per layer.
     The earlier one-pass design carried zero-padded (F, K, B, D) assignment
     tensors upward, which is quadratic in the number of variables — 20 GB
     at the MNIST flagship's input layer (784 folds x 64 units x batch 128 x
-    784 variables) and an OOM on a 16 GB chip; this formulation runs the
-    same query in activation-scale memory.
+    784 variables) and an OOM on a 16 GB chip.
     """
     from cirkit_tpu.backend.jax.layers import (
         JaxConstantInputLayer,
@@ -418,21 +428,32 @@ def _build_routing_run(cc: JaxCircuit, kind: str):
     num_vars = max(cc.scope) + 1
     name = "MAP" if kind == "max" else "Conditional sampling"
     entries = cc._entries
-
-    def _choose(scores, key, axis):
-        """argmax / categorical over ``axis`` + the chosen-or-marginal value."""
-        if kind == "max":
-            return jnp.max(scores, axis=axis), jnp.argmax(scores, axis=axis)
-        return (
-            jax.scipy.special.logsumexp(scores, axis=axis),
-            jax.random.categorical(key, scores, axis=axis),
-        )
+    sum_style = (JaxSumLayer, JaxCPTLayer, JaxTuckerLayer, JaxTensorDotLayer)
 
     def _run(st, xx, mk, key=None):
         bsz = xx.shape[0]
-        keys = iter(jax.random.split(key, 2 * len(entries))) if key is not None else None
+        if key is not None:
+            # draw under the rbg PRNG: the categorical draws' random bits
+            # are pure HBM traffic (XLA materializes them), and rbg bits
+            # cost ~2.6x less than threefry at this volume (docs/PERF.md)
+            key = jax.random.wrap_key_data(
+                jnp.tile(jax.random.key_data(key), 2), impl="rbg"
+            )
+        keys = (
+            iter(jax.random.split(key, 2 * len(entries))) if key is not None else None
+        )
 
-        # ---- upward pass: values (F, K, B) + routing records ----------------
+        def _gather_in(entry, vals):
+            """The entry's (F, H, B, K) child-value block via the plan's
+            static fold gather (mirrors ``JaxCircuit.evaluate_raw``)."""
+            cat = (
+                vals[entry.in_ids[0]]
+                if len(entry.in_ids) == 1
+                else jnp.concatenate([vals[i] for i in entry.in_ids], axis=0)
+            )
+            return cat[:, None] if entry.fold_idx is None else cat[entry.fold_idx]
+
+        # ---- upward pass: values (F, B, K), no draws ------------------------
         vals: list[jnp.ndarray] = []
         recs: list = []
         for entry in entries:
@@ -449,80 +470,71 @@ def _build_routing_run(cc: JaxCircuit, kind: str):
                     )
                 si = layer.scope_idx
                 xin = jnp.transpose(xx[:, si], (1, 0, 2))  # (F, B, 1)
-                obs_val = jnp.transpose(layer(st, xin), (0, 2, 1))  # (F, K, B)
+                obs_val = layer(st, xin)  # (F, B, K)
                 if kind == "max":
                     free_val, free_arg = layer.mpe(st)  # (F, K)
-                    free_val = free_val[:, :, None]
-                    free_arg = free_arg.astype(obs_val.dtype)[:, :, None]
+                    free_states = jnp.broadcast_to(
+                        free_arg.astype(obs_val.dtype)[:, None, :], obs_val.shape
+                    )
                 else:
-                    free_val = layer.integrate(st)[:, :, None]  # (F, K, 1)
-                    free_arg = layer.sample(st, lk, bsz).astype(obs_val.dtype)
+                    free_val = layer.integrate(st)  # (F, K)
+                    free_states = jnp.transpose(
+                        layer.sample(st, lk, bsz), (0, 2, 1)
+                    ).astype(obs_val.dtype)  # (F, B, K)
                 xi = xin[..., 0].astype(obs_val.dtype)  # (F, B)
-                m = jnp.transpose(mk[:, si[:, 0]], (1, 0))[:, None, :]  # (F, 1, B)
-                vals.append(jnp.where(m, obs_val, free_val))
-                recs.append(("input", jnp.where(m, xi[:, None, :], free_arg)))
+                m = jnp.transpose(mk[:, si[:, 0]], (1, 0))[:, :, None]  # (F, B, 1)
+                vals.append(jnp.where(m, obs_val, free_val[:, None, :]))
+                recs.append(("input", jnp.where(m, xi[:, :, None], free_states)))
                 continue
 
-            cat = (
-                vals[entry.in_ids[0]]
-                if len(entry.in_ids) == 1
-                else jnp.concatenate([vals[i] for i in entry.in_ids], axis=0)
-            )
-            v = cat[:, None] if entry.fold_idx is None else cat[entry.fold_idx]
-            # v: (F, H, K, B)
+            v = _gather_in(entry, vals)  # (F, H, B, K)
+            if kind == "max" and isinstance(layer, sum_style):
+                # tropical forward: max over the mixture scores; the argmax
+                # is NOT tracked here — the downward pass recomputes it at
+                # the single selected unit per (fold, sample)
+                w = layer.weight(st)
+                if isinstance(layer, JaxTuckerLayer):
+                    comb = _tucker_comb(v)  # (F, B, M)
+                elif isinstance(layer, JaxCPTLayer):
+                    comb = v.sum(axis=1)
+                elif isinstance(layer, JaxSumLayer):
+                    f, h, b, k = v.shape
+                    comb = jnp.transpose(v, (0, 2, 1, 3)).reshape(f, b, h * k)
+                else:  # tensordot
+                    f, _, b, m = v.shape
+                    kk, kj = w.shape[1:]
+                    kq = m // kj
+                    vv = v[:, 0].reshape(f, b, kj, kq)
+                    # out[q*Kk + k] = max_j w[k, j] . in[j, q]
+                    s = safelog(w)[:, None, :, :, None] + vv[:, :, None, :, :]
+                    val = jnp.max(s, axis=3)  # (F, B, Kk, Kq)
+                    vals.append(jnp.transpose(val, (0, 1, 3, 2)).reshape(f, b, -1))
+                    recs.append(("tensordot", kj, kq, kk))
+                    continue
+                scores = safelog(w)[:, None, :, :] + comb[:, :, None, :]
+                vals.append(jnp.max(scores, axis=3))  # (F, B, O)
+            else:
+                vals.append(layer(st, v))  # the real (kernel-served) forward
             if isinstance(layer, JaxHadamardLayer):
-                vals.append(v.sum(axis=1))
                 recs.append(("hadamard",))
             elif isinstance(layer, JaxKroneckerLayer):
-                f, h, k, b = v.shape
-                out = v[:, 0]
-                for hh in range(1, h):
-                    out = (out[:, :, None, :] + v[:, hh][:, None, :, :]).reshape(f, -1, b)
-                vals.append(out)
-                recs.append(("kronecker", h, k))
+                recs.append(("kronecker", layer.arity, layer.num_input_units))
             elif isinstance(layer, JaxTuckerLayer):
-                f, h, k, b = v.shape
-                comb = v[:, 0]
-                for hh in range(1, h):
-                    comb = (comb[:, :, None, :] + v[:, hh][:, None, :, :]).reshape(f, -1, b)
-                scores = safelog(layer.weight(st))[:, :, :, None] + comb[:, None, :, :]
-                val, idx = _choose(scores, lk, 2)  # (F, O, B)
-                vals.append(val)
-                recs.append(("tucker", idx, h, k))
+                recs.append(("tucker", layer.arity, layer.num_input_units))
             elif isinstance(layer, JaxCPTLayer):
-                comb = v.sum(axis=1)  # (F, K, B)
-                scores = safelog(layer.weight(st))[:, :, :, None] + comb[:, None, :, :]
-                val, idx = _choose(scores, lk, 2)
-                vals.append(val)
-                recs.append(("cpt", idx, v.shape[1], v.shape[2]))
+                recs.append(("cpt", layer.arity, layer.num_input_units))
             elif isinstance(layer, JaxSumLayer):
-                f, h, k, b = v.shape
-                flat = v.reshape(f, h * k, b)
-                scores = safelog(layer.weight(st))[:, :, :, None] + flat[:, None, :, :]
-                val, idx = _choose(scores, lk, 2)  # idx in [0, H*K)
-                vals.append(val)
-                recs.append(("sum", idx, h, k))
+                recs.append(("sum", layer.arity, layer.num_input_units))
             elif isinstance(layer, JaxTensorDotLayer):
-                # input unit i = (j, q) row-major over (Kj, Kq); output unit
-                # o = (q, k) row-major over (Kq, Kk); out[q*Kk+k] over_j
-                # w[k, j] . in[j*Kq+q] (see JaxTensorDotLayer.forward)
-                f, h, m, b = v.shape
-                w = layer.weight(st)
-                kk, kj = w.shape[1:]
-                kq = m // kj
-                vv = v[:, 0].reshape(f, kj, kq, b)
-                scores = safelog(w)[:, :, :, None, None] + vv[:, None, :, :, :]
-                val, idx = _choose(scores, lk, 2)  # (F, Kk, Kq, B)
-                vals.append(
-                    jnp.transpose(val, (0, 2, 1, 3)).reshape(f, kq * kk, b)
-                )
-                recs.append(("tensordot", idx, kj, kq, kk))
+                kj = layer._num_contract_units
+                kq = layer._num_batch_units
+                recs.append(("tensordot", kj, kq, layer.num_output_units // kq))
             else:
                 raise NotImplementedError(
                     f"{name} is not supported for {type(layer).__name__}"
                 )
 
-        # root values: (O, K, B)
+        # root values: (O, B, K)
         out_cat = (
             vals[cc._outputs.out_ids[0]]
             if len(cc._outputs.out_ids) == 1
@@ -530,16 +542,9 @@ def _build_routing_run(cc: JaxCircuit, kind: str):
         )
         root_vals = out_cat if cc._outputs.fold_idx is None else out_cat[cc._outputs.fold_idx]
 
-        # ---- downward pass: selected-unit indices ---------------------------
-        # Decomposability means each (entry, fold, sample) is active at most
-        # once per parse, so the full selection state is ONE unit index per
-        # (fold, sample) (-1 = inactive) — no K-sized scatters at all; every
-        # push-down is (F, B)-shaped integer arithmetic and the DAG combine
-        # is an elementwise max.
+        # ---- downward pass: lazy selected-unit routing ----------------------
         neg = jnp.int32(-1)
-        sels: list = [
-            jnp.full((v.shape[0], bsz), neg, jnp.int32) for v in vals
-        ]
+        sels: list = [jnp.full((v.shape[0], bsz), neg, jnp.int32) for v in vals]
         root_entry = cc._outputs.out_ids[0]
         root_fold = 0
         if len(cc._outputs.out_ids) > 1 or cc._outputs.fold_idx is not None:
@@ -573,17 +578,31 @@ def _build_routing_run(cc: JaxCircuit, kind: str):
                 sels[i] = jnp.maximum(sels[i], cat[off : off + nf])
                 off += nf
 
+        draws: dict[int, jnp.ndarray] = {}
+
+        def _choose_m(scores, active, lk):
+            """argmax/draw over the last (composite) axis, only meaningful
+            where ``active``; inactive rows are zeroed first so all-(-inf)
+            score rows cannot poison the draw."""
+            scores = jnp.where(active[..., None], scores, 0.0)
+            if kind == "max":
+                return jnp.argmax(scores, axis=-1)
+            return jax.random.categorical(lk, scores, axis=-1)
+
         for e in range(len(entries) - 1, -1, -1):
             rec = recs[e]
             if rec[0] == "input":
                 continue
+            lk = next(keys) if keys is not None else None
             sel = sels[e]  # (F, B) unit index or -1
             active = sel >= 0
             safe = jnp.maximum(sel, 0)
-            layer = entries[e].layer
+            entry = entries[e]
+            layer = entry.layer
             if rec[0] == "hadamard":
-                units = [sel] * layer.arity
-            elif rec[0] == "kronecker":
+                _push_to_children(e, [sel] * layer.arity)
+                continue
+            if rec[0] == "kronecker":
                 _, h, k = rec
                 units = []
                 rem = safe
@@ -591,61 +610,91 @@ def _build_routing_run(cc: JaxCircuit, kind: str):
                     units.append(jnp.where(active, rem % k, neg))
                     rem = rem // k
                 units.reverse()
-            else:
-                # sum-style: gather the recorded routing index at the
-                # selected output unit, then decompose it per operand
-                idx = rec[1]
-                if rec[0] == "tensordot":
-                    _, idx, kj, kq, kk = rec
-                    f = idx.shape[0]
-                    # output unit o = q*Kk + k; idx is (F, Kk, Kq, B)
-                    q, kout = safe // kk, safe % kk
-                    fi = jnp.arange(f)[:, None]
-                    bi = jnp.arange(sel.shape[1])[None, :]
-                    j = idx[fi, kout, q, bi]  # (F, B)
-                    units = [jnp.where(active, j * kq + q, neg)]
-                else:
-                    m = jnp.take_along_axis(idx, safe[:, None, :], axis=1)[:, 0]
-                    if rec[0] == "sum":
-                        _, _, h, k = rec
-                        op, unit = m // k, m % k
-                        units = [
-                            jnp.where(active & (op == hh), unit, neg)
-                            for hh in range(h)
-                        ]
-                    elif rec[0] == "cpt":
-                        _, _, h, k = rec
-                        units = [jnp.where(active, m, neg)] * h
-                    else:  # tucker: composite row-major over arity digits
-                        _, _, h, k = rec
-                        units = []
-                        rem = m
-                        for hh in range(h - 1, -1, -1):
-                            units.append(jnp.where(active, rem % k, neg))
-                            rem = rem // k
-                        units.reverse()
+                _push_to_children(e, units)
+                continue
+
+            # sum-style: recompute the mixture scores at the selected output
+            # unit only, then argmax/draw once per (fold, sample)
+            v = _gather_in(entry, vals)  # (F, H, B, K)
+            w = layer.weight(st)
+            dt = v.dtype
+            if rec[0] == "tensordot":
+                _, kj, kq, kk = rec
+                f, _, b, mtot = v.shape
+                # output unit o = q*Kk + k: select the w row by k and the
+                # in column by q, both via exact one-hot contractions
+                q, kout = safe // kk, safe % kk
+                vv = v[:, 0].reshape(f, b, kj, kq)
+                oh_k = jax.nn.one_hot(kout, kk, dtype=dt) * active[..., None]
+                oh_q = jax.nn.one_hot(q, kq, dtype=dt)
+                selw = jnp.einsum("fbk,fkj->fbj", oh_k, w)
+                selv = jnp.einsum("fbjq,fbq->fbj", vv, oh_q)
+                scores = safelog(selw) + selv
+                j = _choose_m(scores, active, lk)
+                draws[e] = jnp.where(active, j, neg)
+                _push_to_children(e, [jnp.where(active, j * kq + q, neg)])
+                continue
+
+            tag, h, k = rec
+            oh = jax.nn.one_hot(safe, layer.num_output_units, dtype=dt)
+            oh = oh * active[..., None]  # (F, B, O)
+            selw = jnp.einsum("fbo,fom->fbm", oh, w)  # (F, B, M)
+            if tag == "tucker":
+                comb = _tucker_comb(v)  # (F, B, K^H)
+            elif tag == "cpt":
+                comb = v.sum(axis=1)  # (F, B, K)
+            else:  # sum
+                f, hh_, b, k_ = v.shape
+                comb = jnp.transpose(v, (0, 2, 1, 3)).reshape(f, b, hh_ * k_)
+            m = _choose_m(safelog(selw) + comb, active, lk)
+            draws[e] = jnp.where(active, m, neg)
+            if tag == "sum":
+                op, unit = m // k, m % k
+                units = [
+                    jnp.where(active & (op == hh), unit, neg) for hh in range(h)
+                ]
+            elif tag == "cpt":
+                units = [jnp.where(active, m, neg)] * h
+            else:  # tucker: composite row-major over arity digits
+                units = []
+                rem = m
+                for hh in range(h - 1, -1, -1):
+                    units.append(jnp.where(active, rem % k, neg))
+                    rem = rem // k
+                units.reverse()
             _push_to_children(e, units)
 
         # ---- assemble the assignment ---------------------------------------
         dtype = root_vals.dtype
         out_asg = jnp.zeros((bsz, num_vars), dtype)
+        # mixtures: the composite routing index actually used at each sum-
+        # style entry, (F, B) with -1 where the entry was not on the parse
+        mixtures = [draws[e] for e in sorted(draws)]
         for e, rec in enumerate(recs):
             if rec[0] != "input":
                 continue
-            arg = rec[1]  # (F, K, B) per-unit states
+            arg = rec[1]  # (F, B, K) per-unit states
             sel = sels[e]  # (F, B)
             picked = jnp.take_along_axis(
-                arg, jnp.maximum(sel, 0)[:, None, :], axis=1
-            )[:, 0]
+                arg, jnp.maximum(sel, 0)[:, :, None], axis=2
+            )[:, :, 0]
             w = jnp.where(sel >= 0, picked, jnp.zeros((), dtype))  # (F, B)
             onehot = jax.nn.one_hot(
                 entries[e].layer.scope_idx[:, 0], num_vars, dtype=dtype
             )
             out_asg = out_asg + jnp.einsum("fb,fd->bd", w, onehot)
         out_asg = jnp.where(mk, xx.astype(dtype), out_asg)
-        mixtures = tuple(
-            r[1] for r in recs if r[0] in ("sum", "cpt", "tucker", "tensordot")
-        )
-        return out_asg, root_vals, mixtures
+        return out_asg, root_vals, tuple(mixtures)
 
     return _run
+
+
+def _tucker_comb(v: jnp.ndarray) -> jnp.ndarray:
+    """The additive (log-space) Kronecker composite of a Tucker entry's
+    child values: (F, H, B, K) -> (F, B, K^H), row-major over the arity
+    digits (matching the Tucker core weight layout)."""
+    f, h, b, k = v.shape
+    comb = v[:, 0]
+    for hh in range(1, h):
+        comb = (comb[:, :, :, None] + v[:, hh][:, :, None, :]).reshape(f, b, -1)
+    return comb

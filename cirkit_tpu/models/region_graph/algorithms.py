@@ -28,7 +28,13 @@ HyperCube = tuple[tuple[int, ...], tuple[int, ...]]
 
 class HypercubeToScope(dict):
     """A caching map from sub-hypercubes of a (C, H, W) variable layout to
-    flat variable scopes (ref: ``algorithms/utils.py:20-63``)."""
+    flat variable scopes.
+
+    The dict-with-``__missing__`` memoization pattern and the slice-then-
+    flatten scope math follow the reference's host-side utility
+    (``cirkit/templates/region_graph/algorithms/utils.py:18-66``) — a
+    ~20-line pure-numpy helper with essentially one natural formulation,
+    reimplemented here for parity."""
 
     def __init__(self, shape: tuple[int, ...]) -> None:
         super().__init__()

@@ -1,4 +1,4 @@
-from cirkit_tpu.parallel.em import em_slots, fit_em
+from cirkit_tpu.parallel.em import em_programs, em_slots, fit_em
 from cirkit_tpu.parallel.optimizers import adam_lowmem
 from cirkit_tpu.parallel.tensor import (
     shard_store_tp,
@@ -20,6 +20,7 @@ from cirkit_tpu.parallel.training import (
 __all__ = [
     "adam_lowmem",
     "data_parallel_step",
+    "em_programs",
     "em_slots",
     "evaluate_ll",
     "fit_em",

@@ -143,87 +143,32 @@ def binomial_em_layers(
     return out
 
 
-def fit_em(
+def em_programs(
     circuit: JaxCircuit,
-    data: np.ndarray | jnp.ndarray,
+    store: Store,
     *,
-    store: Store | None = None,
-    num_epochs: int = 1,
-    batch_size: int = 1024,
-    step_size: float | str | Callable[[int], float] = 1.0,
-    update_every: str = "epoch",
     pseudocount: float = 1e-6,
-    shuffle: bool = False,
     strict: bool = False,
-    key: jax.Array | None = None,
     mesh: "jax.sharding.Mesh | None" = None,
     axis: str = "data",
-) -> tuple[Store, list[float]]:
-    """Train a circuit by (mini-batch) EM.
+):
+    """The jitted E-step/M-step program pair behind :func:`fit_em`, for
+    custom training loops and benchmarks.
 
-    Per epoch: accumulate expected flows over all batches (one forward +
-    backward each, no optimizer state), then update every EM slot to the
-    renormalized flows — interpolated with the previous weights when
-    ``step_size < 1`` (damped EM). ``step_size=1.0`` is exact full-dataset
-    EM, which increases the train log-likelihood monotonically.
+    Returns ``(flow_step, em_update, state)`` where ``state`` is a dict with
+    the partitioned parameters (``em_params``, ``gauss_params``) and a
+    ``zero_acc()`` factory for fresh flow accumulators. Drive it as::
 
-    ``update_every="batch"`` switches to **online (mini-batch) EM**: the
-    M-step runs after every batch on that batch's flows, damped by
-    ``step_size`` — much faster progress per pass on large datasets, at the
-    cost of the full-batch monotonicity guarantee.
+        acc, acc_ll = state["zero_acc"](), jnp.zeros(())
+        acc, acc_ll = flow_step(em_params, gauss_params, acc, acc_ll, batch, weights)
+        em_params, gauss_params = em_update(em_params, gauss_params, acc, step_size)
 
-    ``step_size`` may also be a *schedule*: the string ``"robbins-monro"``
-    (the classic stochastic-approximation decay ``(t + 2) ** -0.75`` of
-    Sato 1999 / Cappé & Moulines 2009, satisfying the Robbins-Monro
-    conditions) or any callable ``t -> float`` of the 0-based M-step
-    counter. Schedules pair with ``update_every="batch"``; the step size is
-    a runtime scalar, so schedules do not retrace the update program.
-
-    Input leaves update only when their parameter slots are *plain* (see
-    module docstring); build templates with ``em_ready=True`` to get
-    EM-eligible leaf parameterizations. When the circuit has input leaves
-    but none are EM-updatable, a warning is emitted (sum weights still
-    train); pass ``strict=True`` to raise instead.
-
-    With a ``mesh``, the batch shards over the ``axis`` and parameters/flow
-    accumulators replicate: the flows are gradients, so XLA inserts the
-    same all-reduce as data-parallel SGD and the result is bitwise the
-    single-device recursion.
-
-    Returns the updated store and the mean train NLL per epoch. With
-    ``update_every="epoch"`` each entry is measured under the weights
-    before that epoch's update; in online mode parameters change mid-epoch,
-    so the entry mixes batch losses under the evolving within-epoch
-    weights (still a faithful progress signal, not a fixed-parameter NLL).
+    ``weights`` is a per-sample (B,) weight vector (1.0 = count the sample;
+    use 0.0 to mask padding rows). The flow accumulators are donated: treat
+    ``acc``/``acc_ll`` as consumed by each ``flow_step`` call.
     """
-    if store is None:
-        store = getattr(circuit, "default_store", None)
-        if store is None:
-            raise ValueError("No parameter store bound; pass store=...")
     store = dict(circuit.restrict_store(store))
     slots = em_slots(circuit)
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    if mesh is not None and batch_size % mesh.devices.size != 0:
-        raise ValueError("The batch size must divide evenly across the mesh devices")
-    if update_every not in ("epoch", "batch"):
-        raise ValueError(f"update_every must be 'epoch' or 'batch', got {update_every!r}")
-    if callable(step_size):
-        schedule = step_size
-    elif isinstance(step_size, str):
-        if step_size != "robbins-monro":
-            raise ValueError(f"Unknown step-size schedule {step_size!r}")
-        schedule = lambda t: (t + 2.0) ** -0.75  # noqa: E731
-    else:
-        schedule = None
-
-    data = np.asarray(data)
-    if not jax.config.jax_enable_x64:
-        if data.dtype == np.int64:
-            data = data.astype(np.int32)
-        elif data.dtype == np.float64:
-            data = data.astype(np.float32)
-
     gauss = gaussian_em_layers(circuit)
     binom = binomial_em_layers(circuit)
     leaf_types = (JaxCategoricalLayer, JaxGaussianLayer, JaxBinomialLayer)
@@ -241,7 +186,7 @@ def fit_em(
         )
         if strict:
             raise ValueError(msg)
-        warnings.warn(msg, stacklevel=2)
+        warnings.warn(msg, stacklevel=3)
     gauss_slots = {s for _, _, ms, ss in gauss for s in (ms, ss)}
     gauss_slots |= {s for _, _, s, _ in binom}
     em_params = {k: jnp.asarray(store[k]) for k in slots}
@@ -252,7 +197,7 @@ def fit_em(
         if k not in slots and k not in gauss_slots
     }
     if mesh is not None:
-        from cirkit_tpu.parallel.training import replicate_store, shard_batch
+        from cirkit_tpu.parallel.training import replicate_store
 
         em_params = replicate_store(em_params, mesh)
         gauss_params = replicate_store(gauss_params, mesh)
@@ -366,6 +311,108 @@ def fit_em(
             )
         return new_em, new_g
 
+    def zero_acc():
+        return (
+            jax.tree_util.tree_map(jnp.zeros_like, em_params),
+            jax.tree_util.tree_map(jnp.zeros_like, gauss_params),
+            jax.tree_util.tree_map(jnp.zeros_like, off_zeros),
+        )
+
+    state = {
+        "em_params": em_params,
+        "gauss_params": gauss_params,
+        "frozen": frozen,
+        "zero_acc": zero_acc,
+        "store": store,
+    }
+    return flow_step, em_update, state
+
+
+def fit_em(
+    circuit: JaxCircuit,
+    data: np.ndarray | jnp.ndarray,
+    *,
+    store: Store | None = None,
+    num_epochs: int = 1,
+    batch_size: int = 1024,
+    step_size: float | str | Callable[[int], float] = 1.0,
+    update_every: str = "epoch",
+    pseudocount: float = 1e-6,
+    shuffle: bool = False,
+    strict: bool = False,
+    key: jax.Array | None = None,
+    mesh: "jax.sharding.Mesh | None" = None,
+    axis: str = "data",
+) -> tuple[Store, list[float]]:
+    """Train a circuit by (mini-batch) EM.
+
+    Per epoch: accumulate expected flows over all batches (one forward +
+    backward each, no optimizer state), then update every EM slot to the
+    renormalized flows — interpolated with the previous weights when
+    ``step_size < 1`` (damped EM). ``step_size=1.0`` is exact full-dataset
+    EM, which increases the train log-likelihood monotonically.
+
+    ``update_every="batch"`` switches to **online (mini-batch) EM**: the
+    M-step runs after every batch on that batch's flows, damped by
+    ``step_size`` — much faster progress per pass on large datasets, at the
+    cost of the full-batch monotonicity guarantee.
+
+    ``step_size`` may also be a *schedule*: the string ``"robbins-monro"``
+    (the classic stochastic-approximation decay ``(t + 2) ** -0.75`` of
+    Sato 1999 / Cappé & Moulines 2009, satisfying the Robbins-Monro
+    conditions) or any callable ``t -> float`` of the 0-based M-step
+    counter. Schedules pair with ``update_every="batch"``; the step size is
+    a runtime scalar, so schedules do not retrace the update program.
+
+    Input leaves update only when their parameter slots are *plain* (see
+    module docstring); build templates with ``em_ready=True`` to get
+    EM-eligible leaf parameterizations. When the circuit has input leaves
+    but none are EM-updatable, a warning is emitted (sum weights still
+    train); pass ``strict=True`` to raise instead.
+
+    With a ``mesh``, the batch shards over the ``axis`` and parameters/flow
+    accumulators replicate: the flows are gradients, so XLA inserts the
+    same all-reduce as data-parallel SGD and the result is bitwise the
+    single-device recursion.
+
+    Returns the updated store and the mean train NLL per epoch. With
+    ``update_every="epoch"`` each entry is measured under the weights
+    before that epoch's update; in online mode parameters change mid-epoch,
+    so the entry mixes batch losses under the evolving within-epoch
+    weights (still a faithful progress signal, not a fixed-parameter NLL).
+    """
+    if store is None:
+        store = getattr(circuit, "default_store", None)
+        if store is None:
+            raise ValueError("No parameter store bound; pass store=...")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if mesh is not None and batch_size % mesh.devices.size != 0:
+        raise ValueError("The batch size must divide evenly across the mesh devices")
+    if update_every not in ("epoch", "batch"):
+        raise ValueError(f"update_every must be 'epoch' or 'batch', got {update_every!r}")
+    if callable(step_size):
+        schedule = step_size
+    elif isinstance(step_size, str):
+        if step_size != "robbins-monro":
+            raise ValueError(f"Unknown step-size schedule {step_size!r}")
+        schedule = lambda t: (t + 2.0) ** -0.75  # noqa: E731
+    else:
+        schedule = None
+
+    data = np.asarray(data)
+    if not jax.config.jax_enable_x64:
+        if data.dtype == np.int64:
+            data = data.astype(np.int32)
+        elif data.dtype == np.float64:
+            data = data.astype(np.float32)
+
+    flow_step, em_update, state = em_programs(
+        circuit, store, pseudocount=pseudocount, strict=strict, mesh=mesh, axis=axis
+    )
+    em_params, gauss_params = state["em_params"], state["gauss_params"]
+    store, _zero_acc = state["store"], state["zero_acc"]
+
     num_batches = -(-len(data) // batch_size)
     losses: list[float] = []
     m_steps = 0
@@ -380,13 +427,6 @@ def fit_em(
             perm = np.asarray(jax.random.permutation(sub, len(data)))
         else:
             perm = np.arange(len(data))
-        def _zero_acc():
-            return (
-                jax.tree_util.tree_map(jnp.zeros_like, em_params),
-                jax.tree_util.tree_map(jnp.zeros_like, gauss_params),
-                jax.tree_util.tree_map(jnp.zeros_like, off_zeros),
-            )
-
         acc = _zero_acc()
         acc_ll = jnp.zeros(())
         for b in range(num_batches):

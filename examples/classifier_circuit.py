@@ -182,6 +182,26 @@ def main() -> None:
     err = np.abs(np.asarray(completed)[~mask] - x_te[:n][~mask]).mean()
     print(f"MAP inpainting of the 50% missing pixels: mean abs error {err:.1f}/255")
 
+    # optional figure (PLOTS=1): original / evidence / MAP completion grid
+    try:
+        from examples._plots import enabled, save_image_grid
+    except ImportError:  # run as `python examples/<name>.py`
+        from _plots import enabled, save_image_grid
+
+    if enabled():
+        shown = np.asarray(x_te[:n], dtype=float)
+        evidence = np.where(mask[: len(shown)], shown, np.nan)
+        save_image_grid(
+            "map_inpainting",
+            {
+                "original": shown,
+                "evidence": evidence,
+                "MAP": np.asarray(completed, dtype=float),
+            },
+            side,
+            title="MAP inpainting: completing 50% missing pixels",
+        )
+
 
 if __name__ == "__main__":
     main()

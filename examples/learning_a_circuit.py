@@ -71,6 +71,37 @@ def main() -> None:
     save_store(ckpt, dict(store))
     print(f"checkpoint saved to {ckpt}")
 
+    # optional figures (PLOTS=1): learning curve + unconditional samples
+    try:
+        from examples._plots import enabled, save_image_grid, save_learning_curve
+    except ImportError:  # run as `python examples/<name>.py`
+        from _plots import enabled, save_image_grid, save_learning_curve
+
+    if enabled():
+        import jax
+
+        from cirkit_tpu.backend.jax.queries import SamplingQuery
+
+        per_epoch = max(1, len(losses) // num_epochs)
+        epoch_means = [
+            sum(losses[i * per_epoch : (i + 1) * per_epoch]) / per_epoch
+            for i in range(num_epochs)
+        ]
+        save_learning_curve(
+            "learning_curve",
+            {"Adam (CP, K=%d)" % units: epoch_means},
+            title="MLE training on the QuadGraph circuit",
+        )
+        samples, _ = SamplingQuery(circuit)(
+            8, key=jax.random.PRNGKey(0), store=store
+        )
+        save_image_grid(
+            "samples",
+            {"samples": np.asarray(samples)},
+            side,
+            title="Unconditional samples from the trained circuit",
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# Static-check + test gate (the reference's CI analogue, ref:
+# .github/workflows/static-check.yml and tests.yml).
+#
+# Runs the strong tools (ruff/black/mypy, configured in pyproject.toml)
+# when they are installed; always runs the dependency-free fallbacks:
+# byte-compilation of every source and the stdlib-ast lint in
+# scripts/static_check.py. Pass --no-tests to skip pytest.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+fail=0
+step() { echo "== $1"; shift; "$@" || fail=1; }
+
+if command -v ruff >/dev/null 2>&1; then
+  step "ruff" ruff check cirkit_tpu
+else
+  echo "== ruff: not installed, skipped (config in pyproject.toml)"
+fi
+if command -v black >/dev/null 2>&1; then
+  step "black" black --check cirkit_tpu
+else
+  echo "== black: not installed, skipped"
+fi
+if command -v mypy >/dev/null 2>&1; then
+  step "mypy" mypy
+else
+  echo "== mypy: not installed, skipped (strict config in pyproject.toml)"
+fi
+
+step "compileall" python -m compileall -q cirkit_tpu
+step "ast lint" python scripts/static_check.py
+
+if [ "${1:-}" != "--no-tests" ]; then
+  step "pytest" python -m pytest tests/ -q
+fi
+
+exit $fail
