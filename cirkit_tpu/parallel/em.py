@@ -56,6 +56,7 @@ from cirkit_tpu.backend.jax.optimized import (
     JaxTuckerLayer,
 )
 from cirkit_tpu.backend.jax.parameters import (
+    JaxMatMulParameter,
     JaxMixingWeightParameter,
     JaxParameter,
     JaxTensorSlot,
@@ -79,6 +80,35 @@ def _flow_slot(param: JaxParameter) -> str | None:
     return None
 
 
+# weight-graph ops that keep the circuit output MULTILINEAR in every slot's
+# rows: each output monomial contains exactly one entry per slot, so the
+# flow identity holds for each slot independently
+_FLOW_LINEAR_OPS = (JaxMixingWeightParameter, JaxMatMulParameter)
+
+
+def _flow_slots(param: JaxParameter) -> list[str]:
+    """Every store slot of a sum-style weight graph for which the flow
+    identity ``flows = theta * dLL/dtheta`` holds.
+
+    Beyond the bare-slot and slot->MixingWeight cases, this accepts any
+    DAG composed solely of slots, MixingWeight (0/1 block-diagonal
+    placement) and MatMul nodes with each slot read once — the compiled
+    form of SumCollapse-fused sum chains (``optimization.py``). A fused
+    ``W = W1 @ MW(W2)`` stays linear in each factor's rows, so each
+    latent sum's expected flows are exactly ``Wi * dLL/dWi`` and the
+    per-slot renormalized M-step reproduces EM on the *uncollapsed*
+    latent chain.
+    """
+    nodes = list(param.topological_ordering())
+    slots = [n for n in nodes if isinstance(n, JaxTensorSlot)]
+    ops = [n for n in nodes if not isinstance(n, JaxTensorSlot)]
+    if not slots or len({n.slot for n in slots}) != len(slots):
+        return []
+    if all(isinstance(n, _FLOW_LINEAR_OPS) for n in ops):
+        return [n.slot for n in slots]
+    return []
+
+
 def em_slots(circuit: JaxCircuit) -> dict[str, str]:
     """The EM-updatable slots of a compiled circuit: ``slot -> kind``
     (``"sum"`` or ``"categorical"``). Raises if a sum-style layer's weight
@@ -86,14 +116,15 @@ def em_slots(circuit: JaxCircuit) -> dict[str, str]:
     slots: dict[str, str] = {}
     for layer in circuit.layers:
         if isinstance(layer, (JaxSumLayer, JaxCPTLayer, JaxTuckerLayer, JaxTensorDotLayer)):
-            slot = _flow_slot(layer.weight)
-            if slot is None:
+            found = _flow_slots(layer.weight)
+            if not found:
                 raise ValueError(
                     f"EM requires plain weight tensors, but a {type(layer).__name__} "
                     "weight is reparameterized; build the circuit with "
                     'Parameterization(activation="none", initialization="dirichlet")'
                 )
-            slots[slot] = "sum"
+            for slot in found:
+                slots[slot] = "sum"
         elif isinstance(layer, JaxCategoricalLayer) and layer.probs is not None:
             slot = _flow_slot(layer.probs)
             if slot is not None:

@@ -308,6 +308,71 @@ def test_online_em_improves_and_matches_epoch_on_single_batch():
         fit_em(cc, x, store=store0, update_every="sometimes")
 
 
+def test_em_through_collapsed_sum_chain_matches_unfused():
+    """SumCollapse fuses sum∘sum chains into one layer with a
+    MatMul(W1, W2) weight graph; the output stays multilinear in each
+    slot's rows, so per-slot flows are exact — fused EM must equal
+    unfused EM bit-for-bit given the same store."""
+    from cirkit_tpu.symbolic import CategoricalLayer, Circuit, HadamardLayer, SumLayer
+    from cirkit_tpu.utils import Scope
+
+    from tests.fixtures import const_param, softmax_param
+
+    def build(rng):
+        k = 3
+        leaves = []
+        for v in range(2):
+            raw = rng.uniform(0.1, 1.0, size=(k, 4))
+            leaves.append(
+                CategoricalLayer(
+                    Scope([v]), k, num_categories=4, probs=softmax_param(np.log(raw))
+                )
+            )
+        prod = HadamardLayer(k, arity=2)
+        mid = SumLayer(k, k, weight=const_param(rng.dirichlet(np.ones(k), size=k)))
+        root = SumLayer(k, 1, weight=const_param(rng.dirichlet(np.ones(k), size=1)))
+        return Circuit(
+            leaves + [prod, mid, root], {prod: leaves, mid: [prod], root: [mid]}, [root]
+        )
+
+    data = np.random.default_rng(51).integers(0, 4, size=(64, 2))
+    out = {}
+    for opt in (False, True):
+        sc = build(np.random.default_rng(50))
+        ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=opt)
+        cc = ctx.compile(sc)
+        with pytest.warns(UserWarning, match="none are EM-updatable"):
+            store, losses = fit_em(
+                cc, data, store=ctx.parameters, num_epochs=3, batch_size=64,
+                pseudocount=0.0,
+            )
+        out[opt] = (store, losses, sorted(em_slots(cc)))
+    assert out[True][2] == out[False][2]
+    np.testing.assert_allclose(out[True][1], out[False][1], rtol=1e-7)
+    for k in out[True][2]:
+        np.testing.assert_allclose(
+            np.asarray(out[True][0][k]), np.asarray(out[False][0][k]),
+            rtol=1e-6, err_msg=k,
+        )
+
+
+def test_em_ready_quadgraph_with_collapsed_mixing_chain():
+    """A (1, 6, 6) QuadGraph compiles (optimize=True) with a fused
+    MatMul(slot, MixingWeight(slot)) sum weight — em_slots must accept it
+    and full-batch EM stays monotone (regression: this raised)."""
+    sc = image_data(
+        (1, 6, 6), "quad-graph", input_layer="categorical",
+        num_input_units=4, sum_product_layer="cp", num_sum_units=4,
+        em_ready=True,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=True, seed=9)
+    cc = ctx.compile(sc)
+    data = np.random.default_rng(52).integers(0, 256, size=(256, 36))
+    store, losses = fit_em(cc, data, store=ctx.parameters, num_epochs=4, batch_size=128)
+    assert all(b <= a + 1e-9 for a, b in zip(losses, losses[1:])), losses
+    assert losses[-1] < losses[0] - 1.0, losses
+
+
 def test_em_ready_image_gaussian_trains_leaves():
     """image_data(..., input_layer='gaussian', em_ready=True): the default
     template becomes fully EM-eligible — plain Dirichlet sum weights AND
