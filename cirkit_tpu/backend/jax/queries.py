@@ -169,10 +169,7 @@ class SamplingQuery(Query):
         from cirkit_tpu.backend.jax.semiring import LSESumSemiring
 
         if cc.semiring is LSESumSemiring:
-            fn = getattr(cc, "_cond_sampling_jit", None)
-            if fn is None:
-                fn = jax.jit(_build_routing_run(cc, "sample"))
-                cc._cond_sampling_jit = fn
+            fn = _routing_jit(cc, "sample", 0, 0)
             x = jnp.zeros((num_samples, num_vars))
             mask = jnp.zeros((num_samples, num_vars), dtype=bool)
             samples, _, mixtures = fn(store, x, mask, key)
@@ -210,6 +207,8 @@ class SamplingQuery(Query):
         evidence_mask: jnp.ndarray | np.ndarray,
         key: jax.Array | None = None,
         store: Store | None = None,
+        output: int = 0,
+        unit: int = 0,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Posterior sampling given evidence — an extension: the reference
         documents this as not implemented (ref: ``queries.py:191-194``).
@@ -222,12 +221,12 @@ class SamplingQuery(Query):
         draw several completions of the same evidence. Requires normalized
         sum weights and the ``lse-sum`` semiring (as :class:`MAPQuery`).
 
-        Root contract: the completion is drawn from the distribution of the
-        circuit's FIRST output unit — flat output 0, unit 0 — matching the
-        returned ``log_evidence = vals[0, 0]``. On circuits with several
-        root output units (e.g. class-conditional roots), condition on a
-        single-root circuit per class (slice or re-compile) to target the
-        other units.
+        Root contract: the completion is drawn from the distribution of ONE
+        root output unit — flat output ``output``, unit ``unit`` (defaults
+        (0, 0)) — and the returned ``log_evidence`` is that unit's value.
+        On circuits with several root units (e.g. class-conditional roots)
+        pass the target head; each (output, unit) pair compiles its own
+        cached program.
         """
         from cirkit_tpu.backend.jax.semiring import LSESumSemiring
 
@@ -253,12 +252,9 @@ class SamplingQuery(Query):
                 raise ValueError("No parameter store bound; pass store=...")
         store = cc.restrict_store(store)
 
-        fn = getattr(cc, "_cond_sampling_jit", None)
-        if fn is None:
-            fn = jax.jit(_build_routing_run(cc, "sample"))
-            cc._cond_sampling_jit = fn
+        fn = _routing_jit(cc, "sample", output, unit)
         asg, vals, _ = fn(store, x, mask, key)  # (B, D), (O, B, K)
-        return asg, vals[0, :, 0]
+        return asg, vals[output, :, unit]
 
 
 def _pad_samples(samples: jnp.ndarray, scope_idx: np.ndarray, num_vars: int) -> jnp.ndarray:
@@ -291,11 +287,11 @@ class MAPQuery(Query):
     (the latent-variable semantics :class:`SamplingQuery` also assumes)
     and a circuit compiled under the ``lse-sum`` semiring.
 
-    Root contract: the assignment maximizes the circuit's FIRST output
-    unit — flat output 0, unit 0 — matching the returned ``log_values =
-    vals[0, 0]``. On circuits with several root output units (e.g. one
-    root per class) the other units' MPE states are not returned; query a
-    single-root circuit per class to obtain them.
+    Root contract: the assignment maximizes ONE root output unit — flat
+    output ``output``, unit ``unit`` (defaults (0, 0)) — and the returned
+    ``log_values`` is that unit's max-product value. On circuits with
+    several root units (e.g. one head per class) pass the target head;
+    each (output, unit) pair compiles its own cached program.
     """
 
     def __init__(self, circuit: JaxCircuit) -> None:
@@ -319,12 +315,15 @@ class MAPQuery(Query):
         *,
         evidence_mask: jnp.ndarray | np.ndarray | None = None,
         store: Store | None = None,
+        output: int = 0,
+        unit: int = 0,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Compute MPE states: returns ``(assignments (B, D), log_values
         (B,))``. Unconditional when ``x`` is None (B=1); otherwise
         ``evidence_mask`` — a (B, D)/(D,) boolean mask, a Scope, or a
         sequence of Scopes (like IntegrateQuery) — marks the *observed*
-        entries of ``x`` and free variables are maximized per sample."""
+        entries of ``x`` and free variables are maximized per sample.
+        ``output``/``unit`` select the root head being maximized."""
         cc = self._circuit
         num_vars = max(cc.scope) + 1
         if x is None:
@@ -346,12 +345,9 @@ class MAPQuery(Query):
                 raise ValueError("No parameter store bound; pass store=...")
         store = cc.restrict_store(store)
 
-        fn = getattr(cc, "_map_jit", None)
-        if fn is None:
-            fn = jax.jit(_build_routing_run(cc, "max"))
-            cc._map_jit = fn
+        fn = _routing_jit(cc, "max", output, unit)
         asg, vals, _ = fn(store, x, mask)  # (B, D), (O, B, K)
-        return asg, vals[0, :, 0]
+        return asg, vals[output, :, unit]
 
 
 def _evidence_to_mask(cc: JaxCircuit, evidence_mask, batch: int) -> jnp.ndarray:
@@ -374,7 +370,21 @@ def _evidence_to_mask(cc: JaxCircuit, evidence_mask, batch: int) -> jnp.ndarray:
     return mask
 
 
-def _build_routing_run(cc: JaxCircuit, kind: str):
+def _routing_jit(cc: JaxCircuit, kind: str, root_output: int, root_unit: int):
+    """The jit-compiled routing program for one (kind, root) choice, cached
+    on the circuit (fresh query objects never retrace)."""
+    cache = getattr(cc, "_routing_jits", None)
+    if cache is None:
+        cache = cc._routing_jits = {}
+    key = (kind, root_output, root_unit)
+    if key not in cache:
+        cache[key] = jax.jit(
+            _build_routing_run(cc, kind, root_output=root_output, root_unit=root_unit)
+        )
+    return cache[key]
+
+
+def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_unit: int = 0):
     """The shared two-pass routing behind :class:`MAPQuery` (``kind="max"``)
     and conditional sampling (``kind="sample"``).
 
@@ -545,10 +555,24 @@ def _build_routing_run(cc: JaxCircuit, kind: str):
         # ---- downward pass: lazy selected-unit routing ----------------------
         neg = jnp.int32(-1)
         sels: list = [jnp.full((v.shape[0], bsz), neg, jnp.int32) for v in vals]
+        if not 0 <= root_output < root_vals.shape[0]:
+            raise ValueError(
+                f"root output {root_output} out of range for a circuit with "
+                f"{root_vals.shape[0]} outputs"
+            )
+        if not 0 <= root_unit < root_vals.shape[2]:
+            raise ValueError(
+                f"root unit {root_unit} out of range for {root_vals.shape[2]} "
+                "output units"
+            )
         root_entry = cc._outputs.out_ids[0]
-        root_fold = 0
+        root_fold = root_output
         if len(cc._outputs.out_ids) > 1 or cc._outputs.fold_idx is not None:
-            flat0 = 0 if cc._outputs.fold_idx is None else int(cc._outputs.fold_idx[0])
+            flat0 = (
+                root_output
+                if cc._outputs.fold_idx is None
+                else int(cc._outputs.fold_idx[root_output])
+            )
             off = 0
             for i in cc._outputs.out_ids:
                 nf = vals[i].shape[0]
@@ -556,7 +580,7 @@ def _build_routing_run(cc: JaxCircuit, kind: str):
                     root_entry, root_fold = i, flat0 - off
                     break
                 off += nf
-        sels[root_entry] = sels[root_entry].at[root_fold, :].set(0)
+        sels[root_entry] = sels[root_entry].at[root_fold, :].set(root_unit)
 
         def _push_to_children(e, units_per_op):
             """Push per-operand (F, B) unit choices through entry e's static

@@ -170,17 +170,27 @@ def main() -> None:
         print(f"lambda={lam:.2f}, {int(missing * 100)}% pixels missing: "
               f"accuracy {100 * acc:5.1f}% (marginalized, no retraining)")
 
-    # ... or reconstruct them: MAP completion of the missing pixels
+    # ... or reconstruct them: class-conditional MAP completion — classify
+    # from the evidence first (marginalizing the missing pixels), then
+    # complete each sample under its PREDICTED class head (the query's
+    # output/unit arguments select the root head; one cached program each)
     from cirkit_tpu.backend.jax.queries import MAPQuery
 
     query = MAPQuery(circuit)
     rng = np.random.default_rng(7)
     n = min(len(x_te), 64)
     mask = rng.random((n, x_te.shape[1])) < 0.5  # True = observed
-    completed, _ = query(jnp.asarray(x_te[:n]), evidence_mask=mask,
-                         store=stores[lam])
-    err = np.abs(np.asarray(completed)[~mask] - x_te[:n][~mask]).mean()
-    print(f"MAP inpainting of the 50% missing pixels: mean abs error {err:.1f}/255")
+    xe = jnp.asarray(x_te[:n])
+    ll_e = IntegrateQuery(circuit)(xe, integrate_vars=~mask, store=stores[lam])[:, 0, :]
+    pred = np.asarray(jnp.argmax(ll_e, axis=1))
+    per_head = [
+        np.asarray(query(xe, evidence_mask=mask, store=stores[lam], unit=h)[0])
+        for h in range(NUM_CLASSES)
+    ]
+    completed = np.stack(per_head)[pred, np.arange(n)]
+    err = np.abs(completed[~mask] - x_te[:n][~mask]).mean()
+    print(f"MAP inpainting of the 50% missing pixels under the predicted "
+          f"class head: mean abs error {err:.1f}/255")
 
     # optional figure (PLOTS=1): original / evidence / MAP completion grid
     try:

@@ -59,6 +59,90 @@ def test_map_conditional_completion_matches_restricted_enumeration():
         np.testing.assert_allclose(float(val[b]), np.log(want_val), rtol=1e-9)
 
 
+def test_map_per_head_selection_matches_enumeration():
+    """output/unit select the root head: per head h, the MAP assignment
+    and value must match exhaustive max-product enumeration of THAT
+    head's distribution (e.g. class-conditional MPE)."""
+    from cirkit_tpu.symbolic import CategoricalLayer, Circuit, HadamardLayer, SumLayer
+    from cirkit_tpu.utils import Scope
+
+    from tests.fixtures import const_param
+    from tests.reference_eval import enumerate_worlds, max_eval_circuit
+
+    rng = np.random.default_rng(60)
+    k, heads = 3, 3
+    leaves = [
+        CategoricalLayer(
+            Scope([v]), k, num_categories=3,
+            probs=const_param(rng.dirichlet(np.ones(3), size=k)),
+        )
+        for v in range(3)
+    ]
+    prod = HadamardLayer(k, arity=3)
+    root = SumLayer(k, heads, weight=const_param(rng.dirichlet(np.ones(k), size=heads)))
+    sc = Circuit(leaves + [prod, root], {prod: leaves, root: [prod]}, [root])
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    query = MAPQuery(cc)
+
+    worlds = enumerate_worlds(3, 3)
+    head_vals = max_eval_circuit(sc, worlds)[:, 0, :]  # (W, heads)
+    got_heads = []
+    for h in range(heads):
+        asg, val = query(store=ctx.parameters, unit=h)
+        best = int(np.argmax(head_vals[:, h]))
+        np.testing.assert_array_equal(np.asarray(asg[0]).astype(int), worlds[best])
+        np.testing.assert_allclose(float(val[0]), np.log(head_vals[best, h]), rtol=1e-9)
+        got_heads.append(tuple(np.asarray(asg[0]).astype(int)))
+    with pytest.raises(ValueError, match="root unit"):
+        query(store=ctx.parameters, unit=heads)
+    with pytest.raises(ValueError, match="root output"):
+        query(store=ctx.parameters, output=1)
+
+
+def test_conditional_sampling_per_head_log_evidence():
+    """conditional(..., unit=h) conditions on head h: its log-evidence must
+    equal that head's marginal over the free variables."""
+    import jax
+
+    from cirkit_tpu.backend.jax.queries import IntegrateQuery, SamplingQuery
+    from cirkit_tpu.symbolic import CategoricalLayer, Circuit, HadamardLayer, SumLayer
+    from cirkit_tpu.utils import Scope
+
+    from tests.fixtures import const_param
+
+    rng = np.random.default_rng(61)
+    k, heads = 2, 3
+    leaves = [
+        CategoricalLayer(
+            Scope([v]), k, num_categories=3,
+            probs=const_param(rng.dirichlet(np.ones(3), size=k)),
+        )
+        for v in range(3)
+    ]
+    prod = HadamardLayer(k, arity=3)
+    root = SumLayer(k, heads, weight=const_param(rng.dirichlet(np.ones(k), size=heads)))
+    sc = Circuit(leaves + [prod, root], {prod: leaves, root: [prod]}, [root])
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    sq = SamplingQuery(cc)
+    iq = IntegrateQuery(cc)
+
+    x = jnp.asarray(rng.integers(0, 3, size=(8, 3)))
+    mask = np.zeros((8, 3), dtype=bool)
+    mask[:, 0] = True
+    for h in range(heads):
+        s, le = sq.conditional(
+            x, evidence_mask=jnp.asarray(mask), key=jax.random.PRNGKey(h),
+            store=ctx.parameters, unit=h,
+        )
+        marg = iq(x, integrate_vars=jnp.asarray(~mask), store=ctx.parameters)[:, 0, h]
+        np.testing.assert_allclose(np.asarray(le), np.asarray(marg), rtol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(s)[:, 0], np.asarray(x)[:, 0]
+        )
+
+
 def test_map_full_evidence_returns_input_and_best_parse_value():
     sc = build_multivariate_categorical_pc(num_variables=4, rng=np.random.default_rng(33))
     ctx = PipelineContext(semiring="lse-sum", fold=True)
