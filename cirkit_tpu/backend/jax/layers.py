@@ -307,6 +307,19 @@ class JaxInputLayer(JaxLayer, ABC):
         extension; the reference has no MAP/MPE query."""
         raise TypeError(f"MPE is not supported for {type(self).__name__}")
 
+    def sample_selected(self, store: Store, key, sel: jnp.ndarray) -> jnp.ndarray:
+        """One draw per (fold, sample) from the SELECTED unit only: ``sel``
+        is an (F, B) unit-index array; returns (F, B) states.
+
+        The lazy counterpart of :meth:`sample` used by the conditional-
+        sampling downward pass — only one unit per (fold, sample) is ever
+        on the parse, so drawing all K units wastes a K-fold factor of
+        noise and traffic (64x on the flagship). The base implementation
+        falls back to a full :meth:`sample` plus a gather; the exponential-
+        family layers override it to draw only the selected unit."""
+        full = jnp.transpose(self.sample(store, key, sel.shape[1]), (0, 2, 1))
+        return jnp.take_along_axis(full, sel[:, :, None], axis=2)[:, :, 0]
+
 
 class JaxConstantInputLayer(JaxInputLayer, ABC):
     """An input layer over the empty scope: forward takes the batch size."""
@@ -416,6 +429,12 @@ class JaxCategoricalLayer(JaxExpFamilyLayer):
             key, jnp.broadcast_to(logits, (num_samples, *logits.shape)), axis=-1
         )  # (N, F, K)
         return jnp.transpose(samples, (1, 2, 0))
+
+    def sample_selected(self, store, key, sel):
+        logits = self._log_probs(store)  # (F, K, C)
+        oh = jax.nn.one_hot(sel, self.num_output_units, dtype=logits.dtype)
+        lsel = jnp.einsum("fbk,fkc->fbc", oh, logits)  # (F, B, C)
+        return jax.random.categorical(key, lsel, axis=-1)
 
     def mpe(self, store):
         lp = self._log_probs(store)  # (F, K, C), same measure as forward
@@ -536,6 +555,12 @@ class JaxBinomialLayer(JaxExpFamilyLayer):
         samples = (u < p[None, None]).sum(axis=1)  # (N, F, K)
         return jnp.transpose(samples, (1, 2, 0))
 
+    def sample_selected(self, store, key, sel):
+        p = jax.nn.sigmoid(self._logits(store))  # (F, K)
+        psel = jnp.take_along_axis(p, sel, axis=1)  # (F, B)
+        u = jax.random.uniform(key, (self.total_count, *psel.shape), dtype=p.dtype)
+        return (u < psel[None]).sum(axis=0).astype(p.dtype)
+
     def mpe(self, store):
         logits = self._logits(store)  # (F, K)
         n = self.total_count
@@ -602,6 +627,11 @@ class JaxGaussianLayer(JaxExpFamilyLayer):
         eps = jax.random.normal(key, (num_samples, *mean.shape), dtype=mean.dtype)
         samples = mean[None] + stddev[None] * eps  # (N, F, K)
         return jnp.transpose(samples, (1, 2, 0))
+
+    def sample_selected(self, store, key, sel):
+        mean = jnp.take_along_axis(self.mean(store), sel, axis=1)  # (F, B)
+        stddev = jnp.take_along_axis(self.stddev(store), sel, axis=1)
+        return mean + stddev * jax.random.normal(key, mean.shape, dtype=mean.dtype)
 
     def mpe(self, store):
         mean = self.mean(store)  # (F, K)

@@ -449,9 +449,11 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
             key = jax.random.wrap_key_data(
                 jnp.tile(jax.random.key_data(key), 2), impl="rbg"
             )
-        keys = (
-            iter(jax.random.split(key, 2 * len(entries))) if key is not None else None
-        )
+            # keys[e]: downward routing draw of entry e; keys[nk + e]: the
+            # assembly's lazy input-state draw of entry e
+            all_keys = jax.random.split(key, 2 * len(entries))
+        else:
+            all_keys = None
 
         def _gather_in(entry, vals):
             """The entry's (F, H, B, K) child-value block via the plan's
@@ -468,7 +470,6 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
         recs: list = []
         for entry in entries:
             layer = entry.layer
-            lk = next(keys) if keys is not None else None
             if isinstance(layer, JaxConstantInputLayer):
                 raise NotImplementedError(
                     f"{name} is not supported for {type(layer).__name__}"
@@ -483,18 +484,15 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
                 obs_val = layer(st, xin)  # (F, B, K)
                 if kind == "max":
                     free_val, free_arg = layer.mpe(st)  # (F, K)
-                    free_states = jnp.broadcast_to(
-                        free_arg.astype(obs_val.dtype)[:, None, :], obs_val.shape
-                    )
                 else:
                     free_val = layer.integrate(st)  # (F, K)
-                    free_states = jnp.transpose(
-                        layer.sample(st, lk, bsz), (0, 2, 1)
-                    ).astype(obs_val.dtype)  # (F, B, K)
+                    free_arg = None  # states are drawn lazily at assembly
                 xi = xin[..., 0].astype(obs_val.dtype)  # (F, B)
-                m = jnp.transpose(mk[:, si[:, 0]], (1, 0))[:, :, None]  # (F, B, 1)
-                vals.append(jnp.where(m, obs_val, free_val[:, None, :]))
-                recs.append(("input", jnp.where(m, xi[:, :, None], free_states)))
+                mrow = jnp.transpose(mk[:, si[:, 0]], (1, 0))  # (F, B)
+                vals.append(
+                    jnp.where(mrow[:, :, None], obs_val, free_val[:, None, :])
+                )
+                recs.append(("input", xi, mrow, free_arg))
                 continue
 
             v = _gather_in(entry, vals)  # (F, H, B, K)
@@ -502,6 +500,21 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
                 # tropical forward: max over the mixture scores; the argmax
                 # is NOT tracked here — the downward pass recomputes it at
                 # the single selected unit per (fold, sample)
+                if isinstance(layer, JaxTuckerLayer) and layer.arity == 2:
+                    # fused tropical kernel when it applies (the dominant
+                    # entries; XLA's streamed broadcast otherwise)
+                    from cirkit_tpu.ops.lse_einsum import tropical_tucker2
+
+                    ls = getattr(layer, "_logits_slot", None)
+                    tv = tropical_tucker2(
+                        v[:, 0], v[:, 1],
+                        st[ls] if ls is not None else layer.weight(st),
+                        log_weights=ls is not None,
+                    )
+                    if tv is not None:
+                        vals.append(tv)
+                        recs.append(("tucker", layer.arity, layer.num_input_units))
+                        continue
                 w = layer.weight(st)
                 if isinstance(layer, JaxTuckerLayer):
                     comb = _tucker_comb(v)  # (F, B, M)
@@ -617,7 +630,7 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
             rec = recs[e]
             if rec[0] == "input":
                 continue
-            lk = next(keys) if keys is not None else None
+            lk = all_keys[e] if all_keys is not None else None
             sel = sels[e]  # (F, B) unit index or -1
             active = sel >= 0
             safe = jnp.maximum(sel, 0)
@@ -660,6 +673,34 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
                 continue
 
             tag, h, k = rec
+            if tag == "tucker" and h == 2:
+                # fused in-VMEM routing choice (see ops/lse_einsum.py):
+                # softmax-parameterized weights route on their raw logits
+                # (row constants cannot change the choice)
+                from cirkit_tpu.ops.lse_einsum import route_tucker2
+
+                ls = getattr(layer, "_logits_slot", None)
+                th = st[ls] if ls is not None else w
+                seed = None
+                if kind == "sample":
+                    seed = jnp.sum(
+                        jax.random.key_data(lk).astype(jnp.uint32)
+                    ).astype(jnp.int32)
+                km = route_tucker2(
+                    v[:, 0], v[:, 1], th, safe,
+                    kind=kind, log_weights=ls is not None, seed=seed,
+                )
+                if km is not None:
+                    m = km
+                    draws[e] = jnp.where(active, m, neg)
+                    units = []
+                    rem = m
+                    for hh in range(h - 1, -1, -1):
+                        units.append(jnp.where(active, rem % k, neg))
+                        rem = rem // k
+                    units.reverse()
+                    _push_to_children(e, units)
+                    continue
             oh = jax.nn.one_hot(safe, layer.num_output_units, dtype=dt)
             oh = oh * active[..., None]  # (F, B, O)
             selw = jnp.einsum("fbo,fom->fbm", oh, w)  # (F, B, M)
@@ -694,18 +735,25 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
         # mixtures: the composite routing index actually used at each sum-
         # style entry, (F, B) with -1 where the entry was not on the parse
         mixtures = [draws[e] for e in sorted(draws)]
+        nk = len(entries)
         for e, rec in enumerate(recs):
             if rec[0] != "input":
                 continue
-            arg = rec[1]  # (F, B, K) per-unit states
+            _, xi, mrow, free_arg = rec
             sel = sels[e]  # (F, B)
-            picked = jnp.take_along_axis(
-                arg, jnp.maximum(sel, 0)[:, :, None], axis=2
-            )[:, :, 0]
-            w = jnp.where(sel >= 0, picked, jnp.zeros((), dtype))  # (F, B)
-            onehot = jax.nn.one_hot(
-                entries[e].layer.scope_idx[:, 0], num_vars, dtype=dtype
-            )
+            active = sel >= 0
+            safe = jnp.maximum(sel, 0)
+            layer = entries[e].layer
+            # lazy state of the SELECTED unit only: the mode's argmax row
+            # for MAP, one sample_selected draw for conditional sampling —
+            # never the full (F, B, K) per-unit state block
+            if kind == "max":
+                free = jnp.take_along_axis(free_arg.astype(dtype), safe, axis=1)
+            else:
+                free = layer.sample_selected(st, all_keys[nk + e], safe).astype(dtype)
+            picked = jnp.where(mrow, xi, free)  # (F, B)
+            w = jnp.where(active, picked, jnp.zeros((), dtype))
+            onehot = jax.nn.one_hot(layer.scope_idx[:, 0], num_vars, dtype=dtype)
             out_asg = out_asg + jnp.einsum("fb,fd->bd", w, onehot)
         out_asg = jnp.where(mk, xx.astype(dtype), out_asg)
         return out_asg, root_vals, tuple(mixtures)

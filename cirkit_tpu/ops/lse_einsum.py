@@ -848,6 +848,282 @@ def slse_dispatch(xs, w, *, softmax: bool, tucker: bool, interpret: bool | None 
 
 
 # --------------------------------------------------------------------------- #
+# In-VMEM routing choice for Tucker-2 entries (MAP argmax / posterior draw)
+# --------------------------------------------------------------------------- #
+# The lazy downward pass of MAP/conditional sampling (backend/jax/queries.py)
+# picks, per (fold, sample), ONE composite index m of the selected output
+# unit's mixture: argmax / categorical over scores[m] = log w[o*, m] +
+# x1[m // K2] + x2[m % K2]. In XLA this streams three (F, M, B) tensors plus
+# the Gumbel noise through HBM per entry; here everything lives in VMEM —
+# the chosen weight row is extracted with an exact one-hot selection matmul
+# (never a gather), the composite is formed by the same repeat tricks as the
+# forward kernel, the noise comes from the hardware PRNG, and only the (F,
+# B) index leaves the kernel. Routing is invariant to per-row constants, so
+# softmax-parameterized weights contribute their raw logits — the softmax
+# itself is never computed.
+#
+# Numerics: operands are max-shifted per row, then selected/repeated through
+# 3-term bf16-split matmuls (hi+mid+lo ~ 24 mantissa bits, f32-grade), so
+# kernel scores match the XLA path to f32 rounding. All kernel I/O is f32
+# (indices < 2^24 ride f32 exactly), sidestepping Mosaic int-dtype layout
+# restrictions. The sample variant needs the hardware PRNG and therefore
+# does not run in CPU interpret mode (callers fall back to XLA there); the
+# max variant runs everywhere.
+
+
+@dataclass(frozen=True)
+class _RouteCfg:
+    bt: int
+    nbt: int
+    interpret: bool
+    log_weights: bool  # True: th rows are logits/log-weights; False: linear
+    sample: bool  # gumbel-perturb (hardware PRNG) instead of plain argmax
+
+
+def _split3(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Three-term bf16 split: hi + mid + lo == v to ~24 mantissa bits."""
+    hi = v.astype(jnp.bfloat16)
+    r = v - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _sel_dot3(sel01: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """(BT, O) 0/1 selector x (O, M) f32 -> (BT, M), f32-grade: three
+    narrow dots (the O-contraction is tiny) over the 3-term split."""
+    parts = _split3(v)
+    out = _dot1(sel01, parts[0], ((1,), (0,)))
+    out = out + _dot1(sel01, parts[1], ((1,), (0,)))
+    return out + _dot1(sel01, parts[2], ((1,), (0,)))
+
+
+def _repeat_each3(e1: jnp.ndarray, k2: int) -> jnp.ndarray:
+    """f32-grade element-repeat (BT, K1) -> (BT, K1*K2) via the 0/1
+    selector with a 3-term split packed along the rows."""
+    k1 = e1.shape[1]
+    s = _repeat_selector(k1, k2)
+    bt = e1.shape[0]
+    hi, mid, lo = _split3(e1)
+    d = _dot1(jnp.concatenate([hi, mid, lo], axis=0), s, ((1,), (0,)))
+    return d[:bt] + d[bt : 2 * bt] + d[2 * bt :]
+
+
+def _route_kernel(cfg: _RouteCfg, x1_ref, x2_ref, th_ref, sel_ref, seed_ref, m_ref):
+    x1, x2 = x1_ref[0], x2_ref[0]  # (BT, K1), (BT, K2) log-space f32
+    th = th_ref[0].astype(jnp.float32)  # (O, M)
+    sel = sel_ref[0]  # (BT, 1) f32 unit index (pre-clamped >= 0)
+    k1, k2 = x1.shape[1], x2.shape[1]
+    o = th.shape[0]
+    # per-row max shifts keep magnitudes small so the bf16 splits stay
+    # f32-grade; shifts are per-row constants and cannot change the choice
+    x1 = x1 - _clamp_max(x1)
+    x2 = x2 - _clamp_max(x2)
+    # iota must be integer-typed on Mosaic; sel rides f32 (exact < 2^24)
+    oh = (
+        jax.lax.broadcasted_iota(jnp.int32, (x1.shape[0], o), 1)
+        == sel.astype(jnp.int32)
+    ).astype(jnp.bfloat16)
+    if cfg.log_weights:
+        selw = _sel_dot3(oh, th - _clamp_max(th))
+    else:
+        lw = jnp.log(jnp.maximum(th, jnp.finfo(jnp.float32).tiny))
+        selw = _sel_dot3(oh, lw - _clamp_max(lw))
+    scores = selw + _repeat_each3(x1, k2) + pltpu.repeat(x2, k1, axis=1)
+    if cfg.sample:
+        # Mosaic accepts at most two seed words: fold the grid position
+        # into one so every kernel instance draws distinct bits
+        pltpu.prng_seed(
+            jnp.int32(seed_ref[0]),
+            pl.program_id(0) * jnp.int32(cfg.nbt) + pl.program_id(1),
+        )
+        bits = pltpu.bitcast(pltpu.prng_random_bits(scores.shape), jnp.uint32)
+        # uniform in [2^-24, 1): mantissa bits into [1, 2), shift down
+        u = pltpu.bitcast(
+            (bits >> 9) | jnp.uint32(0x3F800000), jnp.float32
+        ) - (1.0 - 2.0**-24)
+        scores = scores - jnp.log(-jnp.log(u))
+    # argmax via max + first-match iota (jnp.argmax does not lower reliably)
+    mx = jnp.max(scores, axis=1, keepdims=True)
+    iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    m_ref[0] = jnp.min(
+        jnp.where(scores >= mx, iota, jnp.int32(2**24)), axis=1, keepdims=True
+    ).astype(jnp.float32)
+
+
+def route_tucker2(
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    th: jnp.ndarray,
+    sel: jnp.ndarray,
+    *,
+    kind: str,
+    log_weights: bool,
+    seed: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray | None:
+    """Fused routing choice at the selected output unit of a Tucker-2 sum.
+
+    ``x1``/``x2``: (F, B, K1)/(F, B, K2) log-space child values; ``th``:
+    (F, O, K1*K2) weight rows — raw logits / log-weights when
+    ``log_weights`` (per-row normalizers cannot change the choice), linear
+    nonnegative weights otherwise; ``sel``: (F, B) int32 selected unit
+    (entries < 0 must be pre-clamped to 0 by the caller and masked after).
+    ``kind`` is ``"max"`` (argmax) or ``"sample"`` (Gumbel draw from the
+    hardware PRNG, seeded by the (F, B)-independent ``seed`` scalar plus
+    the grid position). Returns the (F, B) int32 composite index, or None
+    when the kernel does not apply (XLA fallback).
+    """
+    if not _pallas_enabled():
+        return None
+    interpret = _interpret_default() if interpret is None else interpret
+    if kind == "sample" and interpret:
+        return None  # no hardware PRNG in interpret mode
+    if x1.dtype != jnp.float32 or x2.dtype != jnp.float32:
+        return None
+    if th.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    f, b, k1 = x1.shape
+    k2 = x2.shape[2]
+    o, m = th.shape[1:]
+    if k1 < 8 or k2 < 8 or o < 8 or m != k1 * k2 or m % 128 != 0:
+        return None
+    bt = min(256, _round_up(b, 8))
+    while True:
+        # th + selw + repeat + scores (+ noise) resident, f32 words
+        work = (o + 1) * m + bt * (4 * m + k1 + k2 + o)
+        if 4 * work <= _VMEM_BUDGET or bt <= 8:
+            break
+        bt = max(8, bt // 2)
+    if 4 * work > _VMEM_BUDGET:
+        return None
+    bp = _round_up(b, bt)
+    cfg = _RouteCfg(
+        bt=bt, nbt=bp // bt, interpret=interpret,
+        log_weights=log_weights, sample=kind == "sample",
+    )
+    self_pad = bp != b
+    sel_f = jnp.clip(sel, 0, o - 1).astype(jnp.float32)[:, :, None]
+    if self_pad:
+        x1 = jnp.pad(x1, ((0, 0), (0, bp - b), (0, 0)))
+        x2 = jnp.pad(x2, ((0, 0), (0, bp - b), (0, 0)))
+        sel_f = jnp.pad(sel_f, ((0, 0), (0, bp - b), (0, 0)))
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jnp.asarray(seed, jnp.int32).reshape((1,))
+    out = pl.pallas_call(
+        functools.partial(_route_kernel, cfg),
+        grid=(f, cfg.nbt),
+        in_specs=[
+            _x_spec(cfg.bt, k1),
+            _x_spec(cfg.bt, k2),
+            _w_spec(o, m),
+            _x_spec(cfg.bt, 1),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=_x_spec(cfg.bt, 1),
+        out_shape=jax.ShapeDtypeStruct((f, bp, 1), jnp.float32),
+        interpret=cfg.interpret,
+    )(x1, x2, th, sel_f, seed)
+    out = out[:, :b, 0] if self_pad else out[:, :, 0]
+    return out.astype(jnp.int32)
+
+
+# --------------------------------------------------------------------------- #
+# Tropical (max-plus) Tucker-2 forward for MAP's upward pass
+# --------------------------------------------------------------------------- #
+# out[b, o] = max_m (log w[o, m] + x1[b, m // K2] + x2[b, m % K2]): the
+# max-product analogue of the fused forward. There is no MXU assist for a
+# (max, +) contraction, so the kernel's value is keeping the (BT, M)
+# composite and the per-o reductions in VMEM — the XLA formulation streams
+# the (F, O, M, B) broadcast through the VPU with HBM-visible intermediates
+# and dominates MAPQuery's runtime. The O-loop is unrolled at trace time
+# (static), one (BT, M) add+max-reduce per output unit.
+
+
+@dataclass(frozen=True)
+class _TropCfg:
+    bt: int
+    nbt: int
+    interpret: bool
+    log_weights: bool
+
+
+def _tropical_kernel(cfg: _TropCfg, x1_ref, x2_ref, th_ref, o_ref):
+    x1, x2 = x1_ref[0], x2_ref[0]  # (BT, K1), (BT, K2)
+    th = th_ref[0].astype(jnp.float32)  # (O, M)
+    k1, k2 = x1.shape[1], x2.shape[1]
+    m1, m2 = _clamp_max(x1), _clamp_max(x2)
+    # clamp the shifted values to a large finite floor before the bf16-split
+    # repeat: a -inf operand would turn the split residual into NaN; the
+    # floor still loses every max against any finite score
+    lo = jnp.float32(-1e30)
+    x1s = jnp.maximum(x1 - m1, lo)
+    x2s = jnp.maximum(x2 - m2, lo)
+    if cfg.log_weights:
+        lw = th - jax.scipy.special.logsumexp(th, axis=1, keepdims=True)
+    else:
+        lw = jnp.log(th)  # 0 -> -inf: fine, it never enters a split
+    comb = _repeat_each3(x1s, k2) + pltpu.repeat(x2s, k1, axis=1)  # (BT, M)
+    cols = [
+        jnp.max(comb + lw[oo][None, :], axis=1, keepdims=True)
+        for oo in range(th.shape[0])
+    ]
+    o_ref[0] = jnp.concatenate(cols, axis=1) + m1 + m2
+
+
+def tropical_tucker2(
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    th: jnp.ndarray,
+    *,
+    log_weights: bool,
+    interpret: bool | None = None,
+) -> jnp.ndarray | None:
+    """Fused tropical Tucker-2 forward: (F, B, K1) x (F, B, K2) x
+    (F, O, K1*K2) -> (F, B, O) max-product values. ``th`` holds raw softmax
+    logits when ``log_weights`` (rows are log-softmax-normalized in VMEM)
+    or linear nonnegative weights otherwise. Returns None when the kernel
+    does not apply (XLA fallback)."""
+    if not _pallas_enabled():
+        return None
+    if x1.dtype != jnp.float32 or x2.dtype != jnp.float32:
+        return None
+    if th.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    f, b, k1 = x1.shape
+    k2 = x2.shape[2]
+    o, m = th.shape[1:]
+    if k1 < 8 or k2 < 8 or o < 8 or m != k1 * k2 or m % 128 != 0:
+        return None
+    bt = min(256, _round_up(b, 8))
+    while True:
+        work = (2 * o + 2) * m + bt * (3 * m + k1 + k2 + o)
+        if 4 * work <= _VMEM_BUDGET or bt <= 8:
+            break
+        bt = max(8, bt // 2)
+    if 4 * work > _VMEM_BUDGET:
+        return None
+    interpret = _interpret_default() if interpret is None else interpret
+    bp = _round_up(b, bt)
+    cfg = _TropCfg(bt=bt, nbt=bp // bt, interpret=interpret, log_weights=log_weights)
+    if bp != b:
+        pad = jnp.finfo(x1.dtype).min
+        x1 = jnp.pad(x1, ((0, 0), (0, bp - b), (0, 0)), constant_values=pad)
+        x2 = jnp.pad(x2, ((0, 0), (0, bp - b), (0, 0)), constant_values=pad)
+    out = pl.pallas_call(
+        functools.partial(_tropical_kernel, cfg),
+        grid=(f, cfg.nbt),
+        in_specs=[_x_spec(cfg.bt, k1), _x_spec(cfg.bt, k2), _w_spec(o, m)],
+        out_specs=_x_spec(cfg.bt, o),
+        out_shape=jax.ShapeDtypeStruct((f, bp, o), jnp.float32),
+        interpret=cfg.interpret,
+    )(x1, x2, th)
+    return out[:, :b] if bp != b else out
+
+
+# --------------------------------------------------------------------------- #
 # Complex log-einsum-exp (SoS / squared circuits)
 # --------------------------------------------------------------------------- #
 # Complex log-space values z = a + ib contract as exp(z) = exp(a)(cos b +

@@ -350,3 +350,34 @@ def test_map_and_conditional_accept_scope_evidence():
         x, evidence_mask=Scope([0, 2]), key=jax.random.PRNGKey(5), store=ctx.parameters
     )
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_map_route_kernel_matches_xla_path(monkeypatch):
+    """The fused route_tucker2 kernel (CIRKIT_TPU_FORCE_PALLAS interpret
+    mode) must reproduce the XLA downward routing exactly on an optimized
+    Tucker circuit: same assignments, same values."""
+    import jax
+
+    from cirkit_tpu.models import image_data
+
+    sc = image_data(
+        (1, 4, 4), "quad-tree-2", input_layer="categorical",
+        num_input_units=8, sum_product_layer="tucker", num_sum_units=8,
+    )
+
+    def run(force):
+        if force:
+            monkeypatch.setenv("CIRKIT_TPU_FORCE_PALLAS", "1")
+        else:
+            monkeypatch.delenv("CIRKIT_TPU_FORCE_PALLAS", raising=False)
+        ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=True, seed=6)
+        cc = ctx.compile(sc)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.integers(0, 256, size=(5, 16)), jnp.int32)
+        mask = jnp.asarray(rng.random((5, 16)) < 0.5)
+        return MAPQuery(cc)(x, evidence_mask=mask, store=ctx.parameters)
+
+    asg_k, val_k = run(True)
+    asg_x, val_x = run(False)
+    np.testing.assert_array_equal(np.asarray(asg_k), np.asarray(asg_x))
+    np.testing.assert_allclose(np.asarray(val_k), np.asarray(val_x), rtol=1e-5)

@@ -607,3 +607,76 @@ def test_sr_mode_parses_and_degrades_in_interpret(monkeypatch):
     out = L.lse_matmul(x, w)
     ref = _fallback_matmul(x, w)
     np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
+# --------------------------------------------------------------------------- #
+# route_tucker2: the fused downward routing choice
+# --------------------------------------------------------------------------- #
+
+
+def _route_oracle(x1, x2, th, sel, log_weights):
+    """numpy argmax over scores[m] = log w[sel, m] + x1[m//K2] + x2[m%K2]."""
+    f, b, k1 = x1.shape
+    k2 = x2.shape[2]
+    lw = np.asarray(th, np.float64) if log_weights else np.log(np.asarray(th, np.float64))
+    comb = (
+        np.asarray(x1, np.float64)[:, :, :, None] + np.asarray(x2, np.float64)[:, :, None, :]
+    ).reshape(f, b, k1 * k2)
+    scores = np.stack(
+        [lw[ff][np.asarray(sel)[ff]] for ff in range(f)]
+    ) + comb
+    return np.argmax(scores, axis=2)
+
+
+@pytest.mark.parametrize("b", [8, 13])  # 13 exercises batch padding
+@pytest.mark.parametrize("log_weights", [True, False], ids=["logits", "linear"])
+def test_route_tucker2_max_matches_oracle(b, log_weights):
+    rng = np.random.default_rng(70)
+    f, k, o = 3, 16, 16
+    x1 = _rand(rng, (f, b, k), scale=5.0, shift=-30.0)
+    x2 = _rand(rng, (f, b, k), scale=5.0, shift=-30.0)
+    if log_weights:
+        th = _rand(rng, (f, o, k * k), scale=1.5, shift=0.0)
+    else:
+        th = _weights(rng, (f, o, k * k))
+    sel = jnp.asarray(rng.integers(0, o, size=(f, b)), jnp.int32)
+    got = L.route_tucker2(x1, x2, th, sel, kind="max", log_weights=log_weights)
+    assert got is not None
+    want = _route_oracle(x1, x2, th, sel, log_weights)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_route_tucker2_sample_falls_back_in_interpret():
+    """The sample variant needs the hardware PRNG: in interpret mode the
+    dispatch must return None so callers use the XLA draw."""
+    rng = np.random.default_rng(71)
+    x1 = _rand(rng, (1, 8, 16))
+    x2 = _rand(rng, (1, 8, 16))
+    th = _rand(rng, (1, 8, 256), scale=1.0, shift=0.0)
+    sel = jnp.zeros((1, 8), jnp.int32)
+    assert (
+        L.route_tucker2(x1, x2, th, sel, kind="sample", log_weights=True, seed=jnp.int32(1))
+        is None
+    )
+    # ... and the max variant on the same shapes does run
+    assert L.route_tucker2(x1, x2, th, sel, kind="max", log_weights=True) is not None
+
+
+@pytest.mark.parametrize("b", [8, 13])
+@pytest.mark.parametrize("log_weights", [True, False], ids=["logits", "linear"])
+def test_tropical_tucker2_matches_fallback(b, log_weights):
+    rng = np.random.default_rng(72)
+    f, k, o = 3, 16, 16
+    x1 = _rand(rng, (f, b, k), scale=4.0, shift=-10.0)
+    x2 = _rand(rng, (f, b, k), scale=4.0, shift=-10.0)
+    if log_weights:
+        th = _rand(rng, (f, o, k * k), scale=1.5, shift=0.0)
+        lw = jax.nn.log_softmax(th, axis=-1)
+    else:
+        th = _weights(rng, (f, o, k * k))
+        lw = jnp.log(th)
+    got = L.tropical_tucker2(x1, x2, th, log_weights=log_weights)
+    assert got is not None
+    comb = (x1[:, :, :, None] + x2[:, :, None, :]).reshape(f, b, k * k)
+    want = jnp.max(lw[:, None, :, :] + comb[:, :, None, :], axis=3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
