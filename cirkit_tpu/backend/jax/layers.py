@@ -432,6 +432,10 @@ class JaxCategoricalLayer(JaxExpFamilyLayer):
 
     def sample_selected(self, store, key, sel):
         logits = self._log_probs(store)  # (F, K, C)
+        # clamp -inf (zero-probability categories) before the one-hot
+        # selection matmul: 0 * -inf = NaN would corrupt every unit's row
+        # (same hazard the forward clamps at _log_probs' call site)
+        logits = jnp.maximum(logits, jnp.finfo(logits.dtype).min)
         oh = jax.nn.one_hot(sel, self.num_output_units, dtype=logits.dtype)
         lsel = jnp.einsum("fbk,fkc->fbc", oh, logits)  # (F, B, C)
         return jax.random.categorical(key, lsel, axis=-1)

@@ -446,9 +446,12 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
             # draw under the rbg PRNG: the categorical draws' random bits
             # are pure HBM traffic (XLA materializes them), and rbg bits
             # cost ~2.6x less than threefry at this volume (docs/PERF.md)
-            key = jax.random.wrap_key_data(
-                jnp.tile(jax.random.key_data(key), 2), impl="rbg"
-            )
+            kd = jax.random.key_data(key)
+            if kd.shape[-1] == 2:  # threefry/legacy 2-word keys
+                key = jax.random.wrap_key_data(jnp.tile(kd, 2), impl="rbg")
+            elif kd.shape[-1] == 4:  # already rbg-width
+                key = jax.random.wrap_key_data(kd, impl="rbg")
+            # other widths: keep the caller's key/impl unchanged
             # keys[e]: downward routing draw of entry e; keys[nk + e]: the
             # assembly's lazy input-state draw of entry e
             all_keys = jax.random.split(key, 2 * len(entries))
@@ -661,7 +664,11 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
                 # output unit o = q*Kk + k: select the w row by k and the
                 # in column by q, both via exact one-hot contractions
                 q, kout = safe // kk, safe % kk
-                vv = v[:, 0].reshape(f, b, kj, kq)
+                # clamp -inf child values before the one-hot selection
+                # einsum (0 * -inf = NaN would poison finite columns)
+                vv = jnp.maximum(
+                    v[:, 0].reshape(f, b, kj, kq), jnp.finfo(dt).min
+                )
                 oh_k = jax.nn.one_hot(kout, kk, dtype=dt) * active[..., None]
                 oh_q = jax.nn.one_hot(q, kq, dtype=dt)
                 selw = jnp.einsum("fbk,fkj->fbj", oh_k, w)

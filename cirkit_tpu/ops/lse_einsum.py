@@ -917,8 +917,13 @@ def _route_kernel(cfg: _RouteCfg, x1_ref, x2_ref, th_ref, sel_ref, seed_ref, m_r
     o = th.shape[0]
     # per-row max shifts keep magnitudes small so the bf16 splits stay
     # f32-grade; shifts are per-row constants and cannot change the choice
-    x1 = x1 - _clamp_max(x1)
-    x2 = x2 - _clamp_max(x2)
+    # clamp to a large finite floor before anything hits a bf16 split: a
+    # -inf operand (zero-probability value/weight) would make the split
+    # residual NaN and poison the whole score row; -1e30 still loses every
+    # max/draw against any finite score
+    lo = jnp.float32(-1e30)
+    x1 = jnp.maximum(x1 - _clamp_max(x1), lo)
+    x2 = jnp.maximum(x2 - _clamp_max(x2), lo)
     # iota must be integer-typed on Mosaic; sel rides f32 (exact < 2^24)
     oh = (
         jax.lax.broadcasted_iota(jnp.int32, (x1.shape[0], o), 1)
@@ -927,8 +932,14 @@ def _route_kernel(cfg: _RouteCfg, x1_ref, x2_ref, th_ref, sel_ref, seed_ref, m_r
     if cfg.log_weights:
         selw = _sel_dot3(oh, th - _clamp_max(th))
     else:
-        lw = jnp.log(jnp.maximum(th, jnp.finfo(jnp.float32).tiny))
-        selw = _sel_dot3(oh, lw - _clamp_max(lw))
+        # zero weights must stay un-routable (the XLA fallback's safelog
+        # gives them -inf): floor them at -1e30, far below any legitimate
+        # shifted log-weight, instead of log(tiny) ~ -87 which a deep
+        # composite gap could overcome
+        lw = jnp.where(
+            th > 0, jnp.log(jnp.maximum(th, jnp.finfo(jnp.float32).tiny)), lo
+        )
+        selw = _sel_dot3(oh, jnp.maximum(lw - _clamp_max(lw), lo))
     scores = selw + _repeat_each3(x1, k2) + pltpu.repeat(x2, k1, axis=1)
     if cfg.sample:
         # Mosaic accepts at most two seed words: fold the grid position

@@ -390,3 +390,65 @@ def test_sampling_sum_product_semiring_uses_dense_path():
     for world, p in zip(map(tuple, worlds.tolist()), probs):
         assert abs(counts.get(world, 0) / n - p) < 0.02, (world, p)
     assert len(mixtures) >= 1
+
+
+def test_sample_selected_with_zero_probability_category():
+    """A zero-probability category in ANY unit must not corrupt other
+    units' draws through the one-hot selection matmul (0 * -inf = NaN;
+    regression: category 2's ~0.25 posterior was drawn at ~0.003)."""
+    import jax.numpy as jnp
+
+    from cirkit_tpu.backend.jax.layers import JaxCategoricalLayer
+    from cirkit_tpu.models import tabular_data
+
+    sc = tabular_data(
+        "random-binary-tree", num_features=2,
+        input_layers={"name": "categorical", "args": {"num_categories": 3}},
+        num_input_units=2, sum_product_layer="cp", num_sum_units=2,
+        em_ready=True,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True, seed=21)
+    cc = ctx.compile(sc)
+    store = dict(cc.restrict_store(ctx.parameters))
+    # zero out one category of one unit in every categorical leaf slot
+    for layer in cc.layers:
+        if isinstance(layer, JaxCategoricalLayer) and layer.probs is not None:
+            for node in layer.probs.topological_ordering():
+                slot = getattr(node, "slot", None)
+                if slot is not None and slot in store:
+                    p = np.array(store[slot])
+                    p[..., 0, 0] = 0.0
+                    p /= p.sum(axis=-1, keepdims=True)
+                    store[slot] = jnp.asarray(p)
+    # true marginals by enumeration
+    worlds = np.array([[a, b] for a in range(3) for b in range(3)], np.int64)
+    lw = np.asarray(cc.jit_evaluate(store, jnp.asarray(worlds)))[:, 0, 0]
+    p = np.exp(lw - np.logaddexp.reduce(lw))
+    n = 4000
+    samples, _ = SamplingQuery(cc)(n, key=jax.random.PRNGKey(3), store=store)
+    s = np.asarray(samples).astype(int)
+    freq = np.zeros(len(worlds))
+    for i, w in enumerate(worlds):
+        freq[i] = np.mean((s == w).all(axis=1))
+    assert not np.isnan(freq).any()
+    np.testing.assert_allclose(freq, p, atol=0.04)
+
+
+def test_conditional_sampling_accepts_rbg_key():
+    """A typed rbg key (4-word key data) is a legitimate key argument and
+    must not crash the 2-word tile conversion (regression)."""
+    sc = build_bivariate_categorical_pc(rng=np.random.default_rng(48))
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    worlds = enumerate_worlds(2, 3)
+    q = SamplingQuery(cc)
+    for key in (
+        jax.random.key(0, impl="rbg"),
+        jax.random.key(0, impl="threefry2x32"),
+        jax.random.PRNGKey(0),
+    ):
+        s, le = q.conditional(
+            worlds[:4], evidence_mask=np.ones((4, 2), dtype=bool),
+            key=key, store=ctx.parameters,
+        )
+        assert np.isfinite(np.asarray(le)).all()

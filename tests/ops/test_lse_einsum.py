@@ -680,3 +680,38 @@ def test_tropical_tucker2_matches_fallback(b, log_weights):
     comb = (x1[:, :, :, None] + x2[:, :, None, :]).reshape(f, b, k * k)
     want = jnp.max(lw[:, None, :, :] + comb[:, :, None, :], axis=3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_route_tucker2_max_with_neg_inf_child():
+    """A -inf child log-value (zero-probability observation) must not
+    poison the row: the kernel floors it before the bf16 splits and the
+    choice matches the oracle computed with true -inf."""
+    rng = np.random.default_rng(73)
+    f, b, k, o = 2, 8, 16, 16
+    x1 = _rand(rng, (f, b, k), scale=2.0, shift=-5.0)
+    x2 = _rand(rng, (f, b, k), scale=2.0, shift=-5.0)
+    x1 = x1.at[0, 3, 5].set(-jnp.inf)
+    x1 = x1.at[1, 0, :8].set(-jnp.inf)
+    th = _rand(rng, (f, o, k * k), scale=1.0, shift=0.0)
+    sel = jnp.asarray(rng.integers(0, o, size=(f, b)), jnp.int32)
+    got = L.route_tucker2(x1, x2, th, sel, kind="max", log_weights=True)
+    assert got is not None
+    want = _route_oracle(x1, x2, th, sel, True)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_route_tucker2_zero_linear_weights_unroutable():
+    """Zero linear weights must never win the routing (the XLA fallback's
+    safelog gives them -inf); log(tiny) ~ -87 would be overtaken by an
+    ~100-nat composite gap."""
+    f, b, k, o = 1, 8, 16, 8
+    x1 = jnp.full((f, b, k), -200.0, jnp.float32).at[:, :, 0].set(0.0)
+    x2 = jnp.full((f, b, k), -200.0, jnp.float32).at[:, :, 0].set(0.0)
+    th = jnp.zeros((f, o, k * k), jnp.float32)
+    # weight mass ONLY on composite (1,1), which has comb = -400; composite
+    # (0,0) has comb = 0 but zero weight — it must still never be chosen
+    th = th.at[:, :, k + 1].set(1.0)
+    sel = jnp.zeros((f, b), jnp.int32)
+    got = L.route_tucker2(x1, x2, th, sel, kind="max", log_weights=False)
+    assert got is not None
+    np.testing.assert_array_equal(np.asarray(got), np.full((f, b), k + 1))
