@@ -172,7 +172,7 @@ class SamplingQuery(Query):
             fn = _routing_jit(cc, "sample", 0, 0)
             x = jnp.zeros((num_samples, num_vars))
             mask = jnp.zeros((num_samples, num_vars), dtype=bool)
-            samples, _, mixtures = fn(store, x, mask, key)
+            samples, _, mixtures = fn(store, x, mask, key=key)
             return samples, list(mixtures)
 
         if num_samples not in self._jit_cache:
@@ -253,7 +253,7 @@ class SamplingQuery(Query):
         store = cc.restrict_store(store)
 
         fn = _routing_jit(cc, "sample", output, unit)
-        asg, vals, _ = fn(store, x, mask, key)  # (B, D), (O, B, K)
+        asg, vals, _ = fn(store, x, mask, key=key)  # (B, D), (O, B, K)
         return asg, vals[output, :, unit]
 
 
@@ -314,6 +314,7 @@ class MAPQuery(Query):
         x: jnp.ndarray | np.ndarray | None = None,
         *,
         evidence_mask: jnp.ndarray | np.ndarray | None = None,
+        marginalize_vars: jnp.ndarray | np.ndarray | Scope | Sequence[Scope] | None = None,
         store: Store | None = None,
         output: int = 0,
         unit: int = 0,
@@ -323,7 +324,20 @@ class MAPQuery(Query):
         ``evidence_mask`` — a (B, D)/(D,) boolean mask, a Scope, or a
         sequence of Scopes (like IntegrateQuery) — marks the *observed*
         entries of ``x`` and free variables are maximized per sample.
-        ``output``/``unit`` select the root head being maximized."""
+        ``output``/``unit`` select the root head being maximized.
+
+        ``marginalize_vars`` (same spec forms; runtime data — one jitted
+        program serves every split) makes this a **marginal MAP** query:
+        marginalized variables are summed out at their input layers while
+        the remaining free variables are maximized —
+        ``argmax_{x_max} sum_{x_marg} p(x_max, x_marg, x_obs)`` under the
+        circuit's max-product relaxation (exact when the maximized
+        variables' layers sit above the summed ones, the classic MMAP
+        tractability condition; a bound otherwise, like plain MPE on
+        non-selective circuits). Marginalized entries of the returned
+        assignment are 0. The reference cannot express this query at all
+        (and compiling an integrated circuit first does not help: its
+        constant layers have no MPE states)."""
         cc = self._circuit
         num_vars = max(cc.scope) + 1
         if x is None:
@@ -339,6 +353,14 @@ class MAPQuery(Query):
                 )
             x = jnp.asarray(x)
             mask = _evidence_to_mask(cc, evidence_mask, x.shape[0])
+        mg = _evidence_to_mask(cc, marginalize_vars, x.shape[0]) if (
+            marginalize_vars is not None
+        ) else jnp.zeros_like(mask)
+        if bool(jnp.any(mask & mg)):
+            raise ValueError(
+                "A variable cannot be both observed (evidence_mask) and "
+                "marginalized (marginalize_vars)"
+            )
         if store is None:
             store = getattr(cc, "default_store", None)
             if store is None:
@@ -346,7 +368,7 @@ class MAPQuery(Query):
         store = cc.restrict_store(store)
 
         fn = _routing_jit(cc, "max", output, unit)
-        asg, vals, _ = fn(store, x, mask)  # (B, D), (O, B, K)
+        asg, vals, _ = fn(store, x, mask, mg)  # (B, D), (O, B, K)
         return asg, vals[output, :, unit]
 
 
@@ -440,7 +462,7 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
     entries = cc._entries
     sum_style = (JaxSumLayer, JaxCPTLayer, JaxTuckerLayer, JaxTensorDotLayer)
 
-    def _run(st, xx, mk, key=None):
+    def _run(st, xx, mk, mg=None, key=None):
         bsz = xx.shape[0]
         if key is not None:
             # draw under the rbg PRNG: the categorical draws' random bits
@@ -485,17 +507,26 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
                 si = layer.scope_idx
                 xin = jnp.transpose(xx[:, si], (1, 0, 2))  # (F, B, 1)
                 obs_val = layer(st, xin)  # (F, B, K)
+                mgrow = None
                 if kind == "max":
                     free_val, free_arg = layer.mpe(st)  # (F, K)
+                    fv = free_val[:, None, :]
+                    if mg is not None:
+                        # marginal MAP: summed-out variables contribute
+                        # their integral instead of their mode
+                        mgrow = jnp.transpose(mg[:, si[:, 0]], (1, 0))  # (F, B)
+                        fv = jnp.where(
+                            mgrow[:, :, None],
+                            layer.integrate(st)[:, None, :],
+                            fv,
+                        )
                 else:
-                    free_val = layer.integrate(st)  # (F, K)
+                    fv = layer.integrate(st)[:, None, :]  # (F, 1, K)
                     free_arg = None  # states are drawn lazily at assembly
                 xi = xin[..., 0].astype(obs_val.dtype)  # (F, B)
                 mrow = jnp.transpose(mk[:, si[:, 0]], (1, 0))  # (F, B)
-                vals.append(
-                    jnp.where(mrow[:, :, None], obs_val, free_val[:, None, :])
-                )
-                recs.append(("input", xi, mrow, free_arg))
+                vals.append(jnp.where(mrow[:, :, None], obs_val, fv))
+                recs.append(("input", xi, mrow, free_arg, mgrow))
                 continue
 
             v = _gather_in(entry, vals)  # (F, H, B, K)
@@ -746,7 +777,7 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
         for e, rec in enumerate(recs):
             if rec[0] != "input":
                 continue
-            _, xi, mrow, free_arg = rec
+            _, xi, mrow, free_arg, mgrow = rec
             sel = sels[e]  # (F, B)
             active = sel >= 0
             safe = jnp.maximum(sel, 0)
@@ -756,6 +787,9 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
             # never the full (F, B, K) per-unit state block
             if kind == "max":
                 free = jnp.take_along_axis(free_arg.astype(dtype), safe, axis=1)
+                if mgrow is not None:
+                    # marginalized variables have no MPE state: leave 0
+                    free = jnp.where(mgrow, jnp.zeros((), dtype), free)
             else:
                 free = layer.sample_selected(st, all_keys[nk + e], safe).astype(dtype)
             picked = jnp.where(mrow, xi, free)  # (F, B)

@@ -381,3 +381,74 @@ def test_map_route_kernel_matches_xla_path(monkeypatch):
     asg_x, val_x = run(False)
     np.testing.assert_array_equal(np.asarray(asg_k), np.asarray(asg_x))
     np.testing.assert_allclose(np.asarray(val_k), np.asarray(val_x), rtol=1e-5)
+
+
+def test_marginal_map_matches_enumeration():
+    """marginalize_vars: argmax over the free variables of the circuit's
+    max-product value with the marginalized leaves summed out — must match
+    exhaustive enumeration with the marginal-MAP oracle, per sample."""
+    sc = build_multivariate_categorical_pc(num_variables=4, rng=np.random.default_rng(62))
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    query = MAPQuery(cc)
+    from cirkit_tpu.utils import Scope
+
+    from tests.reference_eval import enumerate_worlds
+
+    # observe var 0, marginalize var 2, maximize vars {1, 3}
+    x = np.zeros((2, 4), dtype=np.int64)
+    x[:, 0] = [0, 1]
+    obs = np.zeros((2, 4), dtype=bool)
+    obs[:, 0] = True
+    asg, val = query(
+        x, evidence_mask=obs, marginalize_vars=Scope([2]), store=ctx.parameters
+    )
+    worlds = enumerate_worlds(4, 2)
+    mvals = max_eval_circuit(sc, worlds, marginalized={2}, num_states=2)[:, 0, 0]
+    for b in range(2):
+        keep = (worlds[:, 0] == x[b, 0]) & (worlds[:, 2] == 0)  # var2 dummy-pinned
+        cand = np.where(keep)[0]
+        best = cand[np.argmax(mvals[cand])]
+        want = worlds[best].astype(float)
+        want[2] = 0.0  # marginalized entries return 0
+        np.testing.assert_array_equal(np.asarray(asg[b]), want)
+        np.testing.assert_allclose(float(val[b]), np.log(mvals[best]), rtol=1e-9)
+
+    # all-marginalized free set degenerates to IntegrateQuery... of the
+    # max-product circuit; sanity: no overlap allowed
+    with pytest.raises(ValueError, match="both observed"):
+        query(x, evidence_mask=obs, marginalize_vars=Scope([0]), store=ctx.parameters)
+
+
+def test_marginal_map_runs_through_optimized_tucker(monkeypatch):
+    """MMAP through the fused tropical/routing kernels (interpret mode)
+    equals the XLA path."""
+    from cirkit_tpu.models import image_data
+
+    sc = image_data(
+        (1, 4, 4), "quad-tree-2", input_layer="categorical",
+        num_input_units=8, sum_product_layer="tucker", num_sum_units=8,
+    )
+    rng = np.random.default_rng(63)
+    x = jnp.asarray(rng.integers(0, 256, size=(5, 16)), jnp.int32)
+    obs = rng.random((5, 16)) < 0.3
+    marg = (~obs) & (rng.random((5, 16)) < 0.4)
+
+    def run(force):
+        if force:
+            monkeypatch.setenv("CIRKIT_TPU_FORCE_PALLAS", "1")
+        else:
+            monkeypatch.delenv("CIRKIT_TPU_FORCE_PALLAS", raising=False)
+        ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=True, seed=8)
+        cc = ctx.compile(sc)
+        return MAPQuery(cc)(
+            x, evidence_mask=jnp.asarray(obs), marginalize_vars=jnp.asarray(marg),
+            store=ctx.parameters,
+        )
+
+    asg_k, val_k = run(True)
+    asg_x, val_x = run(False)
+    np.testing.assert_array_equal(np.asarray(asg_k), np.asarray(asg_x))
+    np.testing.assert_allclose(np.asarray(val_k), np.asarray(val_x), rtol=1e-5)
+    # marginalized entries come back as 0
+    assert (np.asarray(asg_k)[marg] == 0).all()

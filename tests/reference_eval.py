@@ -230,15 +230,30 @@ def partition_function(sc: sym_circuit.Circuit, num_states: int) -> np.ndarray:
     return eval_circuit(sc, worlds).sum(axis=0)
 
 
-def max_eval_circuit(sc: sym_circuit.Circuit, x: np.ndarray) -> np.ndarray:
+def max_eval_circuit(
+    sc: sym_circuit.Circuit,
+    x: np.ndarray,
+    *,
+    marginalized: set[int] | None = None,
+    num_states: int | None = None,
+) -> np.ndarray:
     """Best-parse (max-product) values on (B, D) assignments -> (B, O, K):
     sum layers take the max over their weighted inputs instead of summing.
-    The ground truth for MAPQuery (max over worlds of this = the MPE)."""
+    The ground truth for MAPQuery (max over worlds of this = the MPE).
+
+    With ``marginalized`` (a set of variable ids, requires ``num_states``),
+    those variables' input layers contribute their exhaustive state sum
+    instead of a point evaluation — the marginal-MAP oracle."""
     values: dict[sym_layers.Layer, np.ndarray] = {}
     for sl in sc.topological_ordering():
         if isinstance(sl, sym_layers.InputLayer):
             cols = sorted(sl.scope)
-            values[sl] = eval_input_layer(sl, x[:, cols] if cols else x[:, :0])
+            if marginalized and cols and cols[0] in marginalized:
+                states = np.arange(num_states, dtype=np.int64)[:, None]
+                tot = eval_input_layer(sl, states).sum(axis=0, keepdims=True)
+                values[sl] = np.broadcast_to(tot, (x.shape[0], tot.shape[1]))
+            else:
+                values[sl] = eval_input_layer(sl, x[:, cols] if cols else x[:, :0])
             continue
         ins = [values[i] for i in sc.layer_inputs(sl)]
         if isinstance(sl, sym_layers.HadamardLayer):
