@@ -74,6 +74,16 @@ def main() -> None:
     wmc = np.exp(np.asarray(ctx.integrate(wcc)(ctx.parameters, worlds[:1]))[0, 0, 0])
     print(f"weighted model count: {wmc:.6f}")
 
+    # logic circuits compile deterministic, so MAPQuery is exact: the
+    # highest-weight satisfying assignment (weighted MaxSAT by compilation)
+    from cirkit_tpu.backend.jax.queries import MAPQuery
+
+    asg, logw = MAPQuery(wcc)(store=ctx.parameters)
+    print(
+        f"most probable model: {np.asarray(asg[0]).astype(int).tolist()} "
+        f"(weight {np.exp(float(logw[0])):.6f})"
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -247,3 +247,32 @@ def test_sdd_malformed_raises(tmp_path):
     path.write_text("D 0 1 2 1 2\n", encoding="utf-8")
     with pytest.raises(ValueError, match="malformed"):
         SDD.load(str(path))
+
+
+def test_most_probable_model_via_map_query():
+    """Logic circuits compile deterministic (each world activates one
+    parse), so MAPQuery is EXACT: it returns the highest-weight satisfying
+    assignment — weighted MaxSAT by circuit compilation."""
+    from cirkit_tpu.backend.jax.queries import MAPQuery
+
+    rng = np.random.default_rng(43)
+    weights = rng.uniform(0.1, 1.0, size=(3, 2))
+    lc = _formula_graph()
+    sc = lc.build_circuit(
+        literal_input_factory=_weighted_literal_factory(weights, negated=False),
+        negated_literal_input_factory=_weighted_literal_factory(weights, negated=True),
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    asg, val = MAPQuery(cc)(store=ctx.parameters)
+    worlds = _worlds(3)
+    sat = [w for w in worlds if _truth(w)]
+    want = max(sat, key=lambda w: np.prod([weights[v, w[v]] for v in range(3)]))
+    np.testing.assert_array_equal(np.asarray(asg[0]).astype(int), want)
+    np.testing.assert_allclose(
+        float(val[0]),
+        np.log(np.prod([weights[v, want[v]] for v in range(3)])),
+        rtol=1e-6,
+    )
+    # ... and the returned world satisfies the formula
+    assert _truth(np.asarray(asg[0]).astype(int))
