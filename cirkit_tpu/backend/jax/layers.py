@@ -432,12 +432,16 @@ class JaxCategoricalLayer(JaxExpFamilyLayer):
 
     def sample_selected(self, store, key, sel):
         logits = self._log_probs(store)  # (F, K, C)
-        # clamp -inf (zero-probability categories) before the one-hot
-        # selection matmul: 0 * -inf = NaN would corrupt every unit's row
-        # (same hazard the forward clamps at _log_probs' call site)
-        logits = jnp.maximum(logits, jnp.finfo(logits.dtype).min)
+        # floor -inf (zero-probability categories) at -1e30, NOT finfo.min:
+        # the one-hot selection matmul's bf16 operand conversion on TPU
+        # rounds |finfo(f32).min| back to -inf (RTNE overflow) and the
+        # 0 * -inf = NaN corruption survives; HIGHEST precision keeps the
+        # selected logits exact (a bf16 pass would perturb the draw)
+        logits = jnp.maximum(logits, jnp.float32(-1e30).astype(logits.dtype))
         oh = jax.nn.one_hot(sel, self.num_output_units, dtype=logits.dtype)
-        lsel = jnp.einsum("fbk,fkc->fbc", oh, logits)  # (F, B, C)
+        lsel = jnp.einsum(
+            "fbk,fkc->fbc", oh, logits, precision=jax.lax.Precision.HIGHEST
+        )  # (F, B, C)
         return jax.random.categorical(key, lsel, axis=-1)
 
     def mpe(self, store):

@@ -353,14 +353,19 @@ class MAPQuery(Query):
                 )
             x = jnp.asarray(x)
             mask = _evidence_to_mask(cc, evidence_mask, x.shape[0])
-        mg = _evidence_to_mask(cc, marginalize_vars, x.shape[0]) if (
-            marginalize_vars is not None
-        ) else jnp.zeros_like(mask)
-        if bool(jnp.any(mask & mg)):
-            raise ValueError(
-                "A variable cannot be both observed (evidence_mask) and "
-                "marginalized (marginalize_vars)"
-            )
+        # mg stays None on the plain-MAP path: the traced program then
+        # contains no marginalization ops at all, and the overlap check
+        # (a host numpy check — no eager device programs, per CLAUDE.md's
+        # no-data-dependent-Python rule for evaluation paths) only runs
+        # when a marginal-MAP split is actually requested
+        mg = None
+        if marginalize_vars is not None:
+            mg = _evidence_to_mask(cc, marginalize_vars, x.shape[0])
+            if (np.asarray(mask) & np.asarray(mg)).any():
+                raise ValueError(
+                    "A variable cannot be both observed (evidence_mask) and "
+                    "marginalized (marginalize_vars)"
+                )
         if store is None:
             store = getattr(cc, "default_store", None)
             if store is None:
@@ -695,15 +700,17 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
                 # output unit o = q*Kk + k: select the w row by k and the
                 # in column by q, both via exact one-hot contractions
                 q, kout = safe // kk, safe % kk
-                # clamp -inf child values before the one-hot selection
-                # einsum (0 * -inf = NaN would poison finite columns)
-                vv = jnp.maximum(
-                    v[:, 0].reshape(f, b, kj, kq), jnp.finfo(dt).min
-                )
+                # floor -inf child values at -1e30 before the one-hot
+                # selection einsum: 0 * -inf = NaN would poison finite
+                # columns, and |finfo.min| overflows back to -inf under the
+                # TPU's default bf16 operand conversion; HIGHEST keeps the
+                # selected values exact
+                hp = jax.lax.Precision.HIGHEST
+                vv = jnp.maximum(v[:, 0].reshape(f, b, kj, kq), jnp.asarray(-1e30, dt))
                 oh_k = jax.nn.one_hot(kout, kk, dtype=dt) * active[..., None]
                 oh_q = jax.nn.one_hot(q, kq, dtype=dt)
-                selw = jnp.einsum("fbk,fkj->fbj", oh_k, w)
-                selv = jnp.einsum("fbjq,fbq->fbj", vv, oh_q)
+                selw = jnp.einsum("fbk,fkj->fbj", oh_k, w, precision=hp)
+                selv = jnp.einsum("fbjq,fbq->fbj", vv, oh_q, precision=hp)
                 scores = safelog(selw) + selv
                 j = _choose_m(scores, active, lk)
                 draws[e] = jnp.where(active, j, neg)
@@ -711,6 +718,7 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
                 continue
 
             tag, h, k = rec
+            hp = jax.lax.Precision.HIGHEST
             if tag == "tucker" and h == 2:
                 # fused in-VMEM routing choice (see ops/lse_einsum.py):
                 # softmax-parameterized weights route on their raw logits
@@ -741,7 +749,9 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
                     continue
             oh = jax.nn.one_hot(safe, layer.num_output_units, dtype=dt)
             oh = oh * active[..., None]  # (F, B, O)
-            selw = jnp.einsum("fbo,fom->fbm", oh, w)  # (F, B, M)
+            # HIGHEST: the default bf16 pass would round the selected
+            # weights (and turn any -inf to NaN via 0 * -inf on TPU)
+            selw = jnp.einsum("fbo,fom->fbm", oh, w, precision=hp)  # (F, B, M)
             if tag == "tucker":
                 comb = _tucker_comb(v)  # (F, B, K^H)
             elif tag == "cpt":
@@ -795,7 +805,10 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
             picked = jnp.where(mrow, xi, free)  # (F, B)
             w = jnp.where(active, picked, jnp.zeros((), dtype))
             onehot = jax.nn.one_hot(layer.scope_idx[:, 0], num_vars, dtype=dtype)
-            out_asg = out_asg + jnp.einsum("fb,fd->bd", w, onehot)
+            # HIGHEST: the scatter must not round continuous states to bf16
+            out_asg = out_asg + jnp.einsum(
+                "fb,fd->bd", w, onehot, precision=jax.lax.Precision.HIGHEST
+            )
         out_asg = jnp.where(mk, xx.astype(dtype), out_asg)
         return out_asg, root_vals, tuple(mixtures)
 

@@ -930,7 +930,9 @@ def _route_kernel(cfg: _RouteCfg, x1_ref, x2_ref, th_ref, sel_ref, seed_ref, m_r
         == sel.astype(jnp.int32)
     ).astype(jnp.bfloat16)
     if cfg.log_weights:
-        selw = _sel_dot3(oh, th - _clamp_max(th))
+        # -inf logits (explicit zero mixture weights) would NaN the split
+        # residual exactly like -inf child values: same floor
+        selw = _sel_dot3(oh, jnp.maximum(th - _clamp_max(th), lo))
     else:
         # zero weights must stay un-routable (the XLA fallback's safelog
         # gives them -inf): floor them at -1e30, far below any legitimate

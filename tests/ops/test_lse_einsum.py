@@ -715,3 +715,19 @@ def test_route_tucker2_zero_linear_weights_unroutable():
     got = L.route_tucker2(x1, x2, th, sel, kind="max", log_weights=False)
     assert got is not None
     np.testing.assert_array_equal(np.asarray(got), np.full((f, b), k + 1))
+
+
+def test_route_tucker2_max_with_neg_inf_logits():
+    """-inf logits (explicit zero mixture weights) must not NaN the split:
+    the kernel floors them like -inf child values (regression)."""
+    rng = np.random.default_rng(74)
+    f, b, k, o = 2, 8, 16, 16
+    x1 = _rand(rng, (f, b, k), scale=2.0, shift=-5.0)
+    x2 = _rand(rng, (f, b, k), scale=2.0, shift=-5.0)
+    th = _rand(rng, (f, o, k * k), scale=1.0, shift=0.0)
+    th = th.at[0, 5, 7].set(-jnp.inf).at[1, :, 100].set(-jnp.inf)
+    sel = jnp.asarray(rng.integers(0, o, size=(f, b)), jnp.int32)
+    got = L.route_tucker2(x1, x2, th, sel, kind="max", log_weights=True)
+    assert got is not None
+    want = _route_oracle(x1, x2, th, sel, True)
+    np.testing.assert_array_equal(np.asarray(got), want)

@@ -248,7 +248,14 @@ def max_eval_circuit(
     for sl in sc.topological_ordering():
         if isinstance(sl, sym_layers.InputLayer):
             cols = sorted(sl.scope)
-            if marginalized and cols and cols[0] in marginalized:
+            if marginalized and cols and set(cols) & marginalized:
+                # the states-sum path handles univariate layers fully
+                # inside the marginalized set; partial overlap would
+                # silently mis-marginalize
+                assert set(cols) <= marginalized and len(cols) == 1, (
+                    f"oracle supports only univariate fully-marginalized "
+                    f"leaves, got scope {cols} vs marginalized {marginalized}"
+                )
                 states = np.arange(num_states, dtype=np.int64)[:, None]
                 tot = eval_input_layer(sl, states).sum(axis=0, keepdims=True)
                 values[sl] = np.broadcast_to(tot, (x.shape[0], tot.shape[1]))
