@@ -26,6 +26,35 @@ class Query(ABC):
     """A query object over a compiled circuit."""
 
 
+def masked_evaluate(
+    cc: JaxCircuit, store: Store, x: jnp.ndarray, mask: jnp.ndarray
+) -> jnp.ndarray:
+    """(B, O, K) log-likelihoods with the ``mask``-ed (True) variables
+    marginalized out — the :class:`IntegrateQuery` evaluation as a plain
+    trace-time function, composable inside training losses (missing-data
+    MLE/EM) and custom jitted programs. ``mask`` is a (B, D) boolean
+    array; entries of ``x`` under the mask are ignored (their input layers
+    contribute their integral)."""
+
+    def layer_fn(layer: JaxLayer, s, xin):
+        out = layer(s, xin)
+        if not isinstance(layer, JaxInputLayer) or layer.num_variables == 0:
+            return out
+        if layer.num_variables > 1:
+            raise NotImplementedError(
+                "Integration of multivariate input layers is not supported"
+            )
+        # mask gathered at the layer's scope: (B, F, 1) -> (F, B, 1)
+        m = jnp.transpose(mask[:, layer.scope_idx[:, 0]], (1, 0))[:, :, None]
+        return jax.tree_util.tree_map(
+            lambda iz, o: jnp.where(m, iz[:, None, :], o),
+            layer.integrate(s),
+            out,
+        )
+
+    return cc.evaluate(store, x, module_fn=layer_fn)
+
+
 class IntegrateQuery(Query):
     """Per-sample marginalization without recompiling: input-layer steps
     select between the layer's output and its integral with a (B, D) boolean
@@ -83,26 +112,9 @@ class IntegrateQuery(Query):
         # (2-7 s per program on the remote-compile TPU backend).
         fn = getattr(cc, "_integrate_jit", None)
         if fn is None:
-            def _run(st, xx, mk):
-                def layer_fn(layer: JaxLayer, s, xin):
-                    out = layer(s, xin)
-                    if not isinstance(layer, JaxInputLayer) or layer.num_variables == 0:
-                        return out
-                    if layer.num_variables > 1:
-                        raise NotImplementedError(
-                            "Integration of multivariate input layers is not supported"
-                        )
-                    # mask gathered at the layer's scope: (B, F, 1) -> (F, B, 1)
-                    m = jnp.transpose(mk[:, layer.scope_idx[:, 0]], (1, 0))[:, :, None]
-                    return jax.tree_util.tree_map(
-                        lambda iz, o: jnp.where(m, iz[:, None, :], o),
-                        layer.integrate(s),
-                        out,
-                    )
-
-                return cc.evaluate(st, xx, module_fn=layer_fn)
-
-            fn = jax.jit(_run)
+            fn = jax.jit(
+                lambda st, xx, mk: masked_evaluate(cc, st, xx, mk)
+            )
             cc._integrate_jit = fn
         return fn(store, jnp.asarray(x), mask)
 

@@ -182,6 +182,7 @@ def em_programs(
     strict: bool = False,
     mesh: "jax.sharding.Mesh | None" = None,
     axis: str = "data",
+    missing: bool = False,
 ):
     """The jitted E-step/M-step program pair behind :func:`fit_em`, for
     custom training loops and benchmarks.
@@ -197,6 +198,15 @@ def em_programs(
     ``weights`` is a per-sample (B,) weight vector (1.0 = count the sample;
     use 0.0 to mask padding rows). The flow accumulators are donated: treat
     ``acc``/``acc_ll`` as consumed by each ``flow_step`` call.
+
+    With ``missing=True``, ``flow_step`` takes a trailing (B, D) boolean
+    mask of missing entries and computes flows of the **marginal**
+    likelihood — which IS textbook EM for missing-at-random data: a missing
+    entry's input layer contributes its integral, whose parameter gradients
+    are exactly the E-step's expected sufficient statistics (categorical
+    probs get ``r * p_c`` expected counts; Gaussian/Binomial moments pull
+    toward the current parameters with responsibility weight r). Full-batch
+    monotonicity holds for the marginal likelihood.
     """
     store = dict(circuit.restrict_store(store))
     slots = em_slots(circuit)
@@ -247,14 +257,29 @@ def em_programs(
         for i, layer in off_layers
     }
 
-    def _module_fn(layer, st, xin):
-        out = layer(st, xin)
-        name = layer_to_off.get(id(layer))
-        if name is not None:
-            out = out + st[name]
-        return out
+    from cirkit_tpu.backend.jax.layers import JaxInputLayer
 
-    def _flow_step(em_p, g_p, acc, acc_ll, batch, weights):
+    def _make_module_fn(miss):
+        """Per-layer override: optional missing-entry marginalization (the
+        masked-integrate select) composed with the EM offset injection."""
+
+        def fn(layer, st, xin):
+            out = layer(st, xin)
+            if (
+                miss is not None
+                and isinstance(layer, JaxInputLayer)
+                and layer.num_variables == 1
+            ):
+                m = jnp.transpose(miss[:, layer.scope_idx[:, 0]], (1, 0))[:, :, None]
+                out = jnp.where(m, layer.integrate(st)[:, None, :], out)
+            name = layer_to_off.get(id(layer))
+            if name is not None:
+                out = out + st[name]
+            return out
+
+        return fn
+
+    def _flow_step(em_p, g_p, acc, acc_ll, batch, weights, miss=None):
         """One E-step batch, accumulation fused into the jitted program (no
         eager op chains through remote-dispatch tunnels)."""
 
@@ -262,7 +287,13 @@ def em_programs(
             p, gp, off = p_all
             st = {**p, **gp, **off, **frozen}
             ll = circuit.evaluate(
-                st, batch, module_fn=_module_fn if off_layers else None
+                st,
+                batch,
+                module_fn=(
+                    _make_module_fn(miss)
+                    if (off_layers or miss is not None)
+                    else None
+                ),
             )
             per_sample = jnp.sum(ll.reshape(ll.shape[0], -1), axis=1)
             return jnp.sum(per_sample * weights)
@@ -276,16 +307,25 @@ def em_programs(
         acc_o = jax.tree_util.tree_map(jnp.add, acc_o, g_off)
         return (flows, acc_g, acc_o), acc_ll + ll
 
+    if not missing:
+        _fs = lambda em_p, g_p, acc, acc_ll, batch, weights: _flow_step(  # noqa: E731
+            em_p, g_p, acc, acc_ll, batch, weights
+        )
+    else:
+        _fs = _flow_step
     if mesh is None:
-        flow_step = jax.jit(_flow_step, donate_argnums=(2, 3))
+        flow_step = jax.jit(_fs, donate_argnums=(2, 3))
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
         shard = NamedSharding(mesh, P(axis))
+        in_sh = (repl, repl, repl, repl, shard, shard)
+        if missing:
+            in_sh = in_sh + (shard,)
         flow_step = jax.jit(
-            _flow_step,
-            in_shardings=(repl, repl, repl, repl, shard, shard),
+            _fs,
+            in_shardings=in_sh,
             out_shardings=(repl, repl),
             donate_argnums=(2, 3),
         )
@@ -374,6 +414,7 @@ def fit_em(
     key: jax.Array | None = None,
     mesh: "jax.sharding.Mesh | None" = None,
     axis: str = "data",
+    missing: str | float | int | None = None,
 ) -> tuple[Store, list[float]]:
     """Train a circuit by (mini-batch) EM.
 
@@ -400,6 +441,13 @@ def fit_em(
     EM-eligible leaf parameterizations. When the circuit has input leaves
     but none are EM-updatable, a warning is emitted (sum weights still
     train); pass ``strict=True`` to raise instead.
+
+    ``missing`` enables EM over incomplete data: pass ``"nan"`` (float
+    data) or a sentinel value (e.g. ``-1`` for categorical data). Missing
+    entries are marginalized per sample, and the flows of the marginal
+    likelihood are exactly the E-step's expected sufficient statistics
+    (see :func:`em_programs`) — textbook missing-at-random EM, monotone in
+    the marginal likelihood, no imputation.
 
     With a ``mesh``, the batch shards over the ``axis`` and parameters/flow
     accumulators replicate: the flows are gradients, so XLA inserts the
@@ -437,9 +485,20 @@ def fit_em(
             data = data.astype(np.int32)
         elif data.dtype == np.float64:
             data = data.astype(np.float32)
+    if missing == "nan":
+        if not np.issubdtype(data.dtype, np.floating):
+            raise ValueError('missing="nan" requires floating-point data')
+        miss_all = np.isnan(data)
+        data = np.nan_to_num(data, nan=0.0)
+    elif missing is not None:
+        miss_all = data == missing
+        data = np.where(miss_all, np.zeros((), data.dtype), data)
+    else:
+        miss_all = None
 
     flow_step, em_update, state = em_programs(
-        circuit, store, pseudocount=pseudocount, strict=strict, mesh=mesh, axis=axis
+        circuit, store, pseudocount=pseudocount, strict=strict, mesh=mesh, axis=axis,
+        missing=miss_all is not None,
     )
     em_params, gauss_params = state["em_params"], state["gauss_params"]
     store, _zero_acc = state["store"], state["zero_acc"]
@@ -467,13 +526,19 @@ def fit_em(
                 weights[len(idx) :] = 0.0
                 idx = np.concatenate([idx, np.zeros(batch_size - len(idx), idx.dtype)])
             batch, w = jnp.asarray(data[idx]), jnp.asarray(weights)
+            miss = jnp.asarray(miss_all[idx]) if miss_all is not None else None
             if mesh is not None:
                 from cirkit_tpu.parallel.training import shard_batch
 
                 batch, w = shard_batch(batch, mesh, axis), shard_batch(w, mesh, axis)
+                if miss is not None:
+                    miss = shard_batch(miss, mesh, axis)
             if update_every == "batch":
                 acc = _zero_acc()
-            acc, acc_ll = flow_step(em_params, gauss_params, acc, acc_ll, batch, w)
+            fs_args = (em_params, gauss_params, acc, acc_ll, batch, w)
+            if miss is not None:
+                fs_args = fs_args + (miss,)
+            acc, acc_ll = flow_step(*fs_args)
             if update_every == "batch":
                 em_params, gauss_params = em_update(
                     em_params, gauss_params, acc, _step_size()

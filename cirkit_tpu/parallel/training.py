@@ -80,6 +80,7 @@ def data_parallel_step(
     loss_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
     weighted: bool = False,
     zero1: bool = False,
+    marginalize_missing: bool = False,
 ) -> Callable:
     """Build a jitted data-parallel training step.
 
@@ -93,6 +94,14 @@ def data_parallel_step(
     :func:`fit` trains a zero-padded final partial batch with exact math
     while keeping shapes (and therefore the compiled program) static.
 
+    With ``marginalize_missing=True`` the step takes a (B, D) boolean mask
+    of MISSING entries (after the weights when ``weighted``) and the loss
+    becomes the **marginal** negative log-likelihood: masked variables are
+    summed out at their input layers (the IntegrateQuery evaluation inside
+    the loss), so incomplete rows train on exactly their observed margin —
+    principled missing-data MLE, per sample, with no imputation and no
+    recompilation across missingness patterns.
+
     With ``zero1=True`` (requires a mesh) the optimizer state and its update
     computation are sharded over the mesh ``axis`` (ZeRO-1): gradients are
     reduce-scattered onto per-device slices, each device updates 1/N of the
@@ -105,9 +114,17 @@ def data_parallel_step(
 
     if weighted and loss_fn is not None:
         raise ValueError("weighted=True supports only the default NLL loss")
+    if marginalize_missing and loss_fn is not None:
+        raise ValueError("marginalize_missing=True supports only the default NLL loss")
 
-    def _loss(trainable: Store, frozen: Store, batch, weights) -> jnp.ndarray:
-        ll = circuit.evaluate({**trainable, **frozen}, batch)
+    def _loss(trainable: Store, frozen: Store, batch, weights, missing) -> jnp.ndarray:
+        store = {**trainable, **frozen}
+        if missing is None:
+            ll = circuit.evaluate(store, batch)
+        else:
+            from cirkit_tpu.backend.jax.queries import masked_evaluate
+
+            ll = masked_evaluate(circuit, store, batch, missing)
         if loss_fn is not None:
             return loss_fn(ll)
         if weights is None:
@@ -115,8 +132,10 @@ def data_parallel_step(
         per_sample = jnp.mean(ll.reshape(ll.shape[0], -1), axis=1)
         return -jnp.sum(per_sample * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 
-    def _step(trainable: Store, frozen: Store, opt_state, batch, weights=None):
-        loss, grads = jax.value_and_grad(_loss)(trainable, frozen, batch, weights)
+    def _step(trainable: Store, frozen: Store, opt_state, batch, weights=None, missing=None):
+        loss, grads = jax.value_and_grad(_loss)(
+            trainable, frozen, batch, weights, missing
+        )
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss
@@ -133,8 +152,10 @@ def data_parallel_step(
                 return NamedSharding(mesh, P(axis))
             return replicated
 
-        def _step_zero(trainable, frozen, opt_state, batch, weights=None):
-            loss, grads = jax.value_and_grad(_loss)(trainable, frozen, batch, weights)
+        def _step_zero(trainable, frozen, opt_state, batch, weights=None, missing=None):
+            loss, grads = jax.value_and_grad(_loss)(
+                trainable, frozen, batch, weights, missing
+            )
             # reduce-scatter the gradients onto the ZeRO shards ...
             grads = jax.tree_util.tree_map(
                 lambda g: jax.lax.with_sharding_constraint(g, _gspec(g)), grads
@@ -149,8 +170,12 @@ def data_parallel_step(
 
         _step = _step_zero
 
-    if weighted:
+    if weighted and marginalize_missing:
+        step = lambda tr, fr, st, b, w, m: _step(tr, fr, st, b, w, m)
+    elif weighted:
         step = lambda tr, fr, st, b, w: _step(tr, fr, st, b, w)
+    elif marginalize_missing:
+        step = lambda tr, fr, st, b, m: _step(tr, fr, st, b, None, m)
     else:
         step = lambda tr, fr, st, b: _step(tr, fr, st, b)
 
@@ -166,6 +191,8 @@ def data_parallel_step(
     batch_sharded = NamedSharding(mesh, P(axis))
     in_sh = (replicated, replicated, replicated, batch_sharded)
     if weighted:
+        in_sh = in_sh + (batch_sharded,)
+    if marginalize_missing:
         in_sh = in_sh + (batch_sharded,)
     return jax.jit(
         step,
@@ -247,6 +274,7 @@ def fit(
     key: jax.Array | None = None,
     shuffle: bool = True,
     callback: Callable[[int, int, float], Any] | None = None,
+    missing: str | float | int | None = None,
 ) -> tuple[Store, list[float]]:
     """Maximum-likelihood training of a compiled circuit.
 
@@ -256,6 +284,14 @@ def fit(
     batch is zero-padded to the batch size and trained with per-sample
     weights, so every sample contributes exactly once per epoch while the
     compiled step keeps a single static shape.
+
+    ``missing`` enables principled **missing-data MLE**: pass ``"nan"``
+    (float data; NaN entries are missing) or a sentinel value (e.g. ``-1``
+    for categorical data). Missing entries are marginalized out of each
+    sample's likelihood at its input layers — no imputation — and the
+    missingness pattern is a per-batch runtime mask, so one compiled step
+    serves every pattern. Losses are then mean *marginal* NLLs (their
+    scale shrinks with the number of observed entries).
     """
     if optimizer is None:
         optimizer = optax.adam(1e-2)
@@ -291,7 +327,20 @@ def fit(
     # weight it like a trailing one instead of silently training zero steps.
     remainder = len(data) % batch_size
     weighted = remainder != 0
-    step = data_parallel_step(circuit, optimizer, mesh=mesh, axis=axis, weighted=weighted)
+    if missing == "nan":
+        if not np.issubdtype(data.dtype, np.floating):
+            raise ValueError('missing="nan" requires floating-point data')
+        miss_all = np.isnan(data)
+        data = np.nan_to_num(data, nan=0.0)
+    elif missing is not None:
+        miss_all = data == missing
+        data = np.where(miss_all, np.zeros((), data.dtype), data)
+    else:
+        miss_all = None
+    step = data_parallel_step(
+        circuit, optimizer, mesh=mesh, axis=axis, weighted=weighted,
+        marginalize_missing=miss_all is not None,
+    )
     ones = np.ones(batch_size, dtype=np.float32)
 
     # Note a measured anti-pattern: keeping the dataset resident in HBM and
@@ -319,17 +368,20 @@ def fit(
                     idx = np.concatenate(
                         [idx, np.zeros(batch_size - len(idx), idx.dtype)]
                     )
-                yield epoch, data[idx], (weights if weighted else None)
+                miss = miss_all[idx] if miss_all is not None else None
+                yield epoch, data[idx], (weights if weighted else None), miss
 
     def to_device(item):
-        epoch, batch, weights = item
+        epoch, batch, weights, miss = item
         if mesh is not None:
             batch = shard_batch(batch, mesh, axis)
             wdev = shard_batch(weights, mesh, axis) if weighted else None
+            mdev = shard_batch(miss, mesh, axis) if miss is not None else None
         else:
             batch = jnp.asarray(batch)
             wdev = jnp.asarray(weights) if weighted else None
-        return epoch, batch, wdev
+            mdev = jnp.asarray(miss) if miss is not None else None
+        return epoch, batch, wdev, mdev
 
     num_batches = -(-len(data) // batch_size) if weighted else len(data) // batch_size
     # One-batch prefetch: device_put is asynchronous, so issuing batch i+1's
@@ -345,13 +397,15 @@ def fit(
     pending = to_device(pending) if pending is not None else None
     step_idx = 0
     while pending is not None:
-        epoch, batch, wdev = pending
+        epoch, batch, wdev, mdev = pending
         nxt = next(it, None)
         pending = to_device(nxt) if nxt is not None else None
+        args = (batch,)
         if weighted:
-            trainable, opt_state, loss = step(trainable, frozen, opt_state, batch, wdev)
-        else:
-            trainable, opt_state, loss = step(trainable, frozen, opt_state, batch)
+            args = args + (wdev,)
+        if mdev is not None:
+            args = args + (mdev,)
+        trainable, opt_state, loss = step(trainable, frozen, opt_state, *args)
         if callback is not None:
             loss = float(loss)
             losses.append(loss)

@@ -526,3 +526,116 @@ def test_heterogeneous_tabular_em_all_leaf_families():
     store, losses = fit_em(cc, x, store=ctx.parameters, num_epochs=5, batch_size=300)
     assert all(b <= a + 1e-9 for a, b in zip(losses, losses[1:])), losses
     assert losses[-1] < losses[0] - 0.2, losses
+
+
+def test_em_missing_one_step_matches_closed_form():
+    """EM over incomplete data: missing rows contribute prior-weighted
+    expected statistics. One step on a 1-D GMM with NaN rows must equal
+    the textbook missing-data EM update."""
+    from scipy.stats import norm
+
+    rng = np.random.default_rng(80)
+    sc = _gmm_circuit(1, 2, rng)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    from cirkit_tpu.parallel.em import gaussian_em_layers
+
+    (_, _, mean_slot, std_slot) = gaussian_em_layers(cc)[0]
+    (wslot,) = em_slots(cc)
+    store0 = dict(ctx.parameters)
+    mu0 = np.asarray(store0[mean_slot]).reshape(-1)
+    sd0 = np.asarray(store0[std_slot]).reshape(-1)
+    w0 = np.asarray(store0[wslot]).reshape(-1)
+
+    x = np.random.default_rng(81).normal(size=(48, 1)) * 1.5
+    x[5::7, 0] = np.nan  # MCAR missing rows
+    store, _ = fit_em(
+        cc, x.astype(np.float32), store=store0, num_epochs=1, batch_size=48,
+        pseudocount=0.0, missing="nan",
+    )
+
+    obs = ~np.isnan(x[:, 0])
+    xo = x[obs, 0].astype(np.float32)
+    m_rows = int((~obs).sum())
+    like = np.stack([norm.pdf(xo, mu0[k], sd0[k]) for k in range(2)])
+    post = (w0[:, None] * like) / (w0[:, None] * like).sum(0, keepdims=True)
+    s0 = post.sum(1) + m_rows * w0  # missing rows: prior responsibilities
+    w_want = s0 / s0.sum()
+    mu_want = ((post * xo).sum(1) + m_rows * w0 * mu0) / s0
+    var_want = (
+        (post * (xo - mu_want[:, None]) ** 2).sum(1)
+        + m_rows * w0 * (sd0**2 + (mu0 - mu_want) ** 2)
+    ) / s0
+
+    np.testing.assert_allclose(np.asarray(store[wslot]).reshape(-1), w_want, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(store[mean_slot]).reshape(-1), mu_want, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(store[std_slot]).reshape(-1), np.sqrt(var_want), rtol=1e-5
+    )
+
+
+def test_em_missing_monotone_on_entrywise_missing():
+    """Entry-wise (not row-wise) missingness across a 3-variable circuit:
+    EM on the marginal likelihood stays monotone and fits."""
+    rng = np.random.default_rng(82)
+    sc = _gmm_circuit(3, 3, rng)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    data_rng = np.random.default_rng(83)
+    centers = data_rng.normal(scale=3.0, size=(3, 3))
+    x = centers[data_rng.integers(0, 3, 256)] + data_rng.normal(scale=0.3, size=(256, 3))
+    x = x.astype(np.float32)
+    x[data_rng.random(x.shape) < 0.3] = np.nan
+    store, losses = fit_em(
+        cc, x, store=dict(ctx.parameters), num_epochs=6, batch_size=256, missing="nan"
+    )
+    assert all(b <= a + 1e-6 for a, b in zip(losses, losses[1:])), losses
+    assert losses[-1] < losses[0] - 0.3, losses
+
+
+def test_fit_missing_first_loss_matches_integrate_query():
+    """fit(missing=...): the marginal NLL the step optimizes must equal the
+    IntegrateQuery marginal under the same parameters (lr=0 probe)."""
+    import jax.numpy as jnp
+    import optax
+
+    from cirkit_tpu.backend.jax.queries import IntegrateQuery
+    from cirkit_tpu.parallel import fit
+
+    rng = np.random.default_rng(84)
+    sc = _gmm_circuit(2, 3, rng)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    x = np.random.default_rng(85).normal(size=(32, 2)).astype(np.float32)
+    miss = np.random.default_rng(86).random(x.shape) < 0.4
+    xm = np.where(miss, np.nan, x).astype(np.float32)
+    _, losses = fit(
+        cc, xm, store=dict(ctx.parameters), num_epochs=1, batch_size=32,
+        optimizer=optax.sgd(0.0), missing="nan",
+    )
+    ll = IntegrateQuery(cc)(
+        jnp.asarray(np.nan_to_num(xm)), integrate_vars=jnp.asarray(miss),
+        store=ctx.parameters,
+    )
+    want = -float(jnp.mean(ll))
+    np.testing.assert_allclose(losses[0], want, rtol=1e-6)
+
+
+def test_fit_missing_sentinel_categorical_improves():
+    """Sentinel-coded missing categorical entries (-1) train on their
+    observed margins and improve the marginal NLL."""
+    import optax
+
+    from cirkit_tpu.parallel import fit
+
+    ctx = PipelineContext(semiring="lse-sum", fold=True, seed=3)
+    cc = _em_ready_image_circuit(ctx)
+    rng = np.random.default_rng(87)
+    base = rng.integers(0, 256, size=(4, 16))
+    data = np.clip(base[rng.integers(0, 4, 512)] + rng.integers(-8, 9, (512, 16)), 0, 255)
+    data = np.where(rng.random(data.shape) < 0.25, -1, data).astype(np.int32)
+    _, losses = fit(
+        cc, data, store=dict(ctx.parameters), num_epochs=4, batch_size=256,
+        optimizer=optax.adam(5e-2), missing=-1,
+    )
+    assert losses[-1] < losses[0] - 1.0, (losses[0], losses[-1])
