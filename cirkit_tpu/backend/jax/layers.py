@@ -307,6 +307,12 @@ class JaxInputLayer(JaxLayer, ABC):
         extension; the reference has no MAP/MPE query."""
         raise TypeError(f"MPE is not supported for {type(self).__name__}")
 
+    def mean_state(self, store: Store) -> jnp.ndarray:
+        """Per-unit expected state E[x | unit] of the encoded distribution:
+        (F, K). Drives posterior-expectation queries (soft imputation) —
+        an extension; not every input layer is a distribution."""
+        raise TypeError(f"Expected states are not defined for {type(self).__name__}")
+
     def sample_selected(self, store: Store, key, sel: jnp.ndarray) -> jnp.ndarray:
         """One draw per (fold, sample) from the SELECTED unit only: ``sel``
         is an (F, B) unit-index array; returns (F, B) states.
@@ -429,6 +435,11 @@ class JaxCategoricalLayer(JaxExpFamilyLayer):
             key, jnp.broadcast_to(logits, (num_samples, *logits.shape)), axis=-1
         )  # (N, F, K)
         return jnp.transpose(samples, (1, 2, 0))
+
+    def mean_state(self, store):
+        p = jax.nn.softmax(self._log_probs(store), axis=2)  # (F, K, C)
+        states = jnp.arange(p.shape[2], dtype=p.dtype)
+        return jnp.einsum("fkc,c->fk", p, states, precision=jax.lax.Precision.HIGHEST)
 
     def sample_selected(self, store, key, sel):
         logits = self._log_probs(store)  # (F, K, C)
@@ -569,6 +580,9 @@ class JaxBinomialLayer(JaxExpFamilyLayer):
         u = jax.random.uniform(key, (self.total_count, *psel.shape), dtype=p.dtype)
         return (u < psel[None]).sum(axis=0).astype(p.dtype)
 
+    def mean_state(self, store):
+        return self.total_count * jax.nn.sigmoid(self._logits(store))  # (F, K)
+
     def mpe(self, store):
         logits = self._logits(store)  # (F, K)
         n = self.total_count
@@ -640,6 +654,9 @@ class JaxGaussianLayer(JaxExpFamilyLayer):
         mean = jnp.take_along_axis(self.mean(store), sel, axis=1)  # (F, B)
         stddev = jnp.take_along_axis(self.stddev(store), sel, axis=1)
         return mean + stddev * jax.random.normal(key, mean.shape, dtype=mean.dtype)
+
+    def mean_state(self, store):
+        return self.mean(store)  # (F, K)
 
     def mpe(self, store):
         mean = self.mean(store)  # (F, K)

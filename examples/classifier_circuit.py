@@ -192,6 +192,20 @@ def main() -> None:
     print(f"MAP inpainting of the 50% missing pixels under the predicted "
           f"class head: mean abs error {err:.1f}/255")
 
+    # soft imputation: posterior EXPECTED pixels (one backward pass, exact)
+    # typically beat the MAP point estimate in mean absolute error
+    from cirkit_tpu.backend.jax.queries import ExpectationQuery
+
+    eq = ExpectationQuery(circuit)
+    soft_heads = [
+        np.asarray(eq(xe, evidence_mask=mask, store=stores[lam], unit=h))
+        for h in range(NUM_CLASSES)
+    ]
+    soft = np.stack(soft_heads)[pred, np.arange(n)]
+    err_soft = np.abs(soft[~mask] - x_te[:n][~mask]).mean()
+    print(f"posterior-mean inpainting (ExpectationQuery): "
+          f"mean abs error {err_soft:.1f}/255")
+
     # optional figure (PLOTS=1): original / evidence / MAP completion grid
     try:
         from examples._plots import enabled, save_image_grid
@@ -207,9 +221,10 @@ def main() -> None:
                 "original": shown,
                 "evidence": evidence,
                 "MAP": np.asarray(completed, dtype=float),
+                "E[x]": np.asarray(soft, dtype=float),
             },
             side,
-            title="MAP inpainting: completing 50% missing pixels",
+            title="Inpainting 50% missing pixels: MAP vs posterior mean",
         )
 
 

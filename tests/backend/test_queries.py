@@ -452,3 +452,88 @@ def test_conditional_sampling_accepts_rbg_key():
             key=key, store=ctx.parameters,
         )
         assert np.isfinite(np.asarray(le)).all()
+
+
+def test_expectation_query_matches_enumeration():
+    """E[x_v | x_obs] by one backward pass must equal the exhaustive
+    posterior expectation over consistent worlds."""
+    from cirkit_tpu.backend.jax.queries import ExpectationQuery
+
+    sc = build_multivariate_categorical_pc(num_variables=4, rng=np.random.default_rng(90))
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    q = ExpectationQuery(cc)
+    x = np.zeros((2, 4), dtype=np.int64)
+    x[:, 0] = [0, 1]
+    mask = np.zeros((2, 4), dtype=bool)
+    mask[:, 0] = True
+    got = np.asarray(q(x, evidence_mask=mask, store=ctx.parameters))
+
+    worlds = enumerate_worlds(4, 2)
+    p = eval_circuit(sc, worlds)[:, 0, 0]
+    for b in range(2):
+        keep = worlds[:, 0] == x[b, 0]
+        pw = p[keep] / p[keep].sum()
+        want = (pw[:, None] * worlds[keep]).sum(axis=0)
+        want[0] = x[b, 0]
+        np.testing.assert_allclose(got[b], want, rtol=1e-6, atol=1e-9)
+
+
+def test_expectation_query_gaussian_posterior_mean():
+    """1-D GMM: the posterior mean given NO evidence is the prior mixture
+    mean; given a second correlated variable it matches the closed form."""
+    from scipy.stats import norm
+
+    from cirkit_tpu.backend.jax.queries import ExpectationQuery
+    from cirkit_tpu.symbolic import Circuit, GaussianLayer, HadamardLayer, SumLayer
+    from tests.fixtures import const_param
+
+    rng = np.random.default_rng(91)
+    k = 3
+    mus = rng.normal(scale=2.0, size=(2, k))
+    sds = rng.uniform(0.5, 1.2, size=(2, k))
+    leaves = [
+        GaussianLayer(Scope([v]), k, mean=const_param(mus[v]), stddev=const_param(sds[v]))
+        for v in range(2)
+    ]
+    prod = HadamardLayer(k, arity=2)
+    w = rng.dirichlet(np.ones(k))
+    root = SumLayer(k, 1, weight=const_param(w[None]))
+    sc = Circuit(leaves + [prod, root], {prod: leaves, root: [prod]}, [root])
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    q = ExpectationQuery(cc)
+
+    x = np.array([[0.7, 0.0], [-1.5, 0.0]], dtype=np.float64)
+    mask = np.array([[True, False]] * 2)
+    got = np.asarray(q(x, evidence_mask=mask, store=ctx.parameters))
+    for b in range(2):
+        like = np.array([norm.pdf(x[b, 0], mus[0, c], sds[0, c]) for c in range(k)])
+        r = w * like / (w * like).sum()
+        want1 = (r * mus[1]).sum()
+        np.testing.assert_allclose(got[b, 1], want1, rtol=1e-6)
+        np.testing.assert_allclose(got[b, 0], x[b, 0], rtol=1e-12)
+
+
+def test_expectation_query_on_optimized_image_circuit():
+    """Soft imputation runs through fused Tucker circuits and respects the
+    evidence; free entries land inside the state range."""
+    import jax.numpy as jnp
+
+    from cirkit_tpu.backend.jax.queries import ExpectationQuery
+    from cirkit_tpu.models import image_data
+
+    sc = image_data(
+        (1, 4, 4), "quad-tree-2", input_layer="categorical",
+        num_input_units=8, sum_product_layer="tucker", num_sum_units=8,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=True, seed=14)
+    cc = ctx.compile(sc)
+    rng = np.random.default_rng(92)
+    x = jnp.asarray(rng.integers(0, 256, size=(5, 16)), jnp.int32)
+    mask = rng.random((5, 16)) < 0.5
+    got = np.asarray(ExpectationQuery(cc)(x, evidence_mask=jnp.asarray(mask),
+                                          store=ctx.parameters))
+    assert np.array_equal(got[mask], np.asarray(x)[mask])
+    free = got[~mask]
+    assert np.isfinite(free).all() and (free >= 0).all() and (free <= 255).all()
