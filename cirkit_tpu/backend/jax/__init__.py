@@ -1,6 +1,12 @@
 from cirkit_tpu.backend.jax.circuit import JaxCircuit
 from cirkit_tpu.backend.jax.compiler import JaxCompiler
-from cirkit_tpu.backend.jax.queries import IntegrateQuery, MAPQuery, Query, SamplingQuery
+from cirkit_tpu.backend.jax.queries import (
+    ExpectationQuery,
+    IntegrateQuery,
+    MAPQuery,
+    Query,
+    SamplingQuery,
+)
 from cirkit_tpu.backend.jax.serving import bf16_weight_store, weight_slots
 from cirkit_tpu.backend.jax.semiring import (
     ComplexLSESumSemiring,
@@ -18,6 +24,7 @@ __all__ = [
     "Semiring",
     "SemiringImpl",
     "SumProductSemiring",
+    "ExpectationQuery",
     "IntegrateQuery",
     "MAPQuery",
     "bf16_weight_store",
