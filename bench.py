@@ -197,7 +197,12 @@ def bench_queries(sum_product: str, num_units: int, batch: int, iters: int):
     import jax
     import jax.numpy as jnp
 
-    from cirkit_tpu.backend.jax.queries import IntegrateQuery, MAPQuery, SamplingQuery
+    from cirkit_tpu.backend.jax.queries import (
+        ExpectationQuery,
+        IntegrateQuery,
+        MAPQuery,
+        SamplingQuery,
+    )
     from cirkit_tpu.models import image_data
     from cirkit_tpu.pipeline import PipelineContext
 
@@ -242,6 +247,10 @@ def bench_queries(sum_product: str, num_units: int, batch: int, iters: int):
     sq = SamplingQuery(cc)
     out["sample_query_ms"] = round(
         time_it(lambda: sq(batch, key=key, store=store)[0], 3), 1
+    )
+    eq = ExpectationQuery(cc)
+    out["expectation_query_ms"] = round(
+        time_it(lambda: eq(x, evidence_mask=mask, store=store), max(iters // 5, 3)), 2
     )
     return out
 

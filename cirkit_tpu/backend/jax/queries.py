@@ -26,6 +26,28 @@ class Query(ABC):
     """A query object over a compiled circuit."""
 
 
+def masked_leaf_select(layer: JaxLayer, store: Store, out, mask: jnp.ndarray):
+    """``where(mask-at-scope, integral, out)`` for an input layer — THE
+    masked-integrate select, shared by every marginalization consumer
+    (IntegrateQuery / missing-data losses / EM / expectations) so the
+    multivariate policy lives in one place. ``mask`` is (B, D) with True =
+    marginalize this variable. Non-input (and empty-scope) layers pass
+    through; multivariate input layers raise."""
+    if not isinstance(layer, JaxInputLayer) or layer.num_variables == 0:
+        return out
+    if layer.num_variables > 1:
+        raise NotImplementedError(
+            "Integration of multivariate input layers is not supported"
+        )
+    # mask gathered at the layer's scope: (B, F, 1) -> (F, B, 1)
+    m = jnp.transpose(mask[:, layer.scope_idx[:, 0]], (1, 0))[:, :, None]
+    return jax.tree_util.tree_map(
+        lambda iz, o: jnp.where(m, iz[:, None, :], o),
+        layer.integrate(store),
+        out,
+    )
+
+
 def masked_evaluate(
     cc: JaxCircuit, store: Store, x: jnp.ndarray, mask: jnp.ndarray
 ) -> jnp.ndarray:
@@ -37,20 +59,7 @@ def masked_evaluate(
     contribute their integral)."""
 
     def layer_fn(layer: JaxLayer, s, xin):
-        out = layer(s, xin)
-        if not isinstance(layer, JaxInputLayer) or layer.num_variables == 0:
-            return out
-        if layer.num_variables > 1:
-            raise NotImplementedError(
-                "Integration of multivariate input layers is not supported"
-            )
-        # mask gathered at the layer's scope: (B, F, 1) -> (F, B, 1)
-        m = jnp.transpose(mask[:, layer.scope_idx[:, 0]], (1, 0))[:, :, None]
-        return jax.tree_util.tree_map(
-            lambda iz, o: jnp.where(m, iz[:, None, :], o),
-            layer.integrate(s),
-            out,
-        )
+        return masked_leaf_select(layer, s, layer(s, xin), mask)
 
     return cc.evaluate(store, x, module_fn=layer_fn)
 
@@ -313,6 +322,12 @@ class ExpectationQuery(Query):
         cc = self._circuit
         x = jnp.asarray(x)
         mask = _evidence_to_mask(cc, evidence_mask, x.shape[0])
+        num_vars = max(cc.scope) + 1
+        if mask.shape[1] != num_vars:
+            raise ValueError(
+                f"The circuit scope has {num_vars} variables, but the mask "
+                f"covers {mask.shape[1]}"
+            )
         if store is None:
             store = getattr(cc, "default_store", None)
             if store is None:

@@ -201,12 +201,15 @@ def em_programs(
 
     With ``missing=True``, ``flow_step`` takes a trailing (B, D) boolean
     mask of missing entries and computes flows of the **marginal**
-    likelihood — which IS textbook EM for missing-at-random data: a missing
-    entry's input layer contributes its integral, whose parameter gradients
-    are exactly the E-step's expected sufficient statistics (categorical
-    probs get ``r * p_c`` expected counts; Gaussian/Binomial moments pull
-    toward the current parameters with responsibility weight r). Full-batch
-    monotonicity holds for the marginal likelihood.
+    likelihood — exact EM for missing-at-random data, run directly on the
+    marginal model: a missing entry's input layer contributes its integral,
+    so Gaussian/Binomial sufficient statistics impute the current moments
+    with responsibility weight r (matching the classic closed forms), while
+    a normalized categorical leaf contributes a constant — its update uses
+    the observed entries only (the marginal likelihood is independent of a
+    missing entry's leaf), and rows with no evidence at all keep their
+    current distribution. Full-batch monotonicity holds for the marginal
+    likelihood.
     """
     store = dict(circuit.restrict_store(store))
     slots = em_slots(circuit)
@@ -257,21 +260,16 @@ def em_programs(
         for i, layer in off_layers
     }
 
-    from cirkit_tpu.backend.jax.layers import JaxInputLayer
-
     def _make_module_fn(miss):
         """Per-layer override: optional missing-entry marginalization (the
-        masked-integrate select) composed with the EM offset injection."""
+        shared masked-integrate select; multivariate layers raise, like
+        fit's loss) composed with the EM offset injection."""
+        from cirkit_tpu.backend.jax.queries import masked_leaf_select
 
         def fn(layer, st, xin):
             out = layer(st, xin)
-            if (
-                miss is not None
-                and isinstance(layer, JaxInputLayer)
-                and layer.num_variables == 1
-            ):
-                m = jnp.transpose(miss[:, layer.scope_idx[:, 0]], (1, 0))[:, :, None]
-                out = jnp.where(m, layer.integrate(st)[:, None, :], out)
+            if miss is not None:
+                out = masked_leaf_select(layer, st, out, miss)
             name = layer_to_off.get(id(layer))
             if name is not None:
                 out = out + st[name]
@@ -335,8 +333,13 @@ def em_programs(
         flows, acc_g, acc_o = acc
 
         def upd(p, f):
-            f = f + pseudocount
-            target = f / jnp.sum(f, axis=-1, keepdims=True)
+            # rows with ~zero total flow carry no evidence (dead units, or a
+            # fully-missing variable under missing-data EM): keep the current
+            # distribution instead of resetting to the pseudocount uniform
+            tot = jnp.sum(f, axis=-1, keepdims=True)
+            k = f.shape[-1]
+            target = (f + pseudocount) / (tot + k * pseudocount)
+            target = jnp.where(tot > 1e-6, target, p)
             return (1.0 - step_size) * p + step_size * target
 
         new_em = jax.tree_util.tree_map(upd, em_p, flows)
@@ -443,11 +446,11 @@ def fit_em(
     train); pass ``strict=True`` to raise instead.
 
     ``missing`` enables EM over incomplete data: pass ``"nan"`` (float
-    data) or a sentinel value (e.g. ``-1`` for categorical data). Missing
-    entries are marginalized per sample, and the flows of the marginal
-    likelihood are exactly the E-step's expected sufficient statistics
-    (see :func:`em_programs`) — textbook missing-at-random EM, monotone in
-    the marginal likelihood, no imputation.
+    data; a NaN float value is accepted too) or a sentinel value (e.g.
+    ``-1`` for categorical data). Missing entries are marginalized per
+    sample and the E-step runs on the marginal likelihood — exact
+    missing-at-random EM, monotone, no imputation (semantics per leaf
+    family in :func:`em_programs`).
 
     With a ``mesh``, the batch shards over the ``axis`` and parameters/flow
     accumulators replicate: the flows are gradients, so XLA inserts the
@@ -485,6 +488,8 @@ def fit_em(
             data = data.astype(np.int32)
         elif data.dtype == np.float64:
             data = data.astype(np.float32)
+    if isinstance(missing, float) and np.isnan(missing):
+        missing = "nan"  # accept the float spelling of NaN
     if missing == "nan":
         if not np.issubdtype(data.dtype, np.floating):
             raise ValueError('missing="nan" requires floating-point data')

@@ -327,6 +327,8 @@ def fit(
     # weight it like a trailing one instead of silently training zero steps.
     remainder = len(data) % batch_size
     weighted = remainder != 0
+    if isinstance(missing, float) and np.isnan(missing):
+        missing = "nan"  # accept the float spelling of NaN
     if missing == "nan":
         if not np.issubdtype(data.dtype, np.floating):
             raise ValueError('missing="nan" requires floating-point data')
@@ -348,7 +350,7 @@ def fit(
     # per step through the remote tunnel, while asynchronously *queued* host
     # transfers of the batch cost ~3 ms — plain device_put wins.
     def host_batches():
-        """Yield (epoch, host batch, host weights or None)."""
+        """Yield (epoch, host batch, host weights or None, host missing mask or None)."""
         nonlocal key
         for epoch in range(num_epochs):
             if shuffle:

@@ -537,3 +537,15 @@ def test_expectation_query_on_optimized_image_circuit():
     assert np.array_equal(got[mask], np.asarray(x)[mask])
     free = got[~mask]
     assert np.isfinite(free).all() and (free >= 0).all() and (free <= 255).all()
+
+
+def test_expectation_query_rejects_wrong_mask_width():
+    from cirkit_tpu.backend.jax.queries import ExpectationQuery
+
+    sc = build_bivariate_categorical_pc(rng=np.random.default_rng(93))
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    q = ExpectationQuery(cc)
+    x = np.zeros((2, 2), dtype=np.int64)
+    with pytest.raises(ValueError, match="variables"):
+        q(x, evidence_mask=np.zeros((2, 5), dtype=bool), store=ctx.parameters)

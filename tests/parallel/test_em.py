@@ -639,3 +639,61 @@ def test_fit_missing_sentinel_categorical_improves():
         optimizer=optax.adam(5e-2), missing=-1,
     )
     assert losses[-1] < losses[0] - 1.0, (losses[0], losses[-1])
+
+
+def test_em_missing_fully_missing_variable_keeps_leaf():
+    """A variable missing in EVERY row carries no evidence: its categorical
+    leaf must keep its current distribution (regression: zero flows used to
+    renormalize to the pseudocount uniform, or NaN at pseudocount=0)."""
+    ctx = PipelineContext(semiring="lse-sum", fold=True, seed=61)
+    cc = _em_ready_image_circuit(ctx)
+    rng = np.random.default_rng(62)
+    data = rng.integers(0, 256, size=(128, 16)).astype(np.int32)
+    data[:, 5] = -1  # variable 5 always missing
+    store0 = dict(ctx.parameters)
+    store, losses = fit_em(
+        cc, data, store=store0, num_epochs=2, batch_size=128,
+        missing=-1, pseudocount=0.0,
+    )
+    assert all(np.isfinite(l) for l in losses), losses
+    for k in store:
+        assert np.isfinite(np.asarray(store[k])).all(), k
+    # the leaf distributions of variable 5 are untouched; find them via the
+    # layer whose scope contains 5
+    from cirkit_tpu.backend.jax.layers import JaxCategoricalLayer
+    from cirkit_tpu.parallel.em import _flow_slot
+
+    hit = 0
+    for layer in cc.layers:
+        if not isinstance(layer, JaxCategoricalLayer) or layer.probs is None:
+            continue
+        slot = _flow_slot(layer.probs)
+        rows = np.where(layer.scope_idx[:, 0] == 5)[0]
+        if slot is None or len(rows) == 0:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(store[slot])[rows], np.asarray(store0[slot])[rows],
+            rtol=1e-6,
+        )
+        hit += 1
+    assert hit > 0
+
+
+def test_missing_accepts_float_nan_sentinel():
+    """missing=np.nan (the float spelling) must behave exactly like the
+    string form (regression: the equality sentinel path silently produced
+    an all-False mask and NaN losses)."""
+    rng = np.random.default_rng(63)
+    sc = _gmm_circuit(2, 2, rng)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    x = np.random.default_rng(64).normal(size=(32, 2)).astype(np.float32)
+    x[::4, 0] = np.nan
+    a, la = fit_em(cc, x, store=dict(ctx.parameters), num_epochs=2,
+                   batch_size=32, missing="nan")
+    b, lb = fit_em(cc, x, store=dict(ctx.parameters), num_epochs=2,
+                   batch_size=32, missing=np.nan)
+    np.testing.assert_allclose(la, lb, rtol=1e-9)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]), rtol=1e-9)
+    assert all(np.isfinite(l) for l in la), la
