@@ -128,3 +128,69 @@ def test_multiclass_circuit_outputs_normalized():
     want = eval_circuit(sc, worlds)[:, 0, :]  # (W, 3)
     np.testing.assert_allclose(out[:, 0, :], want, rtol=1e-9)
     np.testing.assert_allclose(out[:, 0, :].sum(axis=0), 1.0, rtol=1e-9)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_circuit_query_consistency(seed):
+    """Query fuzz over the same random topologies: MAP vs the exhaustive
+    max-product oracle, conditional-sampling log-evidence vs IntegrateQuery,
+    expectations vs the enumerated posterior — all on the folded+optimized
+    compile (kernel-path routing under CIRKIT_TPU_FORCE_PALLAS runs in the
+    dedicated kernel tests; here the XLA formulations are the target)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cirkit_tpu.backend.jax.queries import (
+        ExpectationQuery,
+        IntegrateQuery,
+        MAPQuery,
+        SamplingQuery,
+    )
+    from tests.reference_eval import enumerate_worlds, max_eval_circuit
+
+    sc = _random_circuit(seed)
+    ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=True)
+    cc = ctx.compile(sc)
+    store = ctx.parameters
+    d = sc.num_variables
+    worlds = enumerate_worlds(d, NUM_CATS)
+    p = eval_circuit(sc, worlds)[:, 0, 0]
+    mvals = max_eval_circuit(sc, worlds)[:, 0, 0]
+    rng = np.random.default_rng(1000 + seed)
+
+    # unconditional MAP == argmax of the max-product oracle
+    asg, val = MAPQuery(cc)(store=store)
+    best = int(np.argmax(mvals))
+    np.testing.assert_array_equal(np.asarray(asg[0]).astype(int), worlds[best])
+    np.testing.assert_allclose(float(val[0]), np.log(mvals[best]), rtol=1e-6)
+
+    # random evidence rows: conditional log-evidence == enumerated marginal,
+    # completions respect evidence; expectations == enumerated posterior mean
+    x = worlds[rng.integers(0, len(worlds), size=4)]
+    mask = rng.random((4, d)) < 0.5
+    s, le = SamplingQuery(cc).conditional(
+        jnp.asarray(x), evidence_mask=jnp.asarray(mask),
+        key=jax.random.PRNGKey(seed), store=store,
+    )
+    marg = IntegrateQuery(cc)(jnp.asarray(x), integrate_vars=jnp.asarray(~mask), store=store)
+    np.testing.assert_allclose(
+        np.asarray(le), np.asarray(marg)[:, 0, 0], rtol=1e-5, atol=1e-8
+    )
+    assert np.array_equal(np.asarray(s)[mask], x[mask])
+
+    exp = np.asarray(ExpectationQuery(cc)(jnp.asarray(x), evidence_mask=jnp.asarray(mask), store=store))
+    for b in range(4):
+        keep = (worlds[:, mask[b]] == x[b, mask[b]][None]).all(axis=1)
+        pw = p[keep] / p[keep].sum()
+        want = (pw[:, None] * worlds[keep]).sum(axis=0)
+        want[mask[b]] = x[b, mask[b]]
+        np.testing.assert_allclose(exp[b], want, rtol=1e-5, atol=1e-8)
+
+    # conditional MAP == restricted enumeration
+    casg, cval = MAPQuery(cc)(jnp.asarray(x), evidence_mask=jnp.asarray(mask), store=store)
+    for b in range(4):
+        keep = (worlds[:, mask[b]] == x[b, mask[b]][None]).all(axis=1)
+        cand = np.where(keep)[0]
+        cbest = cand[np.argmax(mvals[cand])]
+        np.testing.assert_array_equal(np.asarray(casg[b]).astype(int), worlds[cbest])
+        np.testing.assert_allclose(float(cval[b]), np.log(mvals[cbest]), rtol=1e-6)
