@@ -462,18 +462,28 @@ def _dispatch(xs, w, *, softmax: bool, tucker: bool, interpret: bool | None):
     if o < 8:
         return None
     # shrink the batch tile until the VMEM working set fits (large batches
-    # must never fall off the fused path)
+    # must never fall off the fused path). The estimate must count the
+    # weight's bf16 split temporaries (hi+lo ~ o*i f32-equivalent words)
+    # and the softmax's f32 copy: in the weight-dominant regime (wide
+    # Tucker composites, e.g. K=128 -> i=16K) omitting them accepted
+    # shapes Mosaic then rejected with a scoped-vmem stack OOM at compile
+    # time instead of falling back to the blocked kernel. Checked against
+    # the true ~16 MB scoped limit (with margin) rather than the
+    # conservative tile budget, so the flagship keeps its tile size.
+    limit = 14 * 1024 * 1024
     bt = min(256, _round_up(b, 8))
     while True:
-        work = bt * (o + sum(x.shape[2] for x in xs)) + (o + 1) * i
+        work = bt * (o + sum(x.shape[2] for x in xs)) + (2 * o + 1) * i
+        if softmax:
+            work += o * i
         if tucker:
             work += (3 * bt + xs[0].shape[2]) * i
         else:
             work += 2 * bt * i
-        if 4 * work <= _VMEM_BUDGET or bt <= 8:
+        if 4 * work <= limit or bt <= 8:
             break
         bt = max(8, bt // 2)
-    if 4 * work > _VMEM_BUDGET:
+    if 4 * work > limit:
         return None
     interpret = _interpret_default() if interpret is None else interpret
     bp = _round_up(b, bt)

@@ -731,3 +731,23 @@ def test_route_tucker2_max_with_neg_inf_logits():
     assert got is not None
     want = _route_oracle(x1, x2, th, sel, True)
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_wide_tucker_routes_to_blocked_kernel():
+    """K=128 Tucker (i = 16384): the fused kernel's true VMEM footprint is
+    weight-dominant and exceeds the scoped limit — dispatch must reject it
+    (regression: it was accepted and Mosaic OOM'd at compile time on TPU)
+    and the composite + blocked-matmul path must produce correct values."""
+    rng = np.random.default_rng(75)
+    f, b, k, o = 2, 16, 128, 128
+    x1 = _rand(rng, (f, b, k))
+    x2 = _rand(rng, (f, b, k))
+    w = _weights(rng, (f, o, k * k))
+    # the unblocked fused path must decline this shape
+    x12 = (x1[:, :, :, None] + x2[:, :, None, :]).reshape(f, b, k * k)
+    assert L._dispatch((x12,), w, softmax=False, tucker=False, interpret=True) is None
+    assert L._dispatch((x1, x2), w, softmax=False, tucker=True, interpret=True) is None
+    # ... and the public entry still computes correctly (blocked kernel)
+    out = L.lse_tucker2(x1, x2, w)
+    ref = _fallback_tucker(x1, x2, w)
+    np.testing.assert_allclose(out, ref, rtol=RTOL, atol=ATOL)
