@@ -70,6 +70,20 @@ from jax.experimental.pallas import tpu as pltpu
 # A conservative VMEM budget (bytes) for the working set of one grid step
 # (input tiles + weight tile + output tile, double-buffered by pallas).
 _VMEM_BUDGET = 10 * 1024 * 1024
+# The scoped-VMEM cap is ~16 MB; weight tiles and their in-kernel
+# temporaries (bf16 hi/lo splits, softmax's f32 copy) are resident per
+# grid cell regardless of the batch tile, so dispatchers bound that
+# residency separately (with margin) before any tile-size shrinking.
+_VMEM_W_RESIDENT_LIMIT = 12 * 1024 * 1024
+
+
+def _w_resident_ok(o: int, i: int, *, softmax: bool = False, split_terms: float = 1.0) -> bool:
+    """True when a (o, i) weight tile plus its in-kernel temporaries fits
+    the per-grid-cell residency bound: the f32 tile (o*i words), its bf16
+    splits (~``split_terms`` * o*i f32-equivalent words), and the f32
+    softmax copy when ``softmax``."""
+    words = (1.0 + split_terms + (1.0 if softmax else 0.0)) * o * i
+    return 4.0 * words <= _VMEM_W_RESIDENT_LIMIT
 
 
 def fallback_precision() -> jax.lax.Precision:
@@ -461,29 +475,32 @@ def _dispatch(xs, w, *, softmax: bool, tucker: bool, interpret: bool | None):
     # o < 8: Mosaic's bf16 path cannot lower sub-sublane output widths.
     if o < 8:
         return None
+    # Hard guard on the batch-tile-INDEPENDENT weight residency: the kernel
+    # keeps the weight tile plus its bf16 split temporaries (and the
+    # softmax's f32 copy) resident per grid cell, which no tile shrinking
+    # can reduce. In the weight-dominant regime (wide Tucker composites,
+    # e.g. K=128 -> i=16K) the old estimate omitted the split temporaries
+    # and Mosaic failed the compile with a scoped-vmem stack OOM instead of
+    # reaching the blocked fallback.
+    if not _w_resident_ok(o, i, softmax=softmax):
+        return None
     # shrink the batch tile until the VMEM working set fits (large batches
-    # must never fall off the fused path). The estimate must count the
-    # weight's bf16 split temporaries (hi+lo ~ o*i f32-equivalent words)
-    # and the softmax's f32 copy: in the weight-dominant regime (wide
-    # Tucker composites, e.g. K=128 -> i=16K) omitting them accepted
-    # shapes Mosaic then rejected with a scoped-vmem stack OOM at compile
-    # time instead of falling back to the blocked kernel. Checked against
-    # the true ~16 MB scoped limit (with margin) rather than the
-    # conservative tile budget, so the flagship keeps its tile size.
-    limit = 14 * 1024 * 1024
+    # must never fall off the fused path). This loop keeps the original,
+    # empirically-calibrated budget: it slightly under-counts temporaries
+    # that Mosaic overlaps, and the flagship's forward AND backward are
+    # proven to compile at the tile sizes it picks — do not "improve" it
+    # with paper-accurate terms without re-proving those tiles on hardware.
     bt = min(256, _round_up(b, 8))
     while True:
-        work = bt * (o + sum(x.shape[2] for x in xs)) + (2 * o + 1) * i
-        if softmax:
-            work += o * i
+        work = bt * (o + sum(x.shape[2] for x in xs)) + (o + 1) * i
         if tucker:
             work += (3 * bt + xs[0].shape[2]) * i
         else:
             work += 2 * bt * i
-        if 4 * work <= limit or bt <= 8:
+        if 4 * work <= _VMEM_BUDGET or bt <= 8:
             break
         bt = max(8, bt // 2)
-    if 4 * work > limit:
+    if 4 * work > _VMEM_BUDGET:
         return None
     interpret = _interpret_default() if interpret is None else interpret
     bp = _round_up(b, bt)
@@ -609,9 +626,11 @@ def _blocked_bwd_call(cfg: _BCfg, x, w, out, m, g):
             _vspec((1, cfg.bt, cfg.ic), lambda fi, ici, bi: (fi, bi, ici)),
             _vspec((1, o, cfg.ic), lambda fi, ici, bi: (fi, 0, ici)),
         ],
+        # dL/dw accumulates across batch tiles in f32 even for a
+        # bf16-resident weight; the VJP casts back at the boundary
         out_shape=[
             jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct(w.shape, w.dtype),
+            jax.ShapeDtypeStruct(w.shape, jnp.float32),
         ],
         interpret=cfg.interpret,
     )(x, w, out, m, g)
@@ -631,7 +650,7 @@ def _blocked_p_fwd(cfg: _BCfg, x, w):
 def _blocked_p_bwd(cfg: _BCfg, res, g):
     x, w, out, m = res
     dx, dw = _blocked_bwd_call(cfg, x, w, out, m, g)
-    return dx, dw
+    return dx, dw.astype(w.dtype)
 
 
 _blocked_p.defvjp(_blocked_p_fwd, _blocked_p_bwd)
@@ -641,7 +660,10 @@ def _dispatch_blocked(x, w, *, interpret: bool | None):
     """Blocked lse_matmul for contractions too wide for one VMEM block."""
     if not _pallas_enabled():
         return None
-    if x.dtype != jnp.float32 or w.dtype != jnp.float32:
+    # bf16-resident weights (the serving store) are cast/split in VMEM;
+    # without this, wide bf16-store circuits rejected by the fused path
+    # would fall all the way to the dense XLA composition
+    if x.dtype != jnp.float32 or w.dtype not in (jnp.float32, jnp.bfloat16):
         return None
     f, b = x.shape[:2]
     o, i = w.shape[1:]
@@ -825,6 +847,8 @@ def slse_dispatch(xs, w, *, softmax: bool, tucker: bool, interpret: bool | None 
     o, i = w.shape[1:]
     if o < 8:
         return None
+    if not _w_resident_ok(o, i, softmax=softmax):
+        return None  # same weight-residency OOM class as _dispatch
     widths = [x.shape[2] for x in xs]
     bt = min(256, _round_up(b, 8))
     while True:
@@ -1011,6 +1035,10 @@ def route_tucker2(
     o, m = th.shape[1:]
     if k1 < 8 or k2 < 8 or o < 8 or m != k1 * k2 or m % 128 != 0:
         return None
+    # th + its shifted f32 copy + the 3-term selection splits are resident
+    # per grid cell (the weight-residency OOM class; see _w_resident_ok)
+    if not _w_resident_ok(o, m, softmax=True, split_terms=1.5):
+        return None
     bt = min(256, _round_up(b, 8))
     while True:
         # th + selw + repeat + scores (+ noise) resident, f32 words
@@ -1120,6 +1148,8 @@ def tropical_tucker2(
     o, m = th.shape[1:]
     if k1 < 8 or k2 < 8 or o < 8 or m != k1 * k2 or m % 128 != 0:
         return None
+    if not _w_resident_ok(o, m, softmax=True, split_terms=0.0):
+        return None  # th + its log-normalized f32 copy stay resident
     bt = min(256, _round_up(b, 8))
     while True:
         work = (2 * o + 2) * m + bt * (3 * m + k1 + k2 + o)

@@ -751,3 +751,32 @@ def test_wide_tucker_routes_to_blocked_kernel():
     out = L.lse_tucker2(x1, x2, w)
     ref = _fallback_tucker(x1, x2, w)
     np.testing.assert_allclose(out, ref, rtol=RTOL, atol=ATOL)
+
+
+def test_blocked_matmul_accepts_bf16_weights(monkeypatch):
+    """Wide contractions with a bf16-resident weight store must stay on the
+    blocked kernel (not fall to the dense XLA composition), and gradients
+    accumulate in f32 before casting back (regression pair)."""
+    monkeypatch.setattr(L, "_VMEM_BUDGET", 48 * 1024)  # force blocking
+    rng = np.random.default_rng(76)
+    x = _rand(rng, (2, 8, 2048))
+    w32 = _weights(rng, (2, 16, 2048))
+    w16 = w32.astype(jnp.bfloat16)
+    out = L._dispatch_blocked(x, w16, interpret=True)
+    assert out is not None
+    ref = _fallback_matmul(x, w16.astype(jnp.float32))
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+    def loss_k(x, w):
+        return jnp.sum(jnp.sin(L._dispatch_blocked(x, w, interpret=True)))
+
+    def loss_f(x, w):
+        return jnp.sum(jnp.sin(_fallback_matmul(x, w.astype(jnp.float32))))
+
+    gx_k, gw_k = jax.grad(loss_k, argnums=(0, 1))(x, w16)
+    gx_f, gw_f = jax.grad(loss_f, argnums=(0, 1))(x, w16)
+    assert gw_k.dtype == jnp.bfloat16
+    np.testing.assert_allclose(gx_k, gx_f, rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(
+        gw_k.astype(jnp.float32), gw_f.astype(jnp.float32), rtol=6e-2, atol=6e-2
+    )
