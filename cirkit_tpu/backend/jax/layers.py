@@ -60,6 +60,21 @@ def softmax_logits_slot(param: JaxParameter) -> str | None:
     return slot.slot
 
 
+def _topk_states(lp: jnp.ndarray, t: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-t over a per-state log-score table (F, K, S): (values
+    (F, K, t), states (F, K, t)), descending, ``-inf``-padded when t > S."""
+    tt = min(t, lp.shape[2])
+    vals, idx = jax.lax.top_k(lp, tt)
+    if tt < t:
+        vals = jnp.concatenate(
+            [vals, jnp.full((*vals.shape[:2], t - tt), -jnp.inf, vals.dtype)], axis=2
+        )
+        idx = jnp.concatenate(
+            [idx, jnp.broadcast_to(idx[..., -1:], (*idx.shape[:2], t - tt))], axis=2
+        )
+    return vals, idx
+
+
 class JaxLayer(ABC):
     """The abstract compiled layer."""
 
@@ -313,6 +328,22 @@ class JaxInputLayer(JaxLayer, ABC):
         an extension; not every input layer is a distribution."""
         raise TypeError(f"Expected states are not defined for {type(self).__name__}")
 
+    def topk_modes(self, store: Store, t: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """The ``t`` best states per unit, sorted descending: (values
+        (F, K, t), states (F, K, t)). Drives the top-k MPE query
+        (:mod:`cirkit_tpu.backend.jax.topk`) — an extension; the reference
+        has no MAP query at all.
+
+        Base implementation: the (unique) mode followed by ``-inf``
+        padding — exact for continuous layers, whose maximizer is a single
+        point with no discrete "second best" state. Finite-support layers
+        override with an exact per-state top-k."""
+        val, arg = self.mpe(store)
+        pad = jnp.full((*val.shape, t - 1), -jnp.inf, val.dtype)
+        vals = jnp.concatenate([val[..., None], pad], axis=-1)
+        states = jnp.broadcast_to(arg[..., None], (*arg.shape, t))
+        return vals, states
+
     def sample_selected(self, store: Store, key, sel: jnp.ndarray) -> jnp.ndarray:
         """One draw per (fold, sample) from the SELECTED unit only: ``sel``
         is an (F, B) unit-index array; returns (F, B) states.
@@ -459,6 +490,10 @@ class JaxCategoricalLayer(JaxExpFamilyLayer):
         lp = self._log_probs(store)  # (F, K, C), same measure as forward
         return jnp.max(lp, axis=2), jnp.argmax(lp, axis=2)
 
+    def topk_modes(self, store, t):
+        lp = self._log_probs(store)  # (F, K, C)
+        return _topk_states(lp, t)
+
 
 class JaxEmbeddingLayer(JaxInputLayer):
     """Embedding units: look up one weight column per observed state."""
@@ -507,6 +542,9 @@ class JaxEmbeddingLayer(JaxInputLayer):
     def mpe(self, store):
         lw = safelog(self.weight(store))  # (F, K, S)
         return jnp.max(lw, axis=2), jnp.argmax(lw, axis=2)
+
+    def topk_modes(self, store, t):
+        return _topk_states(safelog(self.weight(store)), t)
 
 
 class JaxBinomialLayer(JaxExpFamilyLayer):
@@ -595,6 +633,19 @@ class JaxBinomialLayer(JaxExpFamilyLayer):
         )
         val = log_comb + mode * logits - n * jax.nn.softplus(logits)
         return val, mode.astype(jnp.int32)
+
+    def topk_modes(self, store, t):
+        # the full (n+1)-entry log-pmf table, then an exact top-k over it
+        logits = self._logits(store)[:, :, None]  # (F, K, 1)
+        n = self.total_count
+        counts = jnp.arange(n + 1, dtype=logits.dtype)
+        log_comb = (
+            jax.scipy.special.gammaln(n + 1.0)
+            - jax.scipy.special.gammaln(counts + 1.0)
+            - jax.scipy.special.gammaln(n - counts + 1.0)
+        )
+        lp = log_comb + counts * logits - n * jax.nn.softplus(logits)  # (F, K, n+1)
+        return _topk_states(lp, t)
 
 
 class JaxGaussianLayer(JaxExpFamilyLayer):

@@ -455,6 +455,7 @@ class MAPQuery(Query):
         store: Store | None = None,
         output: int = 0,
         unit: int = 0,
+        top_k: int | None = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Compute MPE states: returns ``(assignments (B, D), log_values
         (B,))``. Unconditional when ``x`` is None (B=1); otherwise
@@ -474,7 +475,16 @@ class MAPQuery(Query):
         non-selective circuits). Marginalized entries of the returned
         assignment are 0. The reference cannot express this query at all
         (and compiling an integrated circuit first does not help: its
-        constant layers have no MPE states)."""
+        constant layers have no MPE states).
+
+        ``top_k=T`` returns the T best parses instead: ``(assignments
+        (B, T, D), log_values (B, T))``, scores descending — the k-best
+        semiring through the plan (:mod:`cirkit_tpu.backend.jax.topk`).
+        Exact top-T assignments on deterministic circuits; k best latent
+        parses otherwise (distinct parses may repeat an assignment).
+        Slots beyond the number of existing parses carry ``-inf`` scores.
+        Moderate-scale XLA path; not combinable with ``marginalize_vars``.
+        """
         cc = self._circuit
         num_vars = max(cc.scope) + 1
         if x is None:
@@ -508,6 +518,16 @@ class MAPQuery(Query):
             if store is None:
                 raise ValueError("No parameter store bound; pass store=...")
         store = cc.restrict_store(store)
+
+        if top_k is not None:
+            if top_k < 1:
+                raise ValueError(f"top_k must be >= 1, found {top_k}")
+            if mg is not None:
+                raise NotImplementedError(
+                    "top_k cannot be combined with marginalize_vars"
+                )
+            fn = _topk_jit(cc, top_k, output, unit)
+            return fn(store, x, mask)  # (B, T, D), (B, T)
 
         fn = _routing_jit(cc, "max", output, unit)
         asg, vals, _ = fn(store, x, mask, mg)  # (B, D), (O, B, K)
@@ -544,6 +564,22 @@ def _routing_jit(cc: JaxCircuit, kind: str, root_output: int, root_unit: int):
     if key not in cache:
         cache[key] = jax.jit(
             _build_routing_run(cc, kind, root_output=root_output, root_unit=root_unit)
+        )
+    return cache[key]
+
+
+def _topk_jit(cc: JaxCircuit, topk: int, root_output: int, root_unit: int):
+    """The jit-compiled top-k MPE program for one (T, root) choice, cached
+    on the circuit like the 1-best routing programs."""
+    from cirkit_tpu.backend.jax.topk import build_topk_run
+
+    cache = getattr(cc, "_routing_jits", None)
+    if cache is None:
+        cache = cc._routing_jits = {}
+    key = ("topk", topk, root_output, root_unit)
+    if key not in cache:
+        cache[key] = jax.jit(
+            build_topk_run(cc, topk, root_output=root_output, root_unit=root_unit)
         )
     return cache[key]
 

@@ -282,6 +282,79 @@ def max_eval_circuit(
     return np.stack([values[sl] for sl in sc.outputs], axis=1)
 
 
+def topk_parses_by_enumeration(
+    sc: sym_circuit.Circuit,
+    num_states: int,
+    t: int,
+    *,
+    observed: np.ndarray | None = None,
+    root_unit: int = 0,
+) -> tuple[np.ndarray, list[tuple[tuple[int, int], ...]]]:
+    """The ``t`` best latent parses of root output 0 / unit ``root_unit``,
+    by *explicit enumeration of every parse* (no k-best truncation): each
+    unit's full parse list — (log score, assignment as a sorted tuple of
+    (var, state)) — is materialized, so keep circuits tiny. ``observed``
+    (entries >= 0) pins variables. Returns (scores (t,), assignments),
+    scores descending, padded with -inf/() when fewer parses exist."""
+
+    def _cross(lists):
+        out = lists[0]
+        for other in lists[1:]:
+            out = [
+                (sa + sb, aa + ab) for sa, aa in out for sb, ab in other
+            ]
+        return out
+
+    def _logw(x: float) -> float:
+        return float(np.log(x)) if x > 0 else -np.inf
+
+    parses: dict[sym_layers.Layer, list] = {}
+    for sl in sc.topological_ordering():
+        if isinstance(sl, sym_layers.InputLayer):
+            cols = sorted(sl.scope)
+            assert len(cols) == 1, "oracle supports univariate leaves only"
+            v = cols[0]
+            if observed is not None and observed[v] >= 0:
+                states = [int(observed[v])]
+            else:
+                states = list(range(num_states))
+            vals = eval_input_layer(sl, np.asarray(states)[:, None])  # (S, K)
+            parses[sl] = [
+                [(_logw(vals[si, k]), ((v, s),)) for si, s in enumerate(states)]
+                for k in range(vals.shape[1])
+            ]
+            continue
+        ins = [parses[i] for i in sc.layer_inputs(sl)]
+        if isinstance(sl, sym_layers.HadamardLayer):
+            parses[sl] = [
+                _cross([op[k] for op in ins]) for k in range(len(ins[0]))
+            ]
+        elif isinstance(sl, sym_layers.KroneckerLayer):
+            cur = ins[0]
+            for op in ins[1:]:
+                cur = [_cross([a, b]) for a in cur for b in op]
+            parses[sl] = cur
+        elif isinstance(sl, sym_layers.SumLayer):
+            w = eval_parameter(sl.weight)  # (O, total input units)
+            cat = [ul for op in ins for ul in op]
+            parses[sl] = [
+                [
+                    (_logw(w[o, j]) + s, a)
+                    for j, plist in enumerate(cat)
+                    for s, a in plist
+                ]
+                for o in range(w.shape[0])
+            ]
+        else:
+            raise NotImplementedError(f"No parse oracle for {type(sl).__name__}")
+    lst = sorted(parses[sc.outputs[0]][root_unit], key=lambda p: -p[0])[:t]
+    while len(lst) < t:
+        lst.append((-np.inf, ()))
+    scores = np.array([s for s, _ in lst], dtype=np.float64)
+    asgs = [tuple(sorted(a)) for _, a in lst]
+    return scores, asgs
+
+
 def mpe_by_enumeration(
     sc: sym_circuit.Circuit, num_states: int, observed: np.ndarray | None = None
 ) -> tuple[np.ndarray, float]:
