@@ -8,6 +8,7 @@ from cirkit_tpu.models.data_modalities import (
     tabular_data,
 )
 from cirkit_tpu.models.pgms import fully_factorized, hmm
+from cirkit_tpu.models.structure_learning import learn_spn
 from cirkit_tpu.models.tensor_factorizations import cp, tensor_train, tucker
 from cirkit_tpu.models.utils import (
     InputLayerFactory,
