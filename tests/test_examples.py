@@ -20,6 +20,7 @@ EXAMPLES = {
         "SIDE": "4", "UNITS": "4", "STEPS": "10", "BATCH": "64", "LAMBDAS": "0.5",
     },
     "em_training": {"SIDE": "4", "UNITS": "4", "EPOCHS": "3", "BATCH": "128"},
+    "structure_learning": {"VARS": "5", "SAMPLES": "600"},
     "region_graphs_comparison": {
         "SIDE": "4", "UNITS": "4", "EPOCHS": "1", "BATCH": "128",
         "REGION_GRAPHS": "quad-tree-2", "LAYERS": "cp,tucker",
