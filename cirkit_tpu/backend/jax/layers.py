@@ -328,6 +328,22 @@ class JaxInputLayer(JaxLayer, ABC):
         an extension; not every input layer is a distribution."""
         raise TypeError(f"Expected states are not defined for {type(self).__name__}")
 
+    def second_moment_state(self, store: Store) -> jnp.ndarray:
+        """Per-unit second moment E[x^2 | unit]: (F, K). Combined with
+        :meth:`mean_state` this yields exact posterior variances
+        (uncertainty-aware imputation,
+        ``ExpectationQuery(..., return_variance=True)``)."""
+        raise TypeError(f"Second moments are not defined for {type(self).__name__}")
+
+    def state_distribution(self, store: Store) -> jnp.ndarray:
+        """Per-unit *normalized* finite-support state distribution
+        p(x = s | unit): (F, K, S). Drives the posterior-marginals query
+        (``ExpectationQuery.marginals``); continuous layers have no finite
+        support and raise."""
+        raise TypeError(
+            f"State distributions are not defined for {type(self).__name__}"
+        )
+
     def topk_modes(self, store: Store, t: int) -> tuple[jnp.ndarray, jnp.ndarray]:
         """The ``t`` best states per unit, sorted descending: (values
         (F, K, t), states (F, K, t)). Drives the top-k MPE query
@@ -472,6 +488,18 @@ class JaxCategoricalLayer(JaxExpFamilyLayer):
         states = jnp.arange(p.shape[2], dtype=p.dtype)
         return jnp.einsum("fkc,c->fk", p, states, precision=jax.lax.Precision.HIGHEST)
 
+    def second_moment_state(self, store):
+        p = jax.nn.softmax(self._log_probs(store), axis=2)  # (F, K, C)
+        states = jnp.arange(p.shape[2], dtype=p.dtype)
+        return jnp.einsum(
+            "fkc,c->fk", p, states * states, precision=jax.lax.Precision.HIGHEST
+        )
+
+    def state_distribution(self, store):
+        # softmax normalizes the logits-parameterized (unnormalized) case
+        # to the same measure the responsibilities are computed under
+        return jax.nn.softmax(self._log_probs(store), axis=2)  # (F, K, C)
+
     def sample_selected(self, store, key, sel):
         logits = self._log_probs(store)  # (F, K, C)
         # floor -inf (zero-probability categories) at -1e30, NOT finfo.min:
@@ -545,6 +573,28 @@ class JaxEmbeddingLayer(JaxInputLayer):
 
     def topk_modes(self, store, t):
         return _topk_states(safelog(self.weight(store)), t)
+
+    def state_distribution(self, store):
+        # the unit's weights normalized into a distribution over states —
+        # exactly the measure the posterior responsibilities weight
+        # (the unnormalized factor's integral rides the responsibility);
+        # meaningful for nonnegative weights only (the lse-sum semiring,
+        # which the expectation queries require)
+        w = self.weight(store)  # (F, K, S)
+        z = jnp.maximum(w.sum(axis=2, keepdims=True), jnp.finfo(w.dtype).tiny)
+        return w / z
+
+    def mean_state(self, store):
+        p = self.state_distribution(store)
+        states = jnp.arange(p.shape[2], dtype=p.dtype)
+        return jnp.einsum("fks,s->fk", p, states, precision=jax.lax.Precision.HIGHEST)
+
+    def second_moment_state(self, store):
+        p = self.state_distribution(store)
+        states = jnp.arange(p.shape[2], dtype=p.dtype)
+        return jnp.einsum(
+            "fks,s->fk", p, states * states, precision=jax.lax.Precision.HIGHEST
+        )
 
 
 class JaxBinomialLayer(JaxExpFamilyLayer):
@@ -621,6 +671,14 @@ class JaxBinomialLayer(JaxExpFamilyLayer):
     def mean_state(self, store):
         return self.total_count * jax.nn.sigmoid(self._logits(store))  # (F, K)
 
+    def second_moment_state(self, store):
+        n = self.total_count
+        p = jax.nn.sigmoid(self._logits(store))  # (F, K)
+        return n * p * (1.0 - p) + jnp.square(n * p)
+
+    def state_distribution(self, store):
+        return jnp.exp(self._log_pmf_table(store))  # (F, K, n+1)
+
     def mpe(self, store):
         logits = self._logits(store)  # (F, K)
         n = self.total_count
@@ -634,8 +692,8 @@ class JaxBinomialLayer(JaxExpFamilyLayer):
         val = log_comb + mode * logits - n * jax.nn.softplus(logits)
         return val, mode.astype(jnp.int32)
 
-    def topk_modes(self, store, t):
-        # the full (n+1)-entry log-pmf table, then an exact top-k over it
+    def _log_pmf_table(self, store) -> jnp.ndarray:
+        """The full (F, K, n+1) log-pmf table over counts 0..n."""
         logits = self._logits(store)[:, :, None]  # (F, K, 1)
         n = self.total_count
         counts = jnp.arange(n + 1, dtype=logits.dtype)
@@ -644,8 +702,11 @@ class JaxBinomialLayer(JaxExpFamilyLayer):
             - jax.scipy.special.gammaln(counts + 1.0)
             - jax.scipy.special.gammaln(n - counts + 1.0)
         )
-        lp = log_comb + counts * logits - n * jax.nn.softplus(logits)  # (F, K, n+1)
-        return _topk_states(lp, t)
+        return log_comb + counts * logits - n * jax.nn.softplus(logits)
+
+    def topk_modes(self, store, t):
+        # the full (n+1)-entry log-pmf table, then an exact top-k over it
+        return _topk_states(self._log_pmf_table(store), t)
 
 
 class JaxGaussianLayer(JaxExpFamilyLayer):
@@ -708,6 +769,9 @@ class JaxGaussianLayer(JaxExpFamilyLayer):
 
     def mean_state(self, store):
         return self.mean(store)  # (F, K)
+
+    def second_moment_state(self, store):
+        return jnp.square(self.mean(store)) + jnp.square(self.stddev(store))
 
     def mpe(self, store):
         mean = self.mean(store)  # (F, K)

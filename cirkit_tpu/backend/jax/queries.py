@@ -316,9 +316,38 @@ class ExpectationQuery(Query):
         store: Store | None = None,
         output: int = 0,
         unit: int = 0,
-    ) -> jnp.ndarray:
+        return_variance: bool = False,
+    ) -> jnp.ndarray | tuple[jnp.ndarray, jnp.ndarray]:
         """Return (B, D) expected states: ``x`` where ``evidence_mask`` is
-        True, the posterior mean of head (``output``, ``unit``) elsewhere."""
+        True, the posterior mean of head (``output``, ``unit``) elsewhere.
+
+        With ``return_variance=True`` also return the (B, D) exact
+        posterior variances ``Var[x_v | x_obs]`` (0 at observed entries):
+        the same single backward pass supplies the responsibilities, and
+        the leaves' ``second_moment_state`` (law of total variance over
+        units) finishes the job — uncertainty-aware imputation."""
+        mode = "mean_var" if return_variance else "mean"
+        return self._dispatch(mode, x, evidence_mask, store, output, unit)
+
+    def marginals(
+        self,
+        x: jnp.ndarray | np.ndarray,
+        *,
+        evidence_mask: jnp.ndarray | np.ndarray,
+        store: Store | None = None,
+        output: int = 0,
+        unit: int = 0,
+    ) -> jnp.ndarray:
+        """Full posterior state distributions in one backward pass:
+        (B, D, S) with ``out[b, v, s] = p(x_v = s | x_obs)`` under head
+        (``output``, ``unit``), where S is the largest leaf support
+        (smaller-support variables zero-pad). Observed variables return
+        the one-hot of their observed state. Requires every input layer
+        to have finite support (categorical / binomial / embedding);
+        continuous leaves raise."""
+        return self._dispatch("marginals", x, evidence_mask, store, output, unit)
+
+    def _dispatch(self, mode, x, evidence_mask, store, output, unit):
         cc = self._circuit
         x = jnp.asarray(x)
         mask = _evidence_to_mask(cc, evidence_mask, x.shape[0])
@@ -336,12 +365,35 @@ class ExpectationQuery(Query):
         cache = getattr(cc, "_expect_jits", None)
         if cache is None:
             cache = cc._expect_jits = {}
-        if (output, unit) not in cache:
-            cache[(output, unit)] = jax.jit(_build_expectation_run(cc, output, unit))
-        return cache[(output, unit)](store, x, mask)
+        key = (output, unit, mode)
+        if key not in cache:
+            cache[key] = jax.jit(_build_expectation_run(cc, output, unit, mode))
+        return cache[key](store, x, mask)
 
 
-def _build_expectation_run(cc: JaxCircuit, output: int, unit: int):
+def _leaf_support_size(layer) -> int | None:
+    """Static finite-support size of an input layer, None if continuous."""
+    from cirkit_tpu.backend.jax.layers import (
+        JaxBinomialLayer,
+        JaxCategoricalLayer,
+        JaxEmbeddingLayer,
+    )
+
+    if isinstance(layer, JaxCategoricalLayer):
+        return layer.num_categories
+    if isinstance(layer, JaxBinomialLayer):
+        return layer.total_count + 1
+    if isinstance(layer, JaxEmbeddingLayer):
+        return layer.num_states
+    return None
+
+
+def _build_expectation_run(cc: JaxCircuit, output: int, unit: int, mode: str = "mean"):
+    """``mode``: "mean" -> (B, D) posterior means; "mean_var" -> the
+    ((B, D), (B, D)) mean/variance pair; "marginals" -> (B, D, S) full
+    posterior state distributions. All modes share ONE forward+backward
+    (the responsibilities) and differ only in the per-leaf statistic the
+    responsibilities weight."""
     from cirkit_tpu.backend.jax.layers import JaxConstantInputLayer
 
     num_vars = max(cc.scope) + 1
@@ -356,6 +408,16 @@ def _build_expectation_run(cc: JaxCircuit, output: int, unit: int):
             raise NotImplementedError(
                 "Expectations of multivariate input layers are not supported"
             )
+    supp = 0
+    if mode == "marginals":
+        for _, layer in inputs:
+            s = _leaf_support_size(layer)
+            if s is None:
+                raise NotImplementedError(
+                    "Posterior marginals need finite-support input layers; "
+                    f"{type(layer).__name__} is continuous"
+                )
+            supp = max(supp, s)
     off_name = {id(layer): f"__r{e}" for e, layer in inputs}
 
     def _run(st, xx, mk):
@@ -380,16 +442,45 @@ def _build_expectation_run(cc: JaxCircuit, output: int, unit: int):
             return jnp.sum(ll[:, output, unit])
 
         resp = jax.grad(total_ll)(offs)
-        out = jnp.zeros((bsz, num_vars), dt)
         hp = jax.lax.Precision.HIGHEST
-        for e, layer in inputs:
-            r = resp[f"__r{e}"]  # (F, B, K) posterior unit responsibilities
-            exp = jnp.einsum(
-                "fbk,fk->fb", r, layer.mean_state(st).astype(dt), precision=hp
+
+        def weighted(stat):
+            """Scatter the responsibility-weighted per-unit statistic
+            (F, K) -> (B, D) at each layer's variable position."""
+            acc = jnp.zeros((bsz, num_vars), dt)
+            for e, layer in inputs:
+                r = resp[f"__r{e}"]  # (F, B, K) posterior responsibilities
+                exp = jnp.einsum(
+                    "fbk,fk->fb", r, stat(layer).astype(dt), precision=hp
+                )
+                onehot = jax.nn.one_hot(layer.scope_idx[:, 0], num_vars, dtype=dt)
+                acc = acc + jnp.einsum("fb,fd->bd", exp, onehot, precision=hp)
+            return acc
+
+        if mode == "marginals":
+            out = jnp.zeros((bsz, num_vars, supp), dt)
+            for e, layer in inputs:
+                r = resp[f"__r{e}"]  # (F, B, K)
+                dist = layer.state_distribution(st).astype(dt)  # (F, K, s)
+                pm = jnp.einsum("fbk,fks->fbs", r, dist, precision=hp)
+                if pm.shape[2] < supp:
+                    pm = jnp.pad(pm, ((0, 0), (0, 0), (0, supp - pm.shape[2])))
+                onehot = jax.nn.one_hot(layer.scope_idx[:, 0], num_vars, dtype=dt)
+                out = out + jnp.einsum("fbs,fd->bds", pm, onehot, precision=hp)
+            obs = jax.nn.one_hot(
+                jnp.clip(xx.astype(jnp.int32), 0, supp - 1), supp, dtype=dt
             )
-            onehot = jax.nn.one_hot(layer.scope_idx[:, 0], num_vars, dtype=dt)
-            out = out + jnp.einsum("fb,fd->bd", exp, onehot, precision=hp)
-        return jnp.where(mk, xx.astype(dt), out)
+            return jnp.where(mk[:, :, None], obs, out)
+
+        m1 = weighted(lambda l: l.mean_state(st))
+        mean = jnp.where(mk, xx.astype(dt), m1)
+        if mode == "mean":
+            return mean
+        m2 = weighted(lambda l: l.second_moment_state(st))
+        # law of total variance over the leaf units; clamp the tiny
+        # negative residuals f32 cancellation can leave
+        var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+        return mean, jnp.where(mk, jnp.zeros((), dt), var)
 
     return _run
 

@@ -206,6 +206,19 @@ def main() -> None:
     print(f"posterior-mean inpainting (ExpectationQuery): "
           f"mean abs error {err_soft:.1f}/255")
 
+    # uncertainty-aware imputation: the SAME backward pass also yields the
+    # exact posterior variance of each filled pixel — the model's own error
+    # bar. Pixels it is confident about should indeed be easier: compare
+    # the imputation error on the most- vs least-certain halves.
+    _, var0 = eq(
+        xe, evidence_mask=mask, store=stores[lam], unit=0, return_variance=True
+    )
+    sd = np.sqrt(np.asarray(var0))[~mask]
+    errs = np.abs(soft_heads[0][~mask] - x_te[:n][~mask])
+    lo, hi = sd <= np.median(sd), sd > np.median(sd)
+    print(f"posterior stddev splits the error: confident half "
+          f"{errs[lo].mean():.1f}/255 vs uncertain half {errs[hi].mean():.1f}/255")
+
     # optional figure (PLOTS=1): original / evidence / MAP completion grid
     try:
         from examples._plots import enabled, save_image_grid

@@ -532,11 +532,29 @@ def test_expectation_query_on_optimized_image_circuit():
     rng = np.random.default_rng(92)
     x = jnp.asarray(rng.integers(0, 256, size=(5, 16)), jnp.int32)
     mask = rng.random((5, 16)) < 0.5
-    got = np.asarray(ExpectationQuery(cc)(x, evidence_mask=jnp.asarray(mask),
-                                          store=ctx.parameters))
+    q = ExpectationQuery(cc)
+    got = np.asarray(q(x, evidence_mask=jnp.asarray(mask), store=ctx.parameters))
     assert np.array_equal(got[mask], np.asarray(x)[mask])
     free = got[~mask]
     assert np.isfinite(free).all() and (free >= 0).all() and (free <= 255).all()
+
+    # variance and full marginals ride the same responsibilities: the
+    # marginal rows are distributions whose mean/variance reproduce them
+    mean, var = q(
+        x, evidence_mask=jnp.asarray(mask), store=ctx.parameters, return_variance=True
+    )
+    marg = np.asarray(q.marginals(x, evidence_mask=jnp.asarray(mask), store=ctx.parameters))
+    assert marg.shape == (5, 16, 256)
+    np.testing.assert_allclose(marg.sum(axis=2), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(mean), got, rtol=1e-6)
+    s = np.arange(256.0)
+    m1 = (marg * s).sum(axis=2)
+    m2 = (marg * s**2).sum(axis=2)
+    np.testing.assert_allclose(m1[~mask], got[~mask], rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(var)[~mask], (m2 - m1**2)[~mask], rtol=1e-3, atol=1e-3
+    )
+    assert (np.asarray(var)[mask] == 0).all()
 
 
 def test_expectation_query_rejects_wrong_mask_width():
@@ -549,3 +567,148 @@ def test_expectation_query_rejects_wrong_mask_width():
     x = np.zeros((2, 2), dtype=np.int64)
     with pytest.raises(ValueError, match="variables"):
         q(x, evidence_mask=np.zeros((2, 5), dtype=bool), store=ctx.parameters)
+
+
+def test_posterior_marginals_match_enumeration():
+    """marginals(): every p(x_v = s | x_obs) in one backward pass must
+    equal the exhaustive posterior; rows are distributions; observed
+    variables come back one-hot; the implied mean equals __call__."""
+    from cirkit_tpu.backend.jax.queries import ExpectationQuery
+
+    sc = build_multivariate_categorical_pc(num_variables=4, rng=np.random.default_rng(94))
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    q = ExpectationQuery(cc)
+    x = np.zeros((2, 4), dtype=np.int64)
+    x[:, 0] = [0, 1]
+    mask = np.zeros((2, 4), dtype=bool)
+    mask[:, 0] = True
+    got = np.asarray(q.marginals(x, evidence_mask=mask, store=ctx.parameters))
+    assert got.shape == (2, 4, 2)
+    np.testing.assert_allclose(got.sum(axis=2), 1.0, rtol=1e-6)
+
+    worlds = enumerate_worlds(4, 2)
+    p = eval_circuit(sc, worlds)[:, 0, 0]
+    for b in range(2):
+        keep = worlds[:, 0] == x[b, 0]
+        pw = p[keep] / p[keep].sum()
+        for v in range(1, 4):
+            for s in range(2):
+                want = pw[worlds[keep][:, v] == s].sum()
+                np.testing.assert_allclose(got[b, v, s], want, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(got[b, 0], np.eye(2)[x[b, 0]], atol=1e-12)
+
+    mean = np.asarray(q(x, evidence_mask=mask, store=ctx.parameters))
+    np.testing.assert_allclose((got * np.arange(2)).sum(axis=2), mean, rtol=1e-6)
+
+
+def test_posterior_variance_matches_enumeration():
+    """return_variance=True: exact Var[x_v | x_obs] vs the exhaustive
+    posterior second moment; observed entries report 0."""
+    from cirkit_tpu.backend.jax.queries import ExpectationQuery
+
+    sc = build_multivariate_categorical_pc(num_variables=4, rng=np.random.default_rng(95))
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    q = ExpectationQuery(cc)
+    x = np.zeros((2, 4), dtype=np.int64)
+    x[:, 0] = [0, 1]
+    mask = np.zeros((2, 4), dtype=bool)
+    mask[:, 0] = True
+    mean, var = q(x, evidence_mask=mask, store=ctx.parameters, return_variance=True)
+    mean, var = np.asarray(mean), np.asarray(var)
+
+    worlds = enumerate_worlds(4, 2)
+    p = eval_circuit(sc, worlds)[:, 0, 0]
+    for b in range(2):
+        keep = worlds[:, 0] == x[b, 0]
+        pw = p[keep] / p[keep].sum()
+        m1 = (pw[:, None] * worlds[keep]).sum(axis=0)
+        m2 = (pw[:, None] * worlds[keep] ** 2).sum(axis=0)
+        want = m2 - m1**2
+        np.testing.assert_allclose(var[b, 1:], want[1:], rtol=1e-5, atol=1e-9)
+        np.testing.assert_allclose(mean[b, 1:], m1[1:], rtol=1e-6, atol=1e-9)
+        assert var[b, 0] == 0.0
+
+
+def test_posterior_variance_gaussian_closed_form():
+    """2-var GMM: Var[x_1 | x_0] must equal the closed-form mixture
+    variance sum_c r_c (sigma_c^2 + mu_c^2) - (sum_c r_c mu_c)^2."""
+    from scipy.stats import norm
+
+    from cirkit_tpu.backend.jax.queries import ExpectationQuery
+    from cirkit_tpu.symbolic import Circuit, GaussianLayer, HadamardLayer, SumLayer
+    from tests.fixtures import const_param
+
+    rng = np.random.default_rng(96)
+    k = 3
+    mus = rng.normal(scale=2.0, size=(2, k))
+    sds = rng.uniform(0.5, 1.2, size=(2, k))
+    leaves = [
+        GaussianLayer(Scope([v]), k, mean=const_param(mus[v]), stddev=const_param(sds[v]))
+        for v in range(2)
+    ]
+    prod = HadamardLayer(k, arity=2)
+    w = rng.dirichlet(np.ones(k))
+    root = SumLayer(k, 1, weight=const_param(w[None]))
+    sc = Circuit(leaves + [prod, root], {prod: leaves, root: [prod]}, [root])
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    q = ExpectationQuery(cc)
+
+    x = np.array([[0.7, 0.0], [-1.5, 0.0]], dtype=np.float64)
+    mask = np.array([[True, False]] * 2)
+    mean, var = q(x, evidence_mask=mask, store=ctx.parameters, return_variance=True)
+    for b in range(2):
+        like = np.array([norm.pdf(x[b, 0], mus[0, c], sds[0, c]) for c in range(k)])
+        r = w * like / (w * like).sum()
+        m1 = (r * mus[1]).sum()
+        want = (r * (sds[1] ** 2 + mus[1] ** 2)).sum() - m1**2
+        np.testing.assert_allclose(float(var[b, 1]), want, rtol=1e-5)
+        assert float(var[b, 0]) == 0.0
+
+    # continuous leaves have no finite support: marginals must refuse
+    with pytest.raises(NotImplementedError, match="finite-support"):
+        q.marginals(x, evidence_mask=mask, store=ctx.parameters)
+
+
+def test_posterior_marginals_and_variance_binomial():
+    """Binomial leaves: marginals over the 0..n count support and the
+    posterior variance vs exhaustive enumeration of all count worlds."""
+    from cirkit_tpu.backend.jax.queries import ExpectationQuery
+    from cirkit_tpu.symbolic import BinomialLayer, Circuit, HadamardLayer, SumLayer
+    from tests.fixtures import const_param
+
+    rng = np.random.default_rng(97)
+    k, n = 3, 4
+    probs = rng.uniform(0.2, 0.8, size=(2, k))
+    leaves = [
+        BinomialLayer(Scope([v]), k, total_count=n, probs=const_param(probs[v]))
+        for v in range(2)
+    ]
+    prod = HadamardLayer(k, arity=2)
+    w = rng.dirichlet(np.ones(k))
+    root = SumLayer(k, 1, weight=const_param(w[None]))
+    sc = Circuit(leaves + [prod, root], {prod: leaves, root: [prod]}, [root])
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    q = ExpectationQuery(cc)
+
+    x = np.array([[2, 0], [4, 0]], dtype=np.int64)
+    mask = np.array([[True, False]] * 2)
+    marg = np.asarray(q.marginals(x, evidence_mask=mask, store=ctx.parameters))
+    mean, var = q(x, evidence_mask=mask, store=ctx.parameters, return_variance=True)
+    assert marg.shape == (2, 2, n + 1)
+
+    worlds = enumerate_worlds(2, n + 1)
+    p = eval_circuit(sc, worlds)[:, 0, 0]
+    for b in range(2):
+        keep = worlds[:, 0] == x[b, 0]
+        pw = p[keep] / p[keep].sum()
+        for s in range(n + 1):
+            want = pw[worlds[keep][:, 1] == s].sum()
+            np.testing.assert_allclose(marg[b, 1, s], want, rtol=1e-5, atol=1e-9)
+        m1 = (pw * worlds[keep][:, 1]).sum()
+        m2 = (pw * worlds[keep][:, 1] ** 2).sum()
+        np.testing.assert_allclose(float(mean[b, 1]), m1, rtol=1e-5)
+        np.testing.assert_allclose(float(var[b, 1]), m2 - m1**2, rtol=1e-5)
