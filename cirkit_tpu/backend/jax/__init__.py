@@ -1,5 +1,6 @@
 from cirkit_tpu.backend.jax.circuit import JaxCircuit
 from cirkit_tpu.backend.jax.compiler import JaxCompiler
+from cirkit_tpu.backend.jax.entropy import EntropyQuery
 from cirkit_tpu.backend.jax.queries import (
     ExpectationQuery,
     IntegrateQuery,
@@ -24,6 +25,7 @@ __all__ = [
     "Semiring",
     "SemiringImpl",
     "SumProductSemiring",
+    "EntropyQuery",
     "ExpectationQuery",
     "IntegrateQuery",
     "MAPQuery",

@@ -344,6 +344,11 @@ class JaxInputLayer(JaxLayer, ABC):
             f"State distributions are not defined for {type(self).__name__}"
         )
 
+    def unit_entropy(self, store: Store) -> jnp.ndarray:
+        """Entropy (nats) of each unit's NORMALIZED distribution: (F, K).
+        Drives :class:`cirkit_tpu.backend.jax.entropy.EntropyQuery`."""
+        raise TypeError(f"Entropies are not defined for {type(self).__name__}")
+
     def topk_modes(self, store: Store, t: int) -> tuple[jnp.ndarray, jnp.ndarray]:
         """The ``t`` best states per unit, sorted descending: (values
         (F, K, t), states (F, K, t)). Drives the top-k MPE query
@@ -500,6 +505,11 @@ class JaxCategoricalLayer(JaxExpFamilyLayer):
         # to the same measure the responsibilities are computed under
         return jax.nn.softmax(self._log_probs(store), axis=2)  # (F, K, C)
 
+    def unit_entropy(self, store):
+        lp = jax.nn.log_softmax(self._log_probs(store), axis=2)  # (F, K, C)
+        p = jnp.exp(lp)
+        return -jnp.sum(jnp.where(p > 0, p * lp, 0.0), axis=2)
+
     def sample_selected(self, store, key, sel):
         logits = self._log_probs(store)  # (F, K, C)
         # floor -inf (zero-probability categories) at -1e30, NOT finfo.min:
@@ -596,6 +606,10 @@ class JaxEmbeddingLayer(JaxInputLayer):
             "fks,s->fk", p, states * states, precision=jax.lax.Precision.HIGHEST
         )
 
+    def unit_entropy(self, store):
+        p = self.state_distribution(store)
+        return -jnp.sum(jnp.where(p > 0, p * safelog(p), 0.0), axis=2)
+
 
 class JaxBinomialLayer(JaxExpFamilyLayer):
     """Binomial units (always normalized)."""
@@ -678,6 +692,11 @@ class JaxBinomialLayer(JaxExpFamilyLayer):
 
     def state_distribution(self, store):
         return jnp.exp(self._log_pmf_table(store))  # (F, K, n+1)
+
+    def unit_entropy(self, store):
+        lp = self._log_pmf_table(store)  # (F, K, n+1), normalized
+        p = jnp.exp(lp)
+        return -jnp.sum(jnp.where(p > 0, p * lp, 0.0), axis=2)
 
     def mpe(self, store):
         logits = self._logits(store)  # (F, K)
@@ -772,6 +791,11 @@ class JaxGaussianLayer(JaxExpFamilyLayer):
 
     def second_moment_state(self, store):
         return jnp.square(self.mean(store)) + jnp.square(self.stddev(store))
+
+    def unit_entropy(self, store):
+        # differential entropy of N(mu, sigma); a log_partition scaling
+        # leaves the normalized distribution (hence its entropy) unchanged
+        return 0.5 * (1.0 + math.log(2.0 * math.pi)) + jnp.log(self.stddev(store))
 
     def mpe(self, store):
         mean = self.mean(store)  # (F, K)

@@ -84,6 +84,18 @@ def main() -> None:
         f"(weight {np.exp(float(logw[0])):.6f})"
     )
 
+    # ... and EntropyQuery is exact too: the entropy of the (weighted)
+    # model distribution. Unweighted literals give the uniform distribution
+    # over models, so H = log(model count)
+    from cirkit_tpu.backend.jax.entropy import EntropyQuery
+
+    h_uniform = float(EntropyQuery(cc)(store=ctx.parameters)[0, 0])
+    h_weighted = float(EntropyQuery(wcc)(store=ctx.parameters)[0, 0])
+    print(
+        f"model-distribution entropy: uniform {h_uniform:.6f} nats "
+        f"(= log {np.exp(h_uniform):.0f} models), weighted {h_weighted:.6f} nats"
+    )
+
 
 if __name__ == "__main__":
     main()

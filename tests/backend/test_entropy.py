@@ -1,0 +1,190 @@
+"""EntropyQuery tests: exact entropies of deterministic circuits against
+exhaustive enumeration, the latent upper bound on non-deterministic ones,
+closed-form Gaussian differential entropies, posterior (conditional)
+entropies under evidence, and the log-partition cross-check against
+IntegrateQuery through the optimized fused plan. The query is an extension
+— the reference has no entropy machinery."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cirkit_tpu.backend.jax.entropy import EntropyQuery
+from cirkit_tpu.backend.jax.queries import IntegrateQuery
+from cirkit_tpu.pipeline import PipelineContext
+from cirkit_tpu.utils import Scope
+
+from tests.fixtures import build_multivariate_categorical_pc, const_param
+from tests.reference_eval import enumerate_worlds, eval_circuit
+
+
+def _build_deterministic_pc(rng, num_states=4):
+    """2 vars, K=2 units per leaf with DISJOINT supports (unit 0 on states
+    {0, 1}, unit 1 on {2, 3}), Hadamard pairing, sum root: a deterministic
+    smooth decomposable PC."""
+    from cirkit_tpu.symbolic import CategoricalLayer, Circuit, HadamardLayer, SumLayer
+
+    def leaf(v):
+        a, b = rng.uniform(0.2, 0.8, size=2)
+        probs = np.array([[a, 1 - a, 0.0, 0.0], [0.0, 0.0, b, 1 - b]])
+        return CategoricalLayer(
+            Scope([v]), 2, num_categories=num_states, probs=const_param(probs)
+        )
+
+    leaves = [leaf(0), leaf(1)]
+    prod = HadamardLayer(2, arity=2)
+    w = rng.dirichlet(np.ones(2))
+    root = SumLayer(2, 1, weight=const_param(w[None]))
+    return Circuit(leaves + [prod, root], {prod: leaves, root: [prod]}, [root])
+
+
+def _enum_entropy(p):
+    p = p / p.sum()
+    nz = p > 0
+    return float(-(p[nz] * np.log(p[nz])).sum())
+
+
+@pytest.mark.parametrize("fold", [False, True])
+def test_entropy_deterministic_matches_enumeration(fold):
+    rng = np.random.default_rng(40)
+    sc = _build_deterministic_pc(rng)
+    ctx = PipelineContext(semiring="lse-sum", fold=fold)
+    cc = ctx.compile(sc)
+    h = EntropyQuery(cc)(store=ctx.parameters)
+    worlds = enumerate_worlds(2, 4)
+    p = eval_circuit(sc, worlds)[:, 0, 0]
+    np.testing.assert_allclose(float(h[0, 0]), _enum_entropy(p), rtol=1e-6)
+
+
+def test_entropy_upper_bounds_nondeterministic():
+    """On a non-deterministic circuit the recursion returns the latent
+    joint entropy H(x) + H(parse | x) >= H(x)."""
+    rng = np.random.default_rng(41)
+    sc = build_multivariate_categorical_pc(num_variables=4, rng=rng)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    h = float(EntropyQuery(cc)(store=ctx.parameters)[0, 0])
+    worlds = enumerate_worlds(4, 2)
+    p = eval_circuit(sc, worlds)[:, 0, 0]
+    true_h = _enum_entropy(p)
+    assert h >= true_h - 1e-9
+    assert np.isfinite(h)
+
+
+def test_entropy_gaussian_closed_form():
+    """Factorized Gaussians: differential entropy adds across variables,
+    0.5 log(2 pi e sigma^2) each."""
+    from cirkit_tpu.symbolic import Circuit, GaussianLayer, HadamardLayer, SumLayer
+
+    rng = np.random.default_rng(42)
+    sds = rng.uniform(0.5, 2.0, size=2)
+    leaves = [
+        GaussianLayer(
+            Scope([v]), 1, mean=const_param(np.array([0.3 * v])),
+            stddev=const_param(np.array([sds[v]])),
+        )
+        for v in range(2)
+    ]
+    prod = HadamardLayer(1, arity=2)
+    root = SumLayer(1, 1, weight=const_param(np.array([[1.0]])))
+    sc = Circuit(leaves + [prod, root], {prod: leaves, root: [prod]}, [root])
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    h = float(EntropyQuery(cc)(store=ctx.parameters)[0, 0])
+    want = sum(0.5 * np.log(2 * np.pi * np.e * s**2) for s in sds)
+    np.testing.assert_allclose(h, want, rtol=1e-6)
+
+
+def test_entropy_conditional_matches_enumeration():
+    """Posterior entropy H(X_1 | x_0) on a deterministic circuit vs the
+    enumerated conditional; full evidence gives exactly 0; the returned
+    log-partition is the evidence log-likelihood."""
+    rng = np.random.default_rng(43)
+    sc = _build_deterministic_pc(rng)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    q = EntropyQuery(cc)
+    worlds = enumerate_worlds(2, 4)
+    p = eval_circuit(sc, worlds)[:, 0, 0]
+
+    x = np.array([[0, 0], [2, 0]], dtype=np.int64)
+    mask = np.array([[True, False]] * 2)
+    h, lz = q(x, evidence_mask=mask, store=ctx.parameters, return_log_partition=True)
+    assert h.shape == (2, 1, 1)
+    for b in range(2):
+        keep = worlds[:, 0] == x[b, 0]
+        np.testing.assert_allclose(float(h[b, 0, 0]), _enum_entropy(p[keep]), rtol=1e-6)
+        np.testing.assert_allclose(float(lz[b, 0, 0]), np.log(p[keep].sum()), rtol=1e-6)
+
+    h_full = q(worlds, evidence_mask=np.ones((len(worlds), 2), bool), store=ctx.parameters)
+    np.testing.assert_allclose(np.asarray(h_full), 0.0, atol=1e-12)
+
+
+@pytest.mark.parametrize("sum_product", ["tucker", "cp", "cp-t"])
+def test_entropy_runs_through_optimized_plan(sum_product):
+    """Through fused Tucker/CPT/TensorDot plans: the recursion's root
+    log-partition must equal IntegrateQuery's all-marginalized evaluation
+    (a full plan-walk cross-check), and entropies are finite, >= 0, and
+    upper-bound nothing weird (<= D log S)."""
+    from cirkit_tpu.models import image_data
+
+    sc = image_data(
+        (1, 4, 4), "quad-tree-2", input_layer="categorical",
+        num_input_units=8, sum_product_layer=sum_product, num_sum_units=8,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=True, seed=17)
+    cc = ctx.compile(sc)
+    h, lz = EntropyQuery(cc)(store=ctx.parameters, return_log_partition=True)
+    # the latent joint entropy H(x) + H(parse | x): finite, nonnegative,
+    # and at least the per-leaf floor is not asserted — the load-bearing
+    # exactness check is the log-partition equality below
+    assert np.isfinite(float(h[0, 0])) and float(h[0, 0]) >= 0
+    x = np.zeros((1, 16), dtype=np.int64)
+    want = IntegrateQuery(cc)(x, integrate_vars=Scope(range(16)), store=ctx.parameters)
+    np.testing.assert_allclose(float(lz[0, 0]), float(want[0, 0, 0]), rtol=1e-5, atol=1e-9)
+
+
+def test_entropy_logic_circuit_exact():
+    """Compiled logic circuits are deterministic (decision disjunctions,
+    deterministic smoothing gadgets): the entropy of the model
+    distribution matches enumeration — log(model count) with indicator
+    literals."""
+    from cirkit_tpu.models.logic import (
+        ConjunctionNode,
+        DisjunctionNode,
+        LiteralNode,
+        LogicalCircuit,
+        NegatedLiteralNode,
+    )
+
+    # (x0 and x1) or (not x0 and x2): disjuncts split on x0 -> deterministic
+    x0, x1, x2 = LiteralNode(0), LiteralNode(1), LiteralNode(2)
+    nx0 = NegatedLiteralNode(0)
+    c1, c2 = ConjunctionNode(), ConjunctionNode()
+    root = DisjunctionNode()
+    lc = LogicalCircuit(
+        [x0, x1, x2, nx0, c1, c2, root],
+        {c1: [x0, x1], c2: [nx0, x2], root: [c1, c2]},
+        [root],
+    )
+    sc = lc.build_circuit(enforce_smoothness=True)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    h = float(EntropyQuery(cc)(store=ctx.parameters)[0, 0])
+    worlds = enumerate_worlds(3, 2)
+    p = eval_circuit(sc, worlds)[:, 0, 0]
+    np.testing.assert_allclose(h, _enum_entropy(p), rtol=1e-6)
+    np.testing.assert_allclose(h, np.log(4.0), rtol=1e-6)  # 4 models, uniform
+
+
+def test_entropy_requires_lse_sum():
+    rng = np.random.default_rng(44)
+    sc = _build_deterministic_pc(rng)
+    ctx = PipelineContext(semiring="sum-product", fold=True)
+    cc = ctx.compile(sc)
+    with pytest.raises(ValueError, match="lse-sum"):
+        EntropyQuery(cc)
+    ctx2 = PipelineContext(semiring="lse-sum", fold=True)
+    cc2 = ctx2.compile(sc)
+    with pytest.raises(ValueError, match="requires x|evidence_mask"):
+        EntropyQuery(cc2)(np.zeros((1, 2)), store=ctx2.parameters)
