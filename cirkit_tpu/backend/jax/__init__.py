@@ -1,6 +1,6 @@
 from cirkit_tpu.backend.jax.circuit import JaxCircuit
 from cirkit_tpu.backend.jax.compiler import JaxCompiler
-from cirkit_tpu.backend.jax.entropy import EntropyQuery
+from cirkit_tpu.backend.jax.entropy import EntropyQuery, KLDivergenceQuery
 from cirkit_tpu.backend.jax.queries import (
     ExpectationQuery,
     IntegrateQuery,
@@ -27,6 +27,7 @@ __all__ = [
     "SumProductSemiring",
     "EntropyQuery",
     "ExpectationQuery",
+    "KLDivergenceQuery",
     "IntegrateQuery",
     "MAPQuery",
     "bf16_weight_store",

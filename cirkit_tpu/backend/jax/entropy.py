@@ -155,7 +155,18 @@ def _mix(lz, hh, w):
     return lzo, ho
 
 
-def _build_entropy_run(cc: JaxCircuit):
+def _build_stat_run(cc: JaxCircuit, name: str, leaf_fn, mix_fn):
+    """Generic bottom-up statistic pass over the evaluation plan.
+
+    Statistics are TUPLES of (F, B, K) arrays per plan entry that (a) add
+    componentwise across product children / composite digits (true for
+    log-measures, entropies, and KL terms alike — disjoint scopes), and
+    (b) reduce at sum-style entries via ``mix_fn``. ``leaf_fn(layer, st,
+    xin, mrow)`` seeds input entries (``mrow`` True = observed);
+    ``mix_fn(stats, layer, st)`` reduces composite stats (F, B, M) under
+    the layer's weight rows. TensorDot entries are restructured into
+    per-q dense mixes in the walker (stat-agnostic), so carriers only
+    ever see plain (O, M) mixtures."""
     entries = cc._entries
 
     def _gather(entry, vals):
@@ -167,88 +178,219 @@ def _build_entropy_run(cc: JaxCircuit):
         return cat[:, None] if entry.fold_idx is None else cat[entry.fold_idx]
 
     def _run(st, xx, mk):
-        pairs: list[tuple[jnp.ndarray, jnp.ndarray]] = []
+        stats: list[tuple[jnp.ndarray, ...]] = []
         for entry in entries:
             layer = entry.layer
             if isinstance(layer, JaxConstantInputLayer):
                 raise NotImplementedError(
-                    f"EntropyQuery is not supported for {type(layer).__name__}"
+                    f"{name} is not supported for {type(layer).__name__}"
                 )
             if isinstance(layer, JaxInputLayer):
                 if layer.num_variables != 1:
                     raise NotImplementedError(
-                        "Entropy of multivariate input layers is not supported"
+                        f"{name} of multivariate input layers is not supported"
                     )
                 si = layer.scope_idx
                 xin = jnp.transpose(xx[:, si], (1, 0, 2))  # (F, B, 1)
-                obs = layer(st, xin)  # (F, B, K) log-likelihoods
                 mrow = jnp.transpose(mk[:, si[:, 0]], (1, 0))[:, :, None]  # (F, B, 1)
-                lz = jnp.where(mrow, obs, layer.integrate(st)[:, None, :])
-                hh = jnp.where(
-                    mrow,
-                    jnp.zeros_like(obs),
-                    layer.unit_entropy(st)[:, None, :],
-                )
-                pairs.append((lz, hh))
+                stats.append(leaf_fn(layer, st, xin, mrow))
                 continue
 
-            lzs = _gather(entry, [p[0] for p in pairs])  # (F, H, B, K)
-            hhs = _gather(entry, [p[1] for p in pairs])
+            g = tuple(_gather(entry, [s[i] for s in stats]) for i in range(len(stats[0])))
             if isinstance(layer, JaxHadamardLayer):
-                pairs.append((lzs.sum(axis=1), hhs.sum(axis=1)))
-                continue
-            if isinstance(layer, JaxKroneckerLayer):
-                pairs.append((_tucker_comb(lzs), _tucker_comb(hhs)))
-                continue
-            if isinstance(layer, JaxTuckerLayer):
-                lz, hh = _tucker_comb(lzs), _tucker_comb(hhs)
-                pairs.append(_mix(lz, hh, layer.weight(st)))
-                continue
-            if isinstance(layer, JaxCPTLayer):
-                pairs.append(_mix(lzs.sum(axis=1), hhs.sum(axis=1), layer.weight(st)))
-                continue
-            if isinstance(layer, JaxSumLayer):
-                f, h, b, k = lzs.shape
-                lz = jnp.transpose(lzs, (0, 2, 1, 3)).reshape(f, b, h * k)
-                hh = jnp.transpose(hhs, (0, 2, 1, 3)).reshape(f, b, h * k)
-                pairs.append(_mix(lz, hh, layer.weight(st)))
-                continue
-            if isinstance(layer, JaxTensorDotLayer):
-                w = layer.weight(st)  # (F, Kk, Kj)
-                f, _, b, m = lzs.shape
-                kk, kj = w.shape[1:]
+                stats.append(tuple(a.sum(axis=1) for a in g))
+            elif isinstance(layer, JaxKroneckerLayer):
+                stats.append(tuple(_tucker_comb(a) for a in g))
+            elif isinstance(layer, JaxTuckerLayer):
+                stats.append(mix_fn(tuple(_tucker_comb(a) for a in g), layer, st))
+            elif isinstance(layer, JaxCPTLayer):
+                stats.append(mix_fn(tuple(a.sum(axis=1) for a in g), layer, st))
+            elif isinstance(layer, JaxSumLayer):
+                f, h, b, k = g[0].shape
+                flat = tuple(
+                    jnp.transpose(a, (0, 2, 1, 3)).reshape(f, b, h * k) for a in g
+                )
+                stats.append(mix_fn(flat, layer, st))
+            elif isinstance(layer, JaxTensorDotLayer):
+                f, _, b, m = g[0].shape
+                kj = layer._num_contract_units
                 kq = m // kj
                 # child composite index is j*Kq + q: per q-block the output
                 # (q, kout) mixes over j with weight row w[kout, :]
-                lzr = lzs[:, 0].reshape(f, b, kj, kq)
-                hhr = hhs[:, 0].reshape(f, b, kj, kq)
-                outs = []
-                for q in range(kq):
-                    outs.append(_mix(lzr[:, :, :, q], hhr[:, :, :, q], w))
-                lz = jnp.stack([o[0] for o in outs], axis=2).reshape(f, b, -1)
-                hh = jnp.stack([o[1] for o in outs], axis=2).reshape(f, b, -1)
-                pairs.append((lz, hh))
-                continue
-            raise NotImplementedError(
-                f"EntropyQuery is not supported for {type(layer).__name__}"
-            )
+                r = tuple(a[:, 0].reshape(f, b, kj, kq) for a in g)
+                outs = [
+                    mix_fn(tuple(a[:, :, :, q] for a in r), layer, st)
+                    for q in range(kq)
+                ]
+                stats.append(
+                    tuple(
+                        jnp.stack([o[i] for o in outs], axis=2).reshape(f, b, -1)
+                        for i in range(len(outs[0]))
+                    )
+                )
+            else:
+                raise NotImplementedError(
+                    f"{name} is not supported for {type(layer).__name__}"
+                )
 
-        lz_all = [p[0] for p in pairs]
-        hh_all = [p[1] for p in pairs]
-        out_lz = (
-            lz_all[cc._outputs.out_ids[0]]
-            if len(cc._outputs.out_ids) == 1
-            else jnp.concatenate([lz_all[i] for i in cc._outputs.out_ids], axis=0)
+        def _root(vals):
+            cat = (
+                vals[cc._outputs.out_ids[0]]
+                if len(cc._outputs.out_ids) == 1
+                else jnp.concatenate([vals[i] for i in cc._outputs.out_ids], axis=0)
+            )
+            if cc._outputs.fold_idx is not None:
+                cat = cat[cc._outputs.fold_idx]
+            return jnp.transpose(cat, (1, 0, 2))  # (O, B, K) -> (B, O, K)
+
+        return tuple(_root([s[i] for s in stats]) for i in range(len(stats[0])))
+
+    return _run
+
+
+def _build_entropy_run(cc: JaxCircuit):
+    def leaf(layer, st, xin, mrow):
+        obs = layer(st, xin)  # (F, B, K) log-likelihoods
+        lz = jnp.where(mrow, obs, layer.integrate(st)[:, None, :])
+        hh = jnp.where(mrow, jnp.zeros_like(obs), layer.unit_entropy(st)[:, None, :])
+        return lz, hh
+
+    def mix(stats, layer, st):
+        lz, hh = stats
+        return _mix(lz, hh, layer.weight(st))
+
+    run = _build_stat_run(cc, "EntropyQuery", leaf, mix)
+
+    def _run(st, xx, mk):
+        lz, hh = run(st, xx, mk)
+        return hh, lz
+
+    return _run
+
+
+class KLDivergenceQuery(Query):
+    """KL(p || q) between two parameterizations of the SAME compiled
+    circuit (teacher-student distillation, EM-vs-SGD comparison, tracking
+    drift across checkpoints) — one bottom-up pass, no sampling.
+
+    Same exactness regime as :class:`EntropyQuery`: exact when the circuit
+    is deterministic under ``store_p`` (sum children with disjoint
+    supports — both parameterizations share the structural supports);
+    otherwise it returns the KL between the joint (parse, x)
+    distributions, which upper-bounds ``KL(p(x) || q(x))`` by the data
+    -processing inequality. ``+inf`` is returned faithfully where q's
+    support misses p's. With evidence it compares the two posteriors
+    ``KL(p(X_free | x_obs) || q(X_free | x_obs))`` per sample."""
+
+    def __init__(self, circuit: JaxCircuit) -> None:
+        from cirkit_tpu.backend.jax.semiring import LSESumSemiring
+
+        if not (circuit.properties.smooth and circuit.properties.decomposable):
+            raise ValueError(
+                f"The circuit must be smooth and decomposable, "
+                f"but found {circuit.properties}"
+            )
+        if circuit.semiring is not LSESumSemiring:
+            raise ValueError(
+                "KLDivergenceQuery requires a circuit compiled under the "
+                f"'lse-sum' semiring, found {circuit.semiring.__name__}"
+            )
+        self._circuit = circuit
+
+    def __call__(
+        self,
+        store_p: Store,
+        store_q: Store,
+        x: jnp.ndarray | np.ndarray | None = None,
+        *,
+        evidence_mask=None,
+    ):
+        """Without ``x``: the (O, K) KL per root head. With ``x`` (B, D)
+        and ``evidence_mask``: the (B, O, K) posterior KL per sample."""
+        cc = self._circuit
+        num_vars = max(cc.scope) + 1
+        unconditional = x is None
+        if unconditional:
+            if evidence_mask is not None:
+                raise ValueError("evidence_mask requires x")
+            x = jnp.zeros((1, num_vars), jnp.float32)
+            mask = jnp.zeros((1, num_vars), bool)
+        else:
+            x = jnp.asarray(x)
+            if evidence_mask is None:
+                raise ValueError("x requires an evidence_mask")
+            mask = _evidence_to_mask(cc, evidence_mask, x.shape[0])
+            if mask.shape[1] != num_vars:
+                raise ValueError(
+                    f"The circuit scope has {num_vars} variables, but the "
+                    f"mask covers {mask.shape[1]}"
+                )
+        store_p = cc.restrict_store(store_p)
+        store_q = cc.restrict_store(store_q)
+        fn = getattr(cc, "_kl_jit", None)
+        if fn is None:
+            fn = cc._kl_jit = jax.jit(_build_kl_run(cc))
+        kl = fn((store_p, store_q), x, mask)
+        return kl[0] if unconditional else kl
+
+
+def _mix_kl(lzp, lzq, kl, wp, wq):
+    """One sum reduction of the KL carrier: composite (log Z^p, log Z^q,
+    KL) triples (F, B, M) x both weight rows (F, O, M) -> output triples.
+
+    ``KL_o = sum_m pi^p_m [KL_m + log pi^p_m - log pi^q_m]`` with
+    ``log pi_m = log w_om + lz_m - lz_o`` — again exp-weighted matmuls
+    after the p-side max shift; the constant ``- lz^p_o + lz^q_o`` exits
+    the sum because ``sum_m pi^p_m = 1``."""
+    hp = jax.lax.Precision.HIGHEST
+    shift = jnp.clip(
+        jnp.max(lzp, axis=2, keepdims=True),
+        jnp.finfo(lzp.dtype).min,
+        jnp.finfo(lzp.dtype).max,
+    )
+    e = jnp.exp(lzp - shift)  # zeros where lzp = -inf
+    a = jnp.einsum("fbm,fom->fbo", e, wp, precision=hp)
+    safe_a = jnp.maximum(a, jnp.finfo(a.dtype).tiny)
+    lzpo = safelog(a) + shift
+
+    shift_q = jnp.clip(
+        jnp.max(lzq, axis=2, keepdims=True),
+        jnp.finfo(lzq.dtype).min,
+        jnp.finfo(lzq.dtype).max,
+    )
+    eq = jnp.exp(lzq - shift_q)
+    aq = jnp.einsum("fbm,fom->fbo", eq, wq, precision=hp)
+    lzqo = safelog(aq) + shift_q
+
+    # e * (KL_m + lzp - lzq): guarded where the p-measure vanishes; a q
+    # support gap (lzq = -inf with e > 0) legitimately yields +inf
+    t1 = jnp.where(e > 0, e * (kl + lzp - lzq), 0.0)
+    s1 = jnp.einsum("fbm,fom->fbo", t1, wp, precision=hp)
+    wdiff = jnp.where(wp > 0, wp * (safelog(wp) - safelog(wq)), 0.0)
+    s2 = jnp.einsum("fbm,fom->fbo", e, wdiff, precision=hp)
+    klo = jnp.where(a > 0, (s1 + s2) / safe_a - lzpo + lzqo, 0.0)
+    return lzpo, lzqo, klo
+
+
+def _build_kl_run(cc: JaxCircuit):
+    def leaf(layer, st, xin, mrow):
+        sp, sq = st
+        obs_p = layer(sp, xin)
+        obs_q = layer(sq, xin)
+        lzp = jnp.where(mrow, obs_p, layer.integrate(sp)[:, None, :])
+        lzq = jnp.where(mrow, obs_q, layer.integrate(sq)[:, None, :])
+        kl = jnp.where(
+            mrow, jnp.zeros_like(obs_p), layer.unit_kl(sp, sq)[:, None, :]
         )
-        out_hh = (
-            hh_all[cc._outputs.out_ids[0]]
-            if len(cc._outputs.out_ids) == 1
-            else jnp.concatenate([hh_all[i] for i in cc._outputs.out_ids], axis=0)
-        )
-        if cc._outputs.fold_idx is not None:
-            out_lz = out_lz[cc._outputs.fold_idx]
-            out_hh = out_hh[cc._outputs.fold_idx]
-        # (O, B, K) -> (B, O, K)
-        return jnp.transpose(out_hh, (1, 0, 2)), jnp.transpose(out_lz, (1, 0, 2))
+        return lzp, lzq, kl
+
+    def mix(stats, layer, st):
+        lzp, lzq, kl = stats
+        return _mix_kl(lzp, lzq, kl, layer.weight(st[0]), layer.weight(st[1]))
+
+    run = _build_stat_run(cc, "KLDivergenceQuery", leaf, mix)
+
+    def _run(st, xx, mk):
+        return run(st, xx, mk)[2]
 
     return _run

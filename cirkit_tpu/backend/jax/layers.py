@@ -349,6 +349,12 @@ class JaxInputLayer(JaxLayer, ABC):
         Drives :class:`cirkit_tpu.backend.jax.entropy.EntropyQuery`."""
         raise TypeError(f"Entropies are not defined for {type(self).__name__}")
 
+    def unit_kl(self, store_p: Store, store_q: Store) -> jnp.ndarray:
+        """KL(p || q) (nats) between each unit's NORMALIZED distributions
+        under two parameter stores: (F, K). Drives
+        :class:`cirkit_tpu.backend.jax.entropy.KLDivergenceQuery`."""
+        raise TypeError(f"KL divergences are not defined for {type(self).__name__}")
+
     def topk_modes(self, store: Store, t: int) -> tuple[jnp.ndarray, jnp.ndarray]:
         """The ``t`` best states per unit, sorted descending: (values
         (F, K, t), states (F, K, t)). Drives the top-k MPE query
@@ -510,6 +516,13 @@ class JaxCategoricalLayer(JaxExpFamilyLayer):
         p = jnp.exp(lp)
         return -jnp.sum(jnp.where(p > 0, p * lp, 0.0), axis=2)
 
+    def unit_kl(self, store_p, store_q):
+        lp = jax.nn.log_softmax(self._log_probs(store_p), axis=2)
+        lq = jax.nn.log_softmax(self._log_probs(store_q), axis=2)
+        p = jnp.exp(lp)
+        # p > 0, q = 0 legitimately yields +inf (support violation)
+        return jnp.sum(jnp.where(p > 0, p * (lp - lq), 0.0), axis=2)
+
     def sample_selected(self, store, key, sel):
         logits = self._log_probs(store)  # (F, K, C)
         # floor -inf (zero-probability categories) at -1e30, NOT finfo.min:
@@ -610,6 +623,11 @@ class JaxEmbeddingLayer(JaxInputLayer):
         p = self.state_distribution(store)
         return -jnp.sum(jnp.where(p > 0, p * safelog(p), 0.0), axis=2)
 
+    def unit_kl(self, store_p, store_q):
+        p = self.state_distribution(store_p)
+        q = self.state_distribution(store_q)
+        return jnp.sum(jnp.where(p > 0, p * (safelog(p) - safelog(q)), 0.0), axis=2)
+
 
 class JaxBinomialLayer(JaxExpFamilyLayer):
     """Binomial units (always normalized)."""
@@ -697,6 +715,16 @@ class JaxBinomialLayer(JaxExpFamilyLayer):
         lp = self._log_pmf_table(store)  # (F, K, n+1), normalized
         p = jnp.exp(lp)
         return -jnp.sum(jnp.where(p > 0, p * lp, 0.0), axis=2)
+
+    def unit_kl(self, store_p, store_q):
+        # KL(Bin(n, p1) || Bin(n, p2)) = n KL(Bern(p1) || Bern(p2)), in
+        # log-space via log sigma(l) = -softplus(-l) for stability
+        l1 = self._logits(store_p)
+        l2 = self._logits(store_q)
+        p1 = jax.nn.sigmoid(l1)
+        pos = -jax.nn.softplus(-l1) + jax.nn.softplus(-l2)  # log p1 - log p2
+        neg = -jax.nn.softplus(l1) + jax.nn.softplus(l2)  # log(1-p1) - log(1-p2)
+        return self.total_count * (p1 * pos + (1.0 - p1) * neg)
 
     def mpe(self, store):
         logits = self._logits(store)  # (F, K)
@@ -796,6 +824,15 @@ class JaxGaussianLayer(JaxExpFamilyLayer):
         # differential entropy of N(mu, sigma); a log_partition scaling
         # leaves the normalized distribution (hence its entropy) unchanged
         return 0.5 * (1.0 + math.log(2.0 * math.pi)) + jnp.log(self.stddev(store))
+
+    def unit_kl(self, store_p, store_q):
+        mp, sp = self.mean(store_p), self.stddev(store_p)
+        mq, sq = self.mean(store_q), self.stddev(store_q)
+        return (
+            jnp.log(sq / sp)
+            + (jnp.square(sp) + jnp.square(mp - mq)) / (2.0 * jnp.square(sq))
+            - 0.5
+        )
 
     def mpe(self, store):
         mean = self.mean(store)  # (F, K)

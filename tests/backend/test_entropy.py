@@ -177,6 +177,136 @@ def test_entropy_logic_circuit_exact():
     np.testing.assert_allclose(h, np.log(4.0), rtol=1e-6)  # 4 models, uniform
 
 
+def _perturb_store(store, rng, scale=0.4, renorm_slots=()):
+    """Multiplicative positive noise on every float slot: keeps zeros zero
+    (support structure, hence determinism, preserved), probabilities
+    nonnegative, and stddevs positive. Slots named in ``renorm_slots`` are
+    row-renormalized afterwards — probs-parameterized categorical leaves
+    hard-code log Z = 0, so their slots must STAY normalized."""
+    out = {}
+    for k, v in store.items():
+        arr = np.asarray(v)
+        if np.issubdtype(arr.dtype, np.floating):
+            arr = arr * np.exp(rng.uniform(-scale, scale, arr.shape))
+            if k in renorm_slots:
+                arr = arr / arr.sum(axis=-1, keepdims=True)
+            out[k] = jnp.asarray(arr)
+        else:
+            out[k] = v
+    return out
+
+
+def _normalized_leaf_slots(cc):
+    """Slot names whose values the compiled layers assume normalized
+    (probs-parameterized categorical leaves)."""
+    from cirkit_tpu.backend.jax.circuit import _iter_param_nodes
+    from cirkit_tpu.backend.jax.layers import JaxCategoricalLayer
+    from cirkit_tpu.backend.jax.parameters import JaxTensorSlot
+
+    slots = set()
+    for e in cc._entries:
+        layer = e.layer
+        if isinstance(layer, JaxCategoricalLayer) and layer.logits is None:
+            for node in _iter_param_nodes(layer):
+                if isinstance(node, JaxTensorSlot):
+                    slots.add(node.slot)
+    return slots
+
+
+def _enum_kl(p, q):
+    p, q = p / p.sum(), q / q.sum()
+    nz = p > 0
+    return float((p[nz] * (np.log(p[nz]) - np.log(q[nz]))).sum())
+
+
+def test_kl_deterministic_matches_enumeration():
+    """KL(p || q) between two parameterizations of the same deterministic
+    circuit vs the exhaustive KL of the two compiled distributions."""
+    from cirkit_tpu.backend.jax.entropy import KLDivergenceQuery
+
+    rng = np.random.default_rng(45)
+    sc = _build_deterministic_pc(rng)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    sp = cc.restrict_store(ctx.parameters)
+    sq = _perturb_store(sp, rng, renorm_slots=_normalized_leaf_slots(cc))
+    kl = float(KLDivergenceQuery(cc)(sp, sq)[0, 0])
+
+    worlds = enumerate_worlds(2, 4)
+    pw = np.exp(np.asarray(cc.evaluate(sp, jnp.asarray(worlds)))[:, 0, 0])
+    qw = np.exp(np.asarray(cc.evaluate(sq, jnp.asarray(worlds)))[:, 0, 0])
+    np.testing.assert_allclose(kl, _enum_kl(pw, qw), rtol=1e-6)
+
+    # identical parameterizations: exactly zero
+    np.testing.assert_allclose(
+        float(KLDivergenceQuery(cc)(sp, sp)[0, 0]), 0.0, atol=1e-12
+    )
+
+
+def test_kl_upper_bounds_nondeterministic():
+    from cirkit_tpu.backend.jax.entropy import KLDivergenceQuery
+
+    rng = np.random.default_rng(46)
+    sc = build_multivariate_categorical_pc(num_variables=4, rng=rng)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    sp = cc.restrict_store(ctx.parameters)
+    sq = _perturb_store(sp, rng, renorm_slots=_normalized_leaf_slots(cc))
+    kl = float(KLDivergenceQuery(cc)(sp, sq)[0, 0])
+    worlds = enumerate_worlds(4, 2)
+    pw = np.exp(np.asarray(cc.evaluate(sp, jnp.asarray(worlds)))[:, 0, 0])
+    qw = np.exp(np.asarray(cc.evaluate(sq, jnp.asarray(worlds)))[:, 0, 0])
+    assert kl >= _enum_kl(pw, qw) - 1e-9
+    assert np.isfinite(kl)
+
+
+def test_kl_conditional_matches_enumeration():
+    """Posterior KL(p(X_1 | x_0) || q(X_1 | x_0)) per sample vs the
+    enumerated conditional distributions."""
+    from cirkit_tpu.backend.jax.entropy import KLDivergenceQuery
+
+    rng = np.random.default_rng(47)
+    sc = _build_deterministic_pc(rng)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    sp = cc.restrict_store(ctx.parameters)
+    sq = _perturb_store(sp, rng, renorm_slots=_normalized_leaf_slots(cc))
+    x = np.array([[0, 0], [2, 0]], dtype=np.int64)
+    mask = np.array([[True, False]] * 2)
+    kl = KLDivergenceQuery(cc)(sp, sq, x, evidence_mask=mask)
+    worlds = enumerate_worlds(2, 4)
+    pw = np.exp(np.asarray(cc.evaluate(sp, jnp.asarray(worlds)))[:, 0, 0])
+    qw = np.exp(np.asarray(cc.evaluate(sq, jnp.asarray(worlds)))[:, 0, 0])
+    for b in range(2):
+        keep = worlds[:, 0] == x[b, 0]
+        np.testing.assert_allclose(
+            float(kl[b, 0, 0]), _enum_kl(pw[keep], qw[keep]), rtol=1e-6
+        )
+
+
+def test_kl_gaussian_leaf_closed_form():
+    """The Gaussian unit_kl hook matches the closed form, read back
+    through the compiled layer's own parameter accessors."""
+    from cirkit_tpu.backend.jax.layers import JaxGaussianLayer
+
+    from tests.fixtures import build_bivariate_gaussian_pc
+
+    rng = np.random.default_rng(48)
+    sc = build_bivariate_gaussian_pc(num_units=3, rng=rng)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    sp = cc.restrict_store(ctx.parameters)
+    sq = _perturb_store(sp, rng)
+    layers = [e.layer for e in cc._entries if isinstance(e.layer, JaxGaussianLayer)]
+    assert layers
+    for layer in layers:
+        got = np.asarray(layer.unit_kl(sp, sq))
+        mp, s1 = np.asarray(layer.mean(sp)), np.asarray(layer.stddev(sp))
+        mq, s2 = np.asarray(layer.mean(sq)), np.asarray(layer.stddev(sq))
+        want = np.log(s2 / s1) + (s1**2 + (mp - mq) ** 2) / (2 * s2**2) - 0.5
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
 def test_entropy_requires_lse_sum():
     rng = np.random.default_rng(44)
     sc = _build_deterministic_pc(rng)
