@@ -1,6 +1,10 @@
 from cirkit_tpu.backend.jax.circuit import JaxCircuit
 from cirkit_tpu.backend.jax.compiler import JaxCompiler
-from cirkit_tpu.backend.jax.entropy import EntropyQuery, KLDivergenceQuery
+from cirkit_tpu.backend.jax.entropy import (
+    EntropyQuery,
+    KLDivergenceQuery,
+    renyi2_entropy,
+)
 from cirkit_tpu.backend.jax.queries import (
     ExpectationQuery,
     IntegrateQuery,
@@ -34,4 +38,5 @@ __all__ = [
     "weight_slots",
     "Query",
     "SamplingQuery",
+    "renyi2_entropy",
 ]

@@ -334,6 +334,50 @@ class KLDivergenceQuery(Query):
         return kl[0] if unconditional else kl
 
 
+def renyi2_entropy(
+    cc: JaxCircuit,
+    *,
+    ctx,
+    store: Store | None = None,
+    x=None,
+    evidence_mask=None,
+):
+    """Collision (Rényi order-2) entropy ``H_2 = -log sum_x p(x)^2`` of
+    the normalized circuit distribution — **exact for any circuit the
+    product operator supports** (smooth, structured-decomposable,
+    compatible with itself), deterministic or not: it rides
+    ``ctx.multiply(cc, cc)`` + integration, the compositional-atlas route,
+    so it complements :class:`EntropyQuery` exactly where the Shannon
+    recursion is only an upper bound. With ``x``/``evidence_mask`` it
+    returns per-sample posterior collision entropies
+    ``-log sum p(x_free | x_obs)^2``. Returns (O, K) without ``x``,
+    (B, O, K) with; nats."""
+    from cirkit_tpu.backend.jax.queries import IntegrateQuery
+
+    num_vars = max(cc.scope) + 1
+    unconditional = x is None
+    if unconditional:
+        if evidence_mask is not None:
+            raise ValueError("evidence_mask requires x")
+        x = jnp.zeros((1, num_vars), jnp.float32)
+        mask = jnp.zeros((1, num_vars), bool)
+    else:
+        x = jnp.asarray(x)
+        if evidence_mask is None:
+            raise ValueError("x requires an evidence_mask")
+        mask = _evidence_to_mask(cc, evidence_mask, x.shape[0])
+    sq = getattr(cc, "_squared_cc", None)
+    if sq is None:
+        sq = cc._squared_cc = ctx.multiply(cc, cc)
+    full = {**ctx.parameters, **(store or {})}
+    # integrate the FREE variables of p^2 and of p: H2 = -(log int p~^2 -
+    # 2 log p~(e)); per-sample runtime masks, no recompilation
+    l2 = IntegrateQuery(sq)(x, integrate_vars=~mask, store=full)
+    lz = IntegrateQuery(cc)(x, integrate_vars=~mask, store=full)
+    h2 = -(l2 - 2.0 * lz)
+    return h2[0] if unconditional else h2
+
+
 def _mix_kl(lzp, lzq, kl, wp, wq):
     """One sum reduction of the KL carrier: composite (log Z^p, log Z^q,
     KL) triples (F, B, M) x both weight rows (F, O, M) -> output triples.

@@ -307,6 +307,64 @@ def test_kl_gaussian_leaf_closed_form():
         np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
+def test_renyi2_entropy_exact_on_nondeterministic():
+    """H2 via multiply+integrate is exact even where the Shannon recursion
+    is only an upper bound; the Renyi ordering H2 <= H <= latent bound
+    holds throughout."""
+    from cirkit_tpu.backend.jax.entropy import renyi2_entropy
+
+    rng = np.random.default_rng(49)
+    sc = build_multivariate_categorical_pc(num_variables=4, rng=rng)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    h2 = float(renyi2_entropy(cc, ctx=ctx)[0, 0])
+    worlds = enumerate_worlds(4, 2)
+    p = eval_circuit(sc, worlds)[:, 0, 0]
+    ph = p / p.sum()
+    np.testing.assert_allclose(h2, -np.log((ph**2).sum()), rtol=1e-6)
+    h_shannon = _enum_entropy(p)
+    h_bound = float(EntropyQuery(cc)(store=ctx.parameters)[0, 0])
+    assert h2 <= h_shannon + 1e-9 <= h_bound + 2e-9
+
+
+def test_renyi2_entropy_conditional_and_gaussian():
+    from cirkit_tpu.backend.jax.entropy import renyi2_entropy
+
+    rng = np.random.default_rng(50)
+    sc = _build_deterministic_pc(rng)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    worlds = enumerate_worlds(2, 4)
+    p = eval_circuit(sc, worlds)[:, 0, 0]
+    x = np.array([[0, 0], [2, 0]], dtype=np.int64)
+    mask = np.array([[True, False]] * 2)
+    h2 = renyi2_entropy(cc, ctx=ctx, x=x, evidence_mask=mask)
+    for b in range(2):
+        keep = worlds[:, 0] == x[b, 0]
+        ph = p[keep] / p[keep].sum()
+        np.testing.assert_allclose(
+            float(h2[b, 0, 0]), -np.log((ph**2).sum()), rtol=1e-6
+        )
+
+    # Gaussian closed form: int N(mu, s)^2 dx = 1 / (2 s sqrt(pi)) per var
+    from cirkit_tpu.symbolic import Circuit, GaussianLayer, HadamardLayer, SumLayer
+
+    sds = rng.uniform(0.5, 2.0, size=2)
+    leaves = [
+        GaussianLayer(Scope([v]), 1, mean=const_param(np.array([0.1])),
+                      stddev=const_param(np.array([sds[v]])))
+        for v in range(2)
+    ]
+    prod = HadamardLayer(1, arity=2)
+    root = SumLayer(1, 1, weight=const_param(np.array([[1.0]])))
+    scg = Circuit(leaves + [prod, root], {prod: leaves, root: [prod]}, [root])
+    ctxg = PipelineContext(semiring="lse-sum", fold=True)
+    ccg = ctxg.compile(scg)
+    h2g = float(renyi2_entropy(ccg, ctx=ctxg)[0, 0])
+    want = sum(np.log(2 * s * np.sqrt(np.pi)) for s in sds)
+    np.testing.assert_allclose(h2g, want, rtol=1e-6)
+
+
 def test_entropy_requires_lse_sum():
     rng = np.random.default_rng(44)
     sc = _build_deterministic_pc(rng)
