@@ -241,12 +241,14 @@ def bench_queries(sum_product: str, num_units: int, batch: int, iters: int):
         time_it(lambda: iq(x, integrate_vars=mask, store=store), iters), 2
     )
     mq = MAPQuery(cc)
+    # >= 10 pipelined calls per sync: a degraded tunnel round-trip (~25 ms
+    # observed) otherwise biases a ~40 ms metric by RTT/n (docs/PERF.md)
     out["map_query_ms"] = round(
-        time_it(lambda: mq(x, evidence_mask=mask, store=store), max(iters // 10, 3)), 2
+        time_it(lambda: mq(x, evidence_mask=mask, store=store), max(iters // 3, 10)), 2
     )
     sq = SamplingQuery(cc)
     out["sample_query_ms"] = round(
-        time_it(lambda: sq(batch, key=key, store=store)[0], 3), 1
+        time_it(lambda: sq(batch, key=key, store=store)[0], 10), 1
     )
     eq = ExpectationQuery(cc)
     out["expectation_query_ms"] = round(

@@ -5,6 +5,7 @@ from cirkit_tpu.backend.jax.entropy import (
     KLDivergenceQuery,
     renyi2_entropy,
 )
+from cirkit_tpu.backend.jax.pruning import prune_circuit
 from cirkit_tpu.backend.jax.queries import (
     ExpectationQuery,
     IntegrateQuery,
@@ -38,5 +39,6 @@ __all__ = [
     "weight_slots",
     "Query",
     "SamplingQuery",
+    "prune_circuit",
     "renyi2_entropy",
 ]

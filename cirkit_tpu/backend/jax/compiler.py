@@ -187,7 +187,7 @@ class JaxCompiler(AbstractCompiler):
 
         # 3. Fold (or build the trivial F=1 plan).
         if self.is_fold_enabled:
-            folded, fold_inputs, fold_outputs, slot_remap = fold_graph(
+            folded, fold_inputs, fold_outputs, slot_remap, fold_of = fold_graph(
                 layers, in_layers, outputs, self.state.alloc_slot
             )
             self.state.apply_remap(slot_remap)
@@ -201,6 +201,7 @@ class JaxCompiler(AbstractCompiler):
                 if not isinstance(l, JaxInputLayer)
             }
             fold_outputs = [(index[id(o)], 0) for o in outputs]
+            fold_of = {id(l): (index[id(l)], 0) for l in layers}
             plan_layers = layers
 
         cc = JaxCircuit(
@@ -211,6 +212,14 @@ class JaxCompiler(AbstractCompiler):
             fold_outputs,
             properties=sc.properties,
             semiring=self.semiring,
+        )
+        # symbolic layer -> (plan entry, fold) placement, for parameter
+        # readback and pruning; only meaningful when the optimizer did not
+        # rewrite the layer graph (fusions drop the 1:1 correspondence)
+        cc._symbolic_fold = (
+            None
+            if self.is_optimize_enabled
+            else {sl: fold_of[id(jl)] for sl, jl in compiled.items()}
         )
         self.register_compiled_circuit(sc, cc)
         return cc

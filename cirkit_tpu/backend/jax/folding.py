@@ -173,13 +173,16 @@ def fold_graph(
     dict[int, list[list[tuple[int, int]]]],
     list[tuple[int, int]],
     dict[str, tuple[str, list[int]]],
+    dict[int, tuple[int, int]],
 ]:
     """Fold an unfolded (F=1 everywhere) layer graph.
 
     Returns the folded layer list, per-layer fold-input specs (F x H pairs of
     (producer index, fold within producer)), the output (producer, fold)
-    pairs, and the slot remapping produced by merging tensor slots.
-    """
+    pairs, the slot remapping produced by merging tensor slots, and the
+    ``id(original layer) -> (folded index, fold)`` placement map (consumed
+    by the compiler to retain a symbolic-layer -> fold mapping for
+    readback/pruning)."""
     incomings = lambda l: in_layers.get(l, [])
     outs = node_outgoings(layers, incomings)
     frontiers = layerwise_topological_ordering(
@@ -208,4 +211,4 @@ def fold_graph(
 
     fold_outputs = [fold_of[id(o)] for o in outputs]
     retarget_pointers(folded_layers, slot_remap)
-    return folded_layers, fold_inputs, fold_outputs, slot_remap
+    return folded_layers, fold_inputs, fold_outputs, slot_remap, fold_of

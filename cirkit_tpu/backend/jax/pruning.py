@@ -1,0 +1,330 @@
+"""Structural pruning of trained circuits: drop low-importance units.
+
+An extension beyond the reference (which has no post-training compression).
+Given a symbolic circuit and its trained parameter store, ``prune_circuit``
+returns a NEW, smaller symbolic circuit whose layers keep only the
+important units, with the trained values sliced in as constant (still
+learnable) parameters — ready to re-compile for serving or fine-tuning
+(plain weights, so the pruned circuit is ``fit_em``-eligible).
+
+How it works:
+
+1. **Readback.** The circuit is re-compiled *unoptimized + folded* through
+   a sibling compiler sharing the context's parameter state, so every
+   layer's materialized parameters (softmax weights applied, etc.) can be
+   read straight out of the trained store at the layer's retained
+   ``(plan entry, fold)`` placement (``JaxCircuit._symbolic_fold``) —
+   the same slot-sharing mechanism the circuit product operator uses.
+2. **Scoring.** A root-to-leaf max-product importance flow: the root units
+   score 1; a sum sends each child unit ``max_o score_o * Wn[o, j]`` (rows
+   normalized), products pass scores through (Kronecker: max over the
+   composites a digit participates in). A unit's score upper-bounds the
+   normalized weight of any mixture path using it.
+3. **Kept-set fixpoint.** Units scoring >= ``threshold`` (or the top
+   ``1 - fraction`` per layer) are kept, then constraints are repaired to
+   a fixpoint: product layers need the SAME kept set as each child
+   (elementwise/digit alignment); sum layers need EQUAL kept counts
+   across children (the dense weight is (O, arity * K)) — smaller
+   siblings grow back their next-best units. Output layers keep all.
+4. **Rebuild.** New layers are constructed in topological order with the
+   materialized values sliced to the kept units (Kronecker consumers remap
+   composite columns; the surviving composites keep their true weights).
+
+Pruning quality follows the classic flow/weight-magnitude heuristics
+(Dang et al., "Pruning and growing probabilistic circuits"); the
+``threshold=0`` setting is a lossless round-trip, which the tests pin
+against the original distribution by enumeration.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import numpy as np
+
+from cirkit_tpu.symbolic.circuit import Circuit
+from cirkit_tpu.symbolic.initializers import ConstantTensorInitializer
+from cirkit_tpu.symbolic.layers import (
+    BinomialLayer,
+    CategoricalLayer,
+    EmbeddingLayer,
+    GaussianLayer,
+    HadamardLayer,
+    KroneckerLayer,
+    Layer,
+    SumLayer,
+)
+from cirkit_tpu.symbolic.parameters import Parameter, TensorParameter
+
+
+def _const(value: np.ndarray) -> Parameter:
+    return Parameter.from_input(
+        TensorParameter(
+            *value.shape,
+            initializer=ConstantTensorInitializer(np.asarray(value)),
+            learnable=True,
+        )
+    )
+
+
+def _materialize(sc: Circuit, ctx, store) -> dict[Layer, Any]:
+    """Per-symbolic-layer materialized parameter values from the trained
+    store, via an unoptimized folded sibling compile sharing the
+    context's compiler state (slots resolve to the SAME trained arrays)."""
+    from cirkit_tpu.backend.jax.compiler import JaxCompiler
+    from cirkit_tpu.backend.jax.layers import (
+        JaxBinomialLayer,
+        JaxCategoricalLayer,
+        JaxEmbeddingLayer,
+        JaxGaussianLayer,
+        JaxSumLayer,
+    )
+
+    base = ctx._compiler
+    raw = JaxCompiler(semiring=base._flags["semiring"], fold=True, optimize=False)
+    raw.state = base.state
+    cc = raw.compile(sc)
+    placement = cc._symbolic_fold
+    assert placement is not None  # unoptimized compile always retains it
+    import jax
+
+    values: dict[Layer, Any] = {}
+    for sl, (pi, f) in placement.items():
+        jl = cc._entries[pi].layer
+        if isinstance(sl, SumLayer):
+            values[sl] = np.asarray(jl.weight(store), np.float64)[f]
+        elif isinstance(sl, CategoricalLayer):
+            values[sl] = np.asarray(jl.state_distribution(store), np.float64)[f]
+        elif isinstance(sl, GaussianLayer):
+            if isinstance(jl, JaxGaussianLayer) and jl.log_partition is not None:
+                raise NotImplementedError(
+                    "Pruning unnormalized (log-partition) Gaussian layers is "
+                    "not supported"
+                )
+            values[sl] = (
+                np.asarray(jl.mean(store), np.float64)[f],
+                np.asarray(jl.stddev(store), np.float64)[f],
+            )
+        elif isinstance(sl, BinomialLayer):
+            values[sl] = np.asarray(jax.nn.sigmoid(jl._logits(store)), np.float64)[f]
+        elif isinstance(sl, EmbeddingLayer):
+            values[sl] = np.asarray(jl.weight(store), np.float64)[f]
+        elif isinstance(sl, (HadamardLayer, KroneckerLayer)):
+            pass  # parameterless
+        else:
+            raise NotImplementedError(
+                f"Pruning is not supported for {type(sl).__name__}"
+            )
+    return values
+
+
+def _digit_lists(kept: list[int], k: int, arity: int) -> list[list[int]]:
+    """Per-operand digit sets used by a Kronecker kept-composite set
+    (row-major, first operand most significant)."""
+    out = [set() for _ in range(arity)]
+    for c in kept:
+        rem = c
+        for h in range(arity - 1, -1, -1):
+            out[h].add(rem % k)
+            rem //= k
+    return [sorted(s) for s in out]
+
+
+def prune_circuit(
+    sc: Circuit,
+    *,
+    ctx,
+    store=None,
+    threshold: float | None = None,
+    fraction: float | None = None,
+    min_units: int = 1,
+) -> tuple[Circuit, dict]:
+    """Prune low-importance units from a trained circuit.
+
+    Exactly one of ``threshold`` (keep units whose root-to-leaf
+    max-product importance is >= it) or ``fraction`` (prune this fraction
+    of each prunable layer's units, lowest importance first) must be
+    given. ``store`` defaults to the context's parameters (merged over
+    them otherwise). Returns ``(pruned symbolic circuit, report)`` where
+    the report carries per-layer kept counts and the total unit/parameter
+    reduction. ``threshold=0.0`` is a lossless rebuild (pinned in tests).
+    """
+    if (threshold is None) == (fraction is None):
+        raise ValueError("Exactly one of 'threshold' and 'fraction' must be given")
+    full = dict(ctx.parameters)
+    if store is not None:
+        full.update(store)
+    values = _materialize(sc, ctx, full)
+
+    topo = list(sc.topological_ordering())
+    out_set = set(sc.outputs)
+
+    # ---- scoring: root-to-leaf max-product importance flow ------------------
+    score: dict[Layer, np.ndarray] = {
+        sl: np.full(sl.num_output_units, -np.inf) for sl in topo
+    }
+    for sl in out_set:
+        score[sl] = np.ones(sl.num_output_units)
+    for sl in reversed(topo):
+        s = score[sl]
+        children = sc.layer_inputs(sl)
+        if not children:
+            continue
+        if isinstance(sl, SumLayer):
+            w = values[sl]  # (O, H*K)
+            z = np.maximum(w.sum(axis=1, keepdims=True), np.finfo(np.float64).tiny)
+            contrib = (s[:, None] * (w / z)).max(axis=0)  # (H*K,)
+            k = sl.num_input_units
+            for h, c in enumerate(children):
+                score[c] = np.maximum(score[c], contrib[h * k : (h + 1) * k])
+        elif isinstance(sl, HadamardLayer):
+            for c in children:
+                score[c] = np.maximum(score[c], s)
+        elif isinstance(sl, KroneckerLayer):
+            k, h = sl.num_input_units, sl.arity
+            cube = s.reshape((k,) * h)
+            for hh, c in enumerate(children):
+                axes = tuple(a for a in range(h) if a != hh)
+                score[c] = np.maximum(score[c], cube.max(axis=axes) if axes else cube)
+        else:
+            raise NotImplementedError(
+                f"Pruning is not supported for {type(sl).__name__}"
+            )
+
+    # ---- initial kept sets --------------------------------------------------
+    kept: dict[Layer, set[int]] = {}
+    order: dict[Layer, np.ndarray] = {}
+    for sl in topo:
+        rank = np.argsort(-score[sl], kind="stable")
+        order[sl] = rank
+        if sl in out_set:
+            kept[sl] = set(range(sl.num_output_units))
+        elif isinstance(sl, KroneckerLayer):
+            # composites are DERIVED (cross product of the children's kept
+            # units, filled by the fixpoint): thresholding composites
+            # directly is self-defeating — the top composites' digit
+            # unions typically cover every digit and the closure grows
+            # back to the full layer
+            kept[sl] = set()
+        elif threshold is not None:
+            ks = {int(j) for j in np.where(score[sl] >= threshold)[0]}
+            kept[sl] = ks if len(ks) >= min_units else {int(j) for j in rank[:min_units]}
+        else:
+            n = max(min_units, math.ceil(sl.num_output_units * (1.0 - fraction)))
+            kept[sl] = {int(j) for j in rank[:n]}
+
+    # ---- fixpoint repair of structural constraints --------------------------
+    changed = True
+    while changed:
+        changed = False
+        for sl in reversed(topo):
+            children = sc.layer_inputs(sl)
+            if isinstance(sl, HadamardLayer):
+                u = set(kept[sl])
+                for c in children:
+                    u |= kept[c]
+                for lay in (sl, *children):
+                    if kept[lay] != u:
+                        kept[lay] = set(u)
+                        changed = True
+            elif isinstance(sl, KroneckerLayer):
+                k, h = sl.num_input_units, sl.arity
+                digits = _digit_lists(sorted(kept[sl]), k, h)
+                for hh, c in enumerate(children):
+                    u = kept[c] | set(digits[hh])
+                    if kept[c] != u:
+                        kept[c] = u
+                        changed = True
+                # the new layer computes the cross product of kept digits
+                comp = {0}
+                for hh in range(h):
+                    comp = {c0 * k + d for c0 in comp for d in sorted(kept[children[hh]])}
+                if kept[sl] != comp:
+                    kept[sl] = comp
+                    changed = True
+            elif isinstance(sl, SumLayer) and children:
+                target = max(len(kept[c]) for c in children)
+                for c in children:
+                    if len(kept[c]) < target:
+                        for j in order[c]:
+                            if len(kept[c]) >= target:
+                                break
+                            kept[c].add(int(j))
+                        changed = True
+
+    # ---- rebuild ------------------------------------------------------------
+    # old_index[layer]: new unit position -> old unit index
+    old_index: dict[Layer, list[int]] = {}
+    new_layers: dict[Layer, Layer] = {}
+    in_map: dict[Layer, list[Layer]] = {}
+    for sl in topo:
+        children = sc.layer_inputs(sl)
+        if isinstance(sl, KroneckerLayer):
+            k, h = sl.num_input_units, sl.arity
+            idx = [0]
+            for c in children:
+                idx = [i0 * k + j for i0 in idx for j in old_index[c]]
+            old_index[sl] = idx
+            nk = len(old_index[children[0]])
+            new_layers[sl] = KroneckerLayer(nk, arity=h)
+        elif isinstance(sl, HadamardLayer):
+            old_index[sl] = old_index[children[0]]
+            new_layers[sl] = HadamardLayer(len(old_index[sl]), arity=sl.arity)
+        elif isinstance(sl, SumLayer):
+            rows = sorted(kept[sl])
+            old_index[sl] = rows
+            w = values[sl]
+            k = sl.num_input_units
+            widths = {len(old_index[c]) for c in children}
+            if len(widths) != 1:
+                # a Kronecker sibling can only take cross-product widths a
+                # dense sibling may be unable to match — cf. the fixpoint
+                raise NotImplementedError(
+                    "Pruning could not equalize the input widths of a sum "
+                    f"layer (got {sorted(widths)}); use a smaller fraction"
+                )
+            cols = [h * k + j for h, c in enumerate(children) for j in old_index[c]]
+            new_w = w[np.ix_(rows, cols)]
+            nk = len(old_index[children[0]])
+            new_layers[sl] = SumLayer(nk, len(rows), arity=sl.arity, weight=_const(new_w))
+        else:  # input layers
+            rows = sorted(kept[sl])
+            old_index[sl] = rows
+            if isinstance(sl, CategoricalLayer):
+                new_layers[sl] = CategoricalLayer(
+                    sl.scope, len(rows), num_categories=sl.num_categories,
+                    probs=_const(values[sl][rows]),
+                )
+            elif isinstance(sl, GaussianLayer):
+                m, s = values[sl]
+                new_layers[sl] = GaussianLayer(
+                    sl.scope, len(rows), mean=_const(m[rows]), stddev=_const(s[rows])
+                )
+            elif isinstance(sl, BinomialLayer):
+                new_layers[sl] = BinomialLayer(
+                    sl.scope, len(rows), total_count=sl.total_count,
+                    probs=_const(values[sl][rows]),
+                )
+            else:  # EmbeddingLayer
+                new_layers[sl] = EmbeddingLayer(
+                    sl.scope, len(rows), num_states=sl.num_states,
+                    weight=_const(values[sl][rows]),
+                )
+        if children:
+            in_map[new_layers[sl]] = [new_layers[c] for c in children]
+
+    pruned = Circuit(
+        [new_layers[sl] for sl in topo], in_map, [new_layers[o] for o in sc.outputs]
+    )
+    units_before = sum(sl.num_output_units for sl in topo)
+    units_after = sum(l.num_output_units for l in new_layers.values())
+    report = {
+        "units_before": units_before,
+        "units_after": units_after,
+        "per_layer": [
+            (type(sl).__name__, sl.num_output_units, new_layers[sl].num_output_units)
+            for sl in topo
+        ],
+    }
+    return pruned, report
