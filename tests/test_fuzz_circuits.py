@@ -87,6 +87,34 @@ def test_random_circuit_matches_enumeration(seed, fold, optimize):
     np.testing.assert_allclose(float(val[0]), np.log(mx[best]), rtol=1e-9)
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_random_circuit_prune_roundtrip(seed):
+    """Pruning fuzz over the same random topologies (incl. shared-region
+    QuadGraph DAGs and all three sum-product blocks): threshold=0 is a
+    lossless rebuild, and a light threshold yields a sub-sum of the
+    mixture — never more mass, never NaN."""
+    from cirkit_tpu.backend.jax.pruning import prune_circuit
+
+    sc = _random_circuit(seed)
+    d = sc.num_variables
+    worlds = np.array(list(itertools.product(range(NUM_CATS), repeat=d)), dtype=np.int64)
+    ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=True)
+    cc = ctx.compile(sc)
+    want = np.exp(np.asarray(cc(worlds))[:, 0, 0])
+
+    pruned, report = prune_circuit(sc, ctx=ctx, threshold=0.0)
+    assert report["units_after"] == report["units_before"]
+    ctx2 = PipelineContext(semiring="lse-sum", fold=True)
+    got = np.exp(np.asarray(ctx2.compile(pruned)(worlds))[:, 0, 0])
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+    pruned2, _ = prune_circuit(sc, ctx=ctx, threshold=1e-3)
+    ctx3 = PipelineContext(semiring="lse-sum", fold=True)
+    got2 = np.exp(np.asarray(ctx3.compile(pruned2)(worlds))[:, 0, 0])
+    assert not np.isnan(got2).any()
+    assert np.all(got2 <= want + 1e-9)
+
+
 def test_multiclass_circuit_outputs_normalized():
     """num_classes > 1: the root sum emits one unit per class; each class
     is its own normalized distribution under softmax weights."""
