@@ -347,6 +347,33 @@ class ExpectationQuery(Query):
         continuous leaves raise."""
         return self._dispatch("marginals", x, evidence_mask, store, output, unit)
 
+    def covariance(
+        self,
+        x: jnp.ndarray | np.ndarray,
+        *,
+        evidence_mask: jnp.ndarray | np.ndarray,
+        variables: Sequence[int],
+        store: Store | None = None,
+        output: int = 0,
+        unit: int = 0,
+    ) -> jnp.ndarray:
+        """Exact posterior covariances ``Cov[x_u, x_v | x_obs]`` for the
+        queried ``variables``: (B, k, k) with k = len(variables).
+
+        Off-diagonals come from the Hessian of the evidence log-likelihood
+        with respect to the per-unit log-output offsets, contracted with
+        the leaves' mean states (one jvp-over-grad pass PER queried
+        variable — cost is linear in k, so query the subset you need, not
+        all D). Diagonals are the exact posterior variances (law of total
+        variance, as in ``return_variance``). Rows/columns of observed
+        variables are 0 per sample (conditioning makes them constants)."""
+        variables = tuple(int(v) for v in variables)
+        num_vars = max(self._circuit.scope) + 1
+        for v in variables:
+            if not 0 <= v < num_vars:
+                raise ValueError(f"variable {v} out of range for {num_vars} variables")
+        return self._dispatch(("cov", variables), x, evidence_mask, store, output, unit)
+
     def _dispatch(self, mode, x, evidence_mask, store, output, unit):
         cc = self._circuit
         x = jnp.asarray(x)
@@ -388,13 +415,19 @@ def _leaf_support_size(layer) -> int | None:
     return None
 
 
-def _build_expectation_run(cc: JaxCircuit, output: int, unit: int, mode: str = "mean"):
+def _build_expectation_run(cc: JaxCircuit, output: int, unit: int, mode="mean"):
     """``mode``: "mean" -> (B, D) posterior means; "mean_var" -> the
     ((B, D), (B, D)) mean/variance pair; "marginals" -> (B, D, S) full
-    posterior state distributions. All modes share ONE forward+backward
-    (the responsibilities) and differ only in the per-leaf statistic the
-    responsibilities weight."""
+    posterior state distributions; ("cov", vars) -> (B, k, k) exact
+    posterior covariances (Hessian-vector products, one per queried
+    variable, contracted with the leaf mean states). All modes share the
+    same offset-gradient responsibility program and differ only in the
+    per-leaf statistic (and, for covariances, the extra jvp passes)."""
     from cirkit_tpu.backend.jax.layers import JaxConstantInputLayer
+
+    cov_vars: tuple[int, ...] | None = None
+    if isinstance(mode, tuple):
+        mode, cov_vars = mode
 
     num_vars = max(cc.scope) + 1
     inputs = [
@@ -441,21 +474,53 @@ def _build_expectation_run(cc: JaxCircuit, output: int, unit: int, mode: str = "
             ll = cc.evaluate(st, xx, module_fn=layer_fn)
             return jnp.sum(ll[:, output, unit])
 
-        resp = jax.grad(total_ll)(offs)
+        grad_fn = jax.grad(total_ll)
+        resp = grad_fn(offs)
         hp = jax.lax.Precision.HIGHEST
 
-        def weighted(stat):
-            """Scatter the responsibility-weighted per-unit statistic
-            (F, K) -> (B, D) at each layer's variable position."""
+        def contract(rd, stat):
+            """Scatter the ``rd``-weighted per-unit statistic (F, K) ->
+            (B, D) at each layer's variable position."""
             acc = jnp.zeros((bsz, num_vars), dt)
             for e, layer in inputs:
-                r = resp[f"__r{e}"]  # (F, B, K) posterior responsibilities
+                r = rd[f"__r{e}"]  # (F, B, K)
                 exp = jnp.einsum(
                     "fbk,fk->fb", r, stat(layer).astype(dt), precision=hp
                 )
                 onehot = jax.nn.one_hot(layer.scope_idx[:, 0], num_vars, dtype=dt)
                 acc = acc + jnp.einsum("fb,fd->bd", exp, onehot, precision=hp)
             return acc
+
+        def weighted(stat):
+            return contract(resp, stat)
+
+        if mode == "cov":
+            # Cov(x_u, x_v | e) = m_u^T H_uv m_v with H the Hessian of the
+            # evidence log-likelihood wrt the per-unit offsets (the usage-
+            # indicator covariance): one jvp over the grad program per
+            # queried u, tangent = u's mean states, gives the full row.
+            # Smoothness makes within-variable joint usage diagonal, so
+            # the diagonal instead carries the exact total variance.
+            m1 = weighted(lambda l: l.mean_state(st))
+            m2 = weighted(lambda l: l.second_moment_state(st))
+            var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+            rows = []
+            for u in cov_vars:
+                tang = {}
+                for e, layer in inputs:
+                    m = layer.mean_state(st).astype(dt)  # (F, K)
+                    sel = jnp.asarray(layer.scope_idx[:, 0] == u, dt)[:, None]
+                    tang[f"__r{e}"] = jnp.broadcast_to(
+                        (m * sel)[:, None, :], offs[f"__r{e}"].shape
+                    )
+                _, hvp = jax.jvp(grad_fn, (offs,), (tang,))
+                rows.append(contract(hvp, lambda l: l.mean_state(st)))
+            vidx = jnp.asarray(cov_vars)
+            cov = jnp.stack(rows, axis=1)[:, :, vidx]  # (B, k, k)
+            eye = jnp.eye(len(cov_vars), dtype=bool)
+            cov = jnp.where(eye[None], var[:, vidx][:, :, None], cov)
+            free = (~mk[:, vidx]).astype(dt)  # observed vars are constants
+            return cov * free[:, :, None] * free[:, None, :]
 
         if mode == "marginals":
             out = jnp.zeros((bsz, num_vars, supp), dt)

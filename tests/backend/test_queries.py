@@ -631,6 +631,81 @@ def test_posterior_variance_matches_enumeration():
         assert var[b, 0] == 0.0
 
 
+def test_posterior_covariance_matches_enumeration():
+    """covariance(): the full (B, k, k) posterior covariance over queried
+    variables must match exhaustive posterior second moments; symmetric;
+    diagonal equals return_variance; observed rows/cols are zero."""
+    from cirkit_tpu.backend.jax.queries import ExpectationQuery
+
+    sc = build_multivariate_categorical_pc(num_variables=4, rng=np.random.default_rng(98))
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    q = ExpectationQuery(cc)
+    x = np.zeros((2, 4), dtype=np.int64)
+    x[:, 0] = [0, 1]
+    mask = np.zeros((2, 4), dtype=bool)
+    mask[:, 0] = True
+    cov = np.asarray(
+        q.covariance(x, evidence_mask=mask, variables=(0, 1, 2, 3), store=ctx.parameters)
+    )
+    assert cov.shape == (2, 4, 4)
+    np.testing.assert_allclose(cov, np.transpose(cov, (0, 2, 1)), atol=1e-12)
+    _, var = q(x, evidence_mask=mask, store=ctx.parameters, return_variance=True)
+    np.testing.assert_allclose(
+        np.stack([np.diag(cov[b]) for b in range(2)]), np.asarray(var), rtol=1e-6,
+        atol=1e-12,
+    )
+
+    worlds = enumerate_worlds(4, 2)
+    p = eval_circuit(sc, worlds)[:, 0, 0]
+    for b in range(2):
+        keep = worlds[:, 0] == x[b, 0]
+        pw = p[keep] / p[keep].sum()
+        w = worlds[keep].astype(float)
+        m = (pw[:, None] * w).sum(axis=0)
+        want = (pw[:, None, None] * (w[:, :, None] - m) * (w[:, None, :] - m)).sum(axis=0)
+        # observed var 0: constants — zero row/col
+        want[0, :] = 0.0
+        want[:, 0] = 0.0
+        np.testing.assert_allclose(cov[b], want, rtol=1e-5, atol=1e-9)
+
+
+def test_posterior_covariance_gaussian_closed_form():
+    """2-var GMM: Cov(x0, x1 | nothing) = sum_c w_c mu0c mu1c - E0 E1
+    (components factorize, so within-component cross-covariance is 0)."""
+    from cirkit_tpu.backend.jax.queries import ExpectationQuery
+    from cirkit_tpu.symbolic import Circuit, GaussianLayer, HadamardLayer, SumLayer
+    from tests.fixtures import const_param
+
+    rng = np.random.default_rng(99)
+    k = 3
+    mus = rng.normal(scale=2.0, size=(2, k))
+    sds = rng.uniform(0.5, 1.2, size=(2, k))
+    leaves = [
+        GaussianLayer(Scope([v]), k, mean=const_param(mus[v]), stddev=const_param(sds[v]))
+        for v in range(2)
+    ]
+    prod = HadamardLayer(k, arity=2)
+    w = rng.dirichlet(np.ones(k))
+    root = SumLayer(k, 1, weight=const_param(w[None]))
+    sc = Circuit(leaves + [prod, root], {prod: leaves, root: [prod]}, [root])
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    q = ExpectationQuery(cc)
+    x = np.zeros((1, 2))
+    mask = np.zeros((1, 2), dtype=bool)
+    cov = np.asarray(q.covariance(x, evidence_mask=mask, variables=(0, 1), store=ctx.parameters))
+    e = (w[None, :] * mus).sum(axis=1)  # (2,)
+    want01 = (w * mus[0] * mus[1]).sum() - e[0] * e[1]
+    want00 = (w * (sds[0] ** 2 + mus[0] ** 2)).sum() - e[0] ** 2
+    np.testing.assert_allclose(cov[0, 0, 1], want01, rtol=1e-6)
+    np.testing.assert_allclose(cov[0, 1, 0], want01, rtol=1e-6)
+    np.testing.assert_allclose(cov[0, 0, 0], want00, rtol=1e-6)
+
+    with pytest.raises(ValueError, match="out of range"):
+        q.covariance(x, evidence_mask=mask, variables=(0, 5), store=ctx.parameters)
+
+
 def test_posterior_variance_gaussian_closed_form():
     """2-var GMM: Var[x_1 | x_0] must equal the closed-form mixture
     variance sum_c r_c (sigma_c^2 + mu_c^2) - (sum_c r_c mu_c)^2."""
