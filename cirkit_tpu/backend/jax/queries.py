@@ -367,14 +367,35 @@ class ExpectationQuery(Query):
         all D). Diagonals are the exact posterior variances (law of total
         variance, as in ``return_variance``). Rows/columns of observed
         variables are 0 per sample (conditioning makes them constants)."""
+        cc = self._circuit
         variables = tuple(int(v) for v in variables)
-        num_vars = max(self._circuit.scope) + 1
+        num_vars = max(cc.scope) + 1
         for v in variables:
             if not 0 <= v < num_vars:
                 raise ValueError(f"variable {v} out of range for {num_vars} variables")
-        return self._dispatch(("cov", variables), x, evidence_mask, store, output, unit)
+        # the queried variable is a RUNTIME argument of one compiled row
+        # program (k cheap dispatches, no per-subset retrace, and the
+        # program stays small enough for the remote compile service)
+        m1, var = self._dispatch("mean_var", x, evidence_mask, store, output, unit)
+        rows = jnp.stack(
+            [
+                self._dispatch(
+                    "cov_row", x, evidence_mask, store, output, unit,
+                    extra=(jnp.int32(u),),
+                )
+                for u in variables
+            ],
+            axis=1,
+        )  # (B, k, D)
+        vidx = jnp.asarray(variables)
+        cov = rows[:, :, vidx]
+        eye = jnp.eye(len(variables), dtype=bool)
+        cov = jnp.where(eye[None], var[:, vidx][:, :, None], cov)
+        mask = _evidence_to_mask(cc, evidence_mask, jnp.asarray(x).shape[0])
+        free = (~mask[:, vidx]).astype(cov.dtype)  # observed vars are constants
+        return cov * free[:, :, None] * free[:, None, :]
 
-    def _dispatch(self, mode, x, evidence_mask, store, output, unit):
+    def _dispatch(self, mode, x, evidence_mask, store, output, unit, extra=()):
         cc = self._circuit
         x = jnp.asarray(x)
         mask = _evidence_to_mask(cc, evidence_mask, x.shape[0])
@@ -394,8 +415,29 @@ class ExpectationQuery(Query):
             cache = cc._expect_jits = {}
         key = (output, unit, mode)
         if key not in cache:
-            cache[key] = jax.jit(_build_expectation_run(cc, output, unit, mode))
-        return cache[key](store, x, mask)
+            run = _build_expectation_run(cc, output, unit, mode)
+            if mode == "cov_row":
+                # the covariance row program takes jvp-over-grad (forward
+                # over reverse): the fused Pallas kernels define custom
+                # VJPs but no JVP rule, so trace this one program on the
+                # XLA fallback path (identical math; dispatchers consult
+                # the env var at trace time only)
+                import os as _os
+
+                def _run_no_pallas(st, xx, mk, *ex, _run=run):
+                    old = _os.environ.get("CIRKIT_TPU_DISABLE_PALLAS")
+                    _os.environ["CIRKIT_TPU_DISABLE_PALLAS"] = "1"
+                    try:
+                        return _run(st, xx, mk, *ex)
+                    finally:
+                        if old is None:
+                            _os.environ.pop("CIRKIT_TPU_DISABLE_PALLAS", None)
+                        else:
+                            _os.environ["CIRKIT_TPU_DISABLE_PALLAS"] = old
+
+                run = _run_no_pallas
+            cache[key] = jax.jit(run)
+        return cache[key](store, x, mask, *extra)
 
 
 def _leaf_support_size(layer) -> int | None:
@@ -415,19 +457,15 @@ def _leaf_support_size(layer) -> int | None:
     return None
 
 
-def _build_expectation_run(cc: JaxCircuit, output: int, unit: int, mode="mean"):
+def _build_expectation_run(cc: JaxCircuit, output: int, unit: int, mode: str = "mean"):
     """``mode``: "mean" -> (B, D) posterior means; "mean_var" -> the
     ((B, D), (B, D)) mean/variance pair; "marginals" -> (B, D, S) full
-    posterior state distributions; ("cov", vars) -> (B, k, k) exact
-    posterior covariances (Hessian-vector products, one per queried
-    variable, contracted with the leaf mean states). All modes share the
-    same offset-gradient responsibility program and differ only in the
-    per-leaf statistic (and, for covariances, the extra jvp passes)."""
+    posterior state distributions; "cov_row" -> the (B, D) covariance row
+    Cov[x_u, x_.] for a RUNTIME variable index u (one Hessian-vector
+    product, tangent = u's leaf mean states). All modes share the same
+    offset-gradient responsibility program and differ only in the
+    per-leaf statistic (and, for covariance rows, the extra jvp)."""
     from cirkit_tpu.backend.jax.layers import JaxConstantInputLayer
-
-    cov_vars: tuple[int, ...] | None = None
-    if isinstance(mode, tuple):
-        mode, cov_vars = mode
 
     num_vars = max(cc.scope) + 1
     inputs = [
@@ -453,7 +491,7 @@ def _build_expectation_run(cc: JaxCircuit, output: int, unit: int, mode="mean"):
             supp = max(supp, s)
     off_name = {id(layer): f"__r{e}" for e, layer in inputs}
 
-    def _run(st, xx, mk):
+    def _run(st, xx, mk, uu=None):
         bsz = xx.shape[0]
         dt = jnp.result_type(float)
         offs = {
@@ -494,33 +532,21 @@ def _build_expectation_run(cc: JaxCircuit, output: int, unit: int, mode="mean"):
         def weighted(stat):
             return contract(resp, stat)
 
-        if mode == "cov":
+        if mode == "cov_row":
             # Cov(x_u, x_v | e) = m_u^T H_uv m_v with H the Hessian of the
             # evidence log-likelihood wrt the per-unit offsets (the usage-
-            # indicator covariance): one jvp over the grad program per
-            # queried u, tangent = u's mean states, gives the full row.
-            # Smoothness makes within-variable joint usage diagonal, so
-            # the diagonal instead carries the exact total variance.
-            m1 = weighted(lambda l: l.mean_state(st))
-            m2 = weighted(lambda l: l.second_moment_state(st))
-            var = jnp.maximum(m2 - jnp.square(m1), 0.0)
-            rows = []
-            for u in cov_vars:
-                tang = {}
-                for e, layer in inputs:
-                    m = layer.mean_state(st).astype(dt)  # (F, K)
-                    sel = jnp.asarray(layer.scope_idx[:, 0] == u, dt)[:, None]
-                    tang[f"__r{e}"] = jnp.broadcast_to(
-                        (m * sel)[:, None, :], offs[f"__r{e}"].shape
-                    )
-                _, hvp = jax.jvp(grad_fn, (offs,), (tang,))
-                rows.append(contract(hvp, lambda l: l.mean_state(st)))
-            vidx = jnp.asarray(cov_vars)
-            cov = jnp.stack(rows, axis=1)[:, :, vidx]  # (B, k, k)
-            eye = jnp.eye(len(cov_vars), dtype=bool)
-            cov = jnp.where(eye[None], var[:, vidx][:, :, None], cov)
-            free = (~mk[:, vidx]).astype(dt)  # observed vars are constants
-            return cov * free[:, :, None] * free[:, None, :]
+            # indicator covariance): one jvp over the grad program with
+            # tangent = u's mean states gives the full row; u is a traced
+            # scalar, so ONE compiled program serves every variable
+            tang = {}
+            for e, layer in inputs:
+                m = layer.mean_state(st).astype(dt)  # (F, K)
+                sel = (jnp.asarray(layer.scope_idx[:, 0]) == uu).astype(dt)[:, None]
+                tang[f"__r{e}"] = jnp.broadcast_to(
+                    (m * sel)[:, None, :], offs[f"__r{e}"].shape
+                )
+            _, hvp = jax.jvp(grad_fn, (offs,), (tang,))
+            return contract(hvp, lambda l: l.mean_state(st))
 
         if mode == "marginals":
             out = jnp.zeros((bsz, num_vars, supp), dt)

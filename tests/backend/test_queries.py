@@ -706,6 +706,43 @@ def test_posterior_covariance_gaussian_closed_form():
         q.covariance(x, evidence_mask=mask, variables=(0, 5), store=ctx.parameters)
 
 
+def test_posterior_covariance_with_kernels_forced(monkeypatch):
+    """The covariance program takes jvp-over-grad, which the Pallas
+    kernels cannot (custom VJP only): the query must trace its program on
+    the XLA fallback even when kernels are active (regression: on TPU the
+    jvp raised 'Differentiation rule for repeat not implemented'), and
+    the result must match the plain path."""
+    import jax.numpy as jnp
+
+    from cirkit_tpu.backend.jax.queries import ExpectationQuery
+    from cirkit_tpu.models import image_data
+
+    sc = image_data(
+        (1, 4, 4), "quad-tree-2", input_layer="categorical",
+        num_input_units=8, sum_product_layer="tucker", num_sum_units=8,
+    )
+    rng = np.random.default_rng(100)
+    x = jnp.asarray(rng.integers(0, 256, size=(3, 16)), jnp.int32)
+    mask = jnp.asarray(rng.random((3, 16)) < 0.5)
+
+    def run(force):
+        if force:
+            monkeypatch.setenv("CIRKIT_TPU_FORCE_PALLAS", "1")
+        else:
+            monkeypatch.delenv("CIRKIT_TPU_FORCE_PALLAS", raising=False)
+        ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=True, seed=24)
+        cc = ctx.compile(sc)
+        return np.asarray(
+            ExpectationQuery(cc).covariance(
+                x, evidence_mask=mask, variables=(1, 5, 9), store=ctx.parameters
+            )
+        )
+
+    got = run(True)
+    want = run(False)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_posterior_variance_gaussian_closed_form():
     """2-var GMM: Var[x_1 | x_0] must equal the closed-form mixture
     variance sum_c r_c (sigma_c^2 + mu_c^2) - (sum_c r_c mu_c)^2."""
