@@ -137,3 +137,42 @@ def load_checkpoint(path: str | PathLike[str], like: Any | None = None) -> Any:
     if like is None:
         return ckptr.restore(Path(path).absolute())
     return ckptr.restore(Path(path).absolute(), target=like)
+
+
+def save_circuit(path: str | PathLike[str], sc: Any) -> None:
+    """Persist a symbolic circuit's STRUCTURE + (constant) parameters.
+
+    Closes the persistence gap for circuits that no template rebuilds —
+    LearnSPN outputs (``models.learn_spn``), pruned circuits
+    (``prune_circuit``), hand-built structures. The format is a versioned
+    pickle of the layer graph (layers, parameter graphs with their shared
+    references, constant initializers) — an extension; the reference
+    persists only region graphs. For template circuits prefer the
+    portable ``RegionGraph.dump`` + ``Parameterization`` route.
+
+    Trained TEMPLATE parameters live in the store, not the symbolic
+    circuit: persist them alongside with :func:`save_store`. Slot names
+    are allocated deterministically per compile order, so a reloaded
+    circuit compiled FIRST in a fresh context resolves the same slots
+    (pinned in tests/test_serialization_io.py).
+
+    Note the usual pickle caveat: only load circuit files you trust.
+    """
+    import pickle
+
+    with open(path, "wb") as f:
+        pickle.dump({"format": "cirkit-tpu-circuit", "version": 1, "circuit": sc}, f)
+
+
+def load_circuit(path: str | PathLike[str]) -> Any:
+    """Load a symbolic circuit saved by :func:`save_circuit`."""
+    import pickle
+
+    try:
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+    except pickle.UnpicklingError as exc:
+        raise ValueError(f"{path} is not a cirkit-tpu circuit file") from exc
+    if not (isinstance(blob, dict) and blob.get("format") == "cirkit-tpu-circuit"):
+        raise ValueError(f"{path} is not a cirkit-tpu circuit file")
+    return blob["circuit"]

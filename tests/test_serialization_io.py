@@ -149,3 +149,57 @@ def test_plot_circuit_and_region_graph(tmp_path):
         assert (tmp_path / "circuit.svg").exists()
     except graphviz.ExecutableNotFound:
         pass
+
+
+def test_symbolic_circuit_roundtrip_learned_structures(tmp_path):
+    """save_circuit/load_circuit persist structures no template rebuilds:
+    a LearnSPN circuit and a pruned circuit reload and compile to the
+    same distribution."""
+    import itertools
+
+    from cirkit_tpu.backend.jax.pruning import prune_circuit
+    from cirkit_tpu.models import learn_spn
+    from cirkit_tpu.utils.checkpoint import load_circuit, save_circuit
+
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 3, size=(300, 4))
+    sc = learn_spn(data, input_type="categorical", min_instances=50, seed=0)
+    save_circuit(tmp_path / "spn.ckt", sc)
+    sc2 = load_circuit(tmp_path / "spn.ckt")
+    worlds = np.array(list(itertools.product(range(3), repeat=4)))
+    a = np.asarray(PipelineContext(semiring="lse-sum", fold=True).compile(sc)(worlds))
+    b = np.asarray(PipelineContext(semiring="lse-sum", fold=True).compile(sc2)(worlds))
+    np.testing.assert_allclose(a, b, rtol=1e-12)
+
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    ctx.compile(sc)
+    pruned, _ = prune_circuit(sc, ctx=ctx, threshold=1e-4)
+    save_circuit(tmp_path / "pruned.ckt", pruned)
+    pruned2 = load_circuit(tmp_path / "pruned.ckt")
+    c = np.asarray(PipelineContext(semiring="lse-sum", fold=True).compile(pruned)(worlds))
+    d = np.asarray(PipelineContext(semiring="lse-sum", fold=True).compile(pruned2)(worlds))
+    np.testing.assert_allclose(c, d, rtol=1e-12)
+
+    with pytest.raises(ValueError, match="not a cirkit-tpu circuit"):
+        save_store(tmp_path / "x.npz", {"a": np.zeros(2)})
+        load_circuit(tmp_path / "x.npz")
+
+
+def test_full_persistence_flow_template_circuit(tmp_path):
+    """The circuit + trained-store persistence flow: slot allocation is
+    deterministic per compile order, so a reloaded circuit compiled FIRST
+    in a fresh context resolves the saved store's slots."""
+    from cirkit_tpu.utils.checkpoint import load_circuit, save_circuit
+
+    sc, ctx, cc = _small_circuit(True, True, "lse-sum")
+    x = np.random.default_rng(1).integers(0, 256, size=(5, 16))
+    before = np.asarray(cc(x))
+    save_circuit(tmp_path / "c.ckt", sc)
+    save_store(tmp_path / "s.npz", dict(ctx.parameters))
+
+    sc2 = load_circuit(tmp_path / "c.ckt")
+    ctx2 = PipelineContext(semiring="lse-sum", fold=True, optimize=True)
+    cc2 = ctx2.compile(sc2)
+    store2 = load_store(tmp_path / "s.npz")
+    after = np.asarray(cc2.jit_evaluate(cc2.restrict_store(store2), x))
+    np.testing.assert_allclose(before, after, rtol=1e-12, atol=1e-12)
