@@ -152,6 +152,12 @@ def prune_circuit(
     """
     if (threshold is None) == (fraction is None):
         raise ValueError("Exactly one of 'threshold' and 'fraction' must be given")
+    if not ctx._compiler.is_compiled(sc):
+        raise ValueError(
+            "Compile the circuit through this context first (ctx.compile(sc)): "
+            "pruning reads the trained parameters back through the context's "
+            "slot state"
+        )
     full = dict(ctx.parameters)
     if store is not None:
         full.update(store)

@@ -162,3 +162,12 @@ def test_prune_requires_exactly_one_mode():
         prune_circuit(sc, ctx=ctx)
     with pytest.raises(ValueError, match="Exactly one"):
         prune_circuit(sc, ctx=ctx, threshold=0.1, fraction=0.5)
+
+
+def test_prune_requires_compiled_context():
+    """An uncompiled circuit has no trained slots in the context's store:
+    the error must say so instead of a KeyError deep in readback."""
+    sc = build_bivariate_categorical_pc(rng=np.random.default_rng(76))
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    with pytest.raises(ValueError, match="Compile the circuit"):
+        prune_circuit(sc, ctx=ctx, threshold=0.0)
