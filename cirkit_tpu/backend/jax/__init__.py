@@ -1,5 +1,10 @@
 from cirkit_tpu.backend.jax.circuit import JaxCircuit
 from cirkit_tpu.backend.jax.compiler import JaxCompiler
+from cirkit_tpu.backend.jax.cross import (
+    cross_circuit_kl,
+    expected_loglikelihood,
+    is_deterministic,
+)
 from cirkit_tpu.backend.jax.entropy import (
     EntropyQuery,
     KLDivergenceQuery,
@@ -39,6 +44,9 @@ __all__ = [
     "weight_slots",
     "Query",
     "SamplingQuery",
+    "cross_circuit_kl",
+    "expected_loglikelihood",
+    "is_deterministic",
     "prune_circuit",
     "renyi2_entropy",
 ]

@@ -1,0 +1,635 @@
+"""Cross-circuit expectations and divergences via pairwise traversal.
+
+``E_p[log q]`` and ``KL(p || q)`` between two DIFFERENT (but compatible)
+circuits, plus an exact structural-determinism verifier. Extensions
+beyond the reference, whose query surface is integration/sampling only
+(ref: ``cirkit/backend/torch/queries.py:19-275``); the existing
+:class:`cirkit_tpu.backend.jax.entropy.KLDivergenceQuery` compares two
+parameterizations of ONE circuit — this module compares two circuits
+with different structures. The unit pairing is the one the product
+operator builds (``cirkit_tpu/symbolic/functional.py:153``, ref
+``symbolic/functional.py:259-415``), but the carriers differ.
+
+For a pair ``(n, m)`` of same-scope units (``n`` from ``p``, ``m`` from
+``q``) define
+
+    P(n, m) = int p~_n(x) * s_m(x) dx
+    C(n, m) = int p~_n(x) * s_m(x) * log q~_m(x) dx
+
+with ``s_m`` the support indicator of q's unit ``m``. When q is
+DETERMINISTIC (every sum's positively-weighted inputs have pairwise
+disjoint supports), ``log q~`` decomposes along q's parse tree and
+``(P, C)`` close under the recursion (Vergari et al., "A Compositional
+Atlas of Tractable Circuit Operations", NeurIPS 2021 — the
+cross-entropy / KLD rows of the tractability table):
+
+- input pair: closed form per leaf-family pair (tabular x tabular,
+  Gaussian x Gaussian);
+- product pair: ``P`` multiplies and ``C`` follows the Leibniz rule
+  over the scope-matched child pairs (disjoint scopes);
+- sum pair (p-side row ``A``, q-side row ``B``):
+  ``P(o1, o2) = sum_a sum_{b: B_b > 0} A_a P(a, b)`` and
+  ``C(o1, o2) = sum_a sum_{b: B_b > 0} A_a (C(a, b) + log B_b P(a, b))``
+  — q's weights gate SUPPORT (hence the ``B > 0`` mask, not ``B``),
+  while ``log B_b`` enters additively because on ``supp(m_b)`` the
+  deterministic sum satisfies ``log q~_m = log B_b + log q~_{m_b}``.
+
+Carried as ``(log P, r = C / P)``, every sum reduction is a two-stage
+exp-weighted matmul after per-row max shifts — the same numerics as
+``EntropyQuery``'s. At the root, ``E_p[log q] = r - log Z_q`` whenever
+``P = Z_p`` (q's support covers p's mass) and ``-inf`` otherwise;
+``KL(p || q) = -H(p) - E_p[log q]`` with ``H(p)`` exact from
+``EntropyQuery`` when p is deterministic too.
+
+Everything runs host-side in float64 over the SYMBOLIC graphs, with the
+trained parameters read back through the pipeline context (the same
+shared-state sibling-compile mechanism structural pruning uses): these
+queries target deterministic circuits — logic/SDD weighted-model-count
+distributions, decision-diagram-style models — whose unit counts are
+modest, and the pair matrices are only ``(K_p x K_q)`` per layer pair.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from collections.abc import Callable, Sequence
+from typing import Any
+
+import numpy as np
+
+from cirkit_tpu.symbolic.circuit import Circuit, are_compatible
+from cirkit_tpu.symbolic.layers import (
+    BinomialLayer,
+    CategoricalLayer,
+    EmbeddingLayer,
+    GaussianLayer,
+    HadamardLayer,
+    InputLayer,
+    KroneckerLayer,
+    Layer,
+    SumLayer,
+)
+
+__all__ = ["cross_circuit_kl", "expected_loglikelihood", "is_deterministic"]
+
+
+# --------------------------------------------------------------------------
+# parameter readback: evaluation-consistent host tables
+# --------------------------------------------------------------------------
+
+
+def _materialize_tables(sc: Circuit, ctx, store) -> dict[Layer, Any]:
+    """Per-symbolic-layer host float64 values that match the compiled
+    circuit's pointwise evaluation EXACTLY (up to f32 rounding): sum
+    layers map to their materialized weight rows, discrete leaves to the
+    full ``(K, S)`` unnormalized state table ``p~(x = s)``, Gaussians to
+    ``("gaussian", mean, stddev)``. Same shared-state sibling-compile
+    readback as :func:`cirkit_tpu.backend.jax.pruning.prune_circuit`."""
+    import jax
+
+    from cirkit_tpu.backend.jax.compiler import JaxCompiler
+
+    base = ctx._compiler
+    if not base.is_compiled(sc):
+        raise ValueError(
+            "Compile the circuit through this context first (ctx.compile(sc)): "
+            "cross-circuit queries read the trained parameters back through "
+            "the context's slot state"
+        )
+    raw = JaxCompiler(semiring=base._flags["semiring"], fold=True, optimize=False)
+    raw.state = base.state
+    cc = raw.compile(sc)
+    placement = cc._symbolic_fold
+    assert placement is not None  # unoptimized compile always retains it
+
+    values: dict[Layer, Any] = {}
+    for sl, (pi, f) in placement.items():
+        jl = cc._entries[pi].layer
+        if isinstance(sl, SumLayer):
+            w = np.asarray(jl.weight(store), np.float64)[f]
+            if (w < 0).any():
+                raise NotImplementedError(
+                    "Cross-circuit queries require nonnegative sum weights "
+                    "(probability semantics); found negative entries"
+                )
+            values[sl] = w
+        elif isinstance(sl, CategoricalLayer):
+            values[sl] = np.exp(np.asarray(jl._log_probs(store), np.float64)[f])
+        elif isinstance(sl, EmbeddingLayer):
+            t = np.asarray(jl.weight(store), np.float64)[f]
+            if (t < 0).any():
+                raise NotImplementedError(
+                    "Cross-circuit queries require nonnegative embedding "
+                    "tables (probability semantics); found negative entries"
+                )
+            values[sl] = t
+        elif isinstance(sl, BinomialLayer):
+            p = np.asarray(jax.nn.sigmoid(jl._logits(store)), np.float64)[f]
+            n = sl.total_count
+            s = np.arange(n + 1, dtype=np.float64)
+            comb = np.array([math.comb(n, int(i)) for i in range(n + 1)], np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                logt = (
+                    np.log(comb)[None, :]
+                    + s[None, :] * np.log(p)[:, None]
+                    + (n - s)[None, :] * np.log1p(-p)[:, None]
+                )
+            # p = 0 / 1 edges: the pmf is a point mass at 0 / n
+            logt = np.where(np.isnan(logt), -np.inf, logt)
+            values[sl] = np.exp(logt)
+        elif isinstance(sl, GaussianLayer):
+            if sl.log_partition is not None:
+                raise NotImplementedError(
+                    "Cross-circuit queries over unnormalized (log-partition) "
+                    "Gaussian layers are not supported"
+                )
+            values[sl] = (
+                "gaussian",
+                np.asarray(jl.mean(store), np.float64)[f],
+                np.asarray(jl.stddev(store), np.float64)[f],
+            )
+        elif isinstance(sl, (HadamardLayer, KroneckerLayer)):
+            pass  # parameterless
+        else:
+            raise NotImplementedError(
+                f"Cross-circuit queries are not supported for {type(sl).__name__}"
+            )
+    return values
+
+
+def _is_gaussian(v: Any) -> bool:
+    return isinstance(v, tuple) and v and v[0] == "gaussian"
+
+
+def _log_partition(sc: Circuit, values: dict[Layer, Any]) -> dict[Layer, np.ndarray]:
+    """Per-layer ``(K,)`` log partition vectors of the unnormalized
+    measure, bottom-up on the host (float64, per-row max shifts)."""
+    z: dict[Layer, np.ndarray] = {}
+    for sl in sc.topological_ordering():
+        if isinstance(sl, InputLayer):
+            v = values[sl]
+            if _is_gaussian(v):
+                z[sl] = np.zeros(sl.num_output_units)
+            else:
+                with np.errstate(divide="ignore"):
+                    z[sl] = np.log(v.sum(axis=1))
+        elif isinstance(sl, HadamardLayer):
+            z[sl] = sum(z[c] for c in sc.layer_inputs(sl))
+        elif isinstance(sl, KroneckerLayer):
+            out = np.zeros(1)
+            for c in sc.layer_inputs(sl):  # first child most significant
+                out = (out[:, None] + z[c][None, :]).reshape(-1)
+            z[sl] = out
+        elif isinstance(sl, SumLayer):
+            comp = np.concatenate([z[c] for c in sc.layer_inputs(sl)])
+            w = values[sl]  # (O, H*K)
+            s = comp.max()
+            s = s if np.isfinite(s) else 0.0
+            with np.errstate(divide="ignore"):
+                z[sl] = np.log(w @ np.exp(comp - s)) + s
+        else:
+            raise NotImplementedError(
+                f"Cross-circuit queries are not supported for {type(sl).__name__}"
+            )
+    return z
+
+
+# --------------------------------------------------------------------------
+# the generic pairwise walker
+# --------------------------------------------------------------------------
+
+_Pair = tuple[Layer, Layer]
+_Val = tuple[np.ndarray, ...]
+
+
+def _assemble_sum_comp(vals: Sequence[_Val], a1: int, a2: int) -> _Val:
+    """Child pair values (``itertools.product`` order, h1-major) into the
+    flat sum composites: per carrier, ``(a1 * K1, a2 * K2)`` with the
+    p-side flat index ``h1 * K1 + k`` (the concat-over-arity layout of
+    ``SumLayer`` weights) and likewise on the q side."""
+    out = []
+    for c in range(len(vals[0])):
+        k1, k2 = vals[0][c].shape
+        x = np.empty((a1, k1, a2, k2), dtype=vals[0][c].dtype)
+        i = 0
+        for h1 in range(a1):
+            for h2 in range(a2):
+                x[h1, :, h2, :] = vals[i][c]
+                i += 1
+        out.append(x.reshape(a1 * k1, a2 * k2))
+    return tuple(out)
+
+
+def _assemble_kron(
+    vals_pos: Sequence[tuple[int, int, _Val]],
+    h1: int,
+    h2: int,
+    k1: int,
+    k2: int,
+    ops: Sequence[Callable[[np.ndarray, np.ndarray], np.ndarray]],
+    inits: Sequence[Any],
+) -> _Val:
+    """Scope-matched child pair values into Kronecker composite pairs:
+    per carrier a ``(k1**h1, k2**h2)`` array where digit ``i`` of the
+    p-side composite follows p's OWN child order (first most
+    significant) and digit ``j`` of the q-side follows q's — the two
+    orders may differ, hence the ``(i, j)`` position pairs."""
+    outs = []
+    for c, (op, init) in enumerate(zip(ops, inits)):
+        shape = (k1,) * h1 + (k2,) * h2
+        acc = np.full(shape, init)
+        for i, j, tup in vals_pos:
+            b = [1] * (h1 + h2)
+            b[i] = k1
+            b[h1 + j] = k2
+            acc = op(acc, tup[c].reshape(b))
+        outs.append(acc.reshape(k1**h1, k2**h2))
+    return tuple(outs)
+
+
+def _pairwise_walk(
+    sc1: Circuit,
+    sc2: Circuit,
+    input_fn: Callable[[Layer, Layer], _Val],
+    sum_fn: Callable[[Layer, Layer, _Val], _Val],
+    ops: Sequence[Callable[[np.ndarray, np.ndarray], np.ndarray]],
+    inits: Sequence[Any],
+) -> dict[_Pair, _Val]:
+    """Bottom-up traversal over the product-operator unit pairing of two
+    compatible circuits. ``input_fn`` seeds same-scope leaf pairs with a
+    carrier tuple of ``(K1, K2)`` arrays; product pairs combine the
+    scope-matched child pairs with ``ops``/``inits`` (elementwise for
+    Hadamard, digit-tensorized for Kronecker); sum pairs get the
+    assembled ``(A1*K1, A2*K2)`` composite tuple via ``sum_fn``."""
+    pair_val: dict[_Pair, _Val] = {}
+    stack: list[_Pair] = list(itertools.product(sc1.outputs, sc2.outputs))
+    while stack:
+        pair = stack[-1]
+        if pair in pair_val:
+            stack.pop()
+            continue
+        l1, l2 = pair
+        if sc1.layer_scope(l1) != sc2.layer_scope(l2):
+            raise NotImplementedError(
+                "Cross-circuit queries require identically aligned scope "
+                f"partitions; paired layers have scopes {sc1.layer_scope(l1)} "
+                f"and {sc2.layer_scope(l2)}"
+            )
+        in1, in2 = isinstance(l1, InputLayer), isinstance(l2, InputLayer)
+        if in1 and in2:
+            pair_val[pair] = input_fn(l1, l2)
+            stack.pop()
+            continue
+        # one side may be deeper than the other over the same scope (e.g.
+        # a smoothing sum over literal indicators paired with a bare
+        # leaf): treat the leaf side as an identity-weighted trivial sum
+        if (in1 and isinstance(l2, SumLayer)) or (in2 and isinstance(l1, SumLayer)):
+            ins1 = [l1] if in1 else list(sc1.layer_inputs(l1))
+            ins2 = [l2] if in2 else list(sc2.layer_inputs(l2))
+            children = list(itertools.product(ins1, ins2))
+            missing = [p for p in children if p not in pair_val]
+            if missing:
+                stack.extend(missing)
+                continue
+            comp = _assemble_sum_comp(
+                [pair_val[p] for p in children],
+                1 if in1 else l1.arity,
+                1 if in2 else l2.arity,
+            )
+            pair_val[pair] = sum_fn(l1, l2, comp)
+            stack.pop()
+            continue
+        if in1 or in2:
+            raise NotImplementedError(
+                "Cross-circuit queries cannot pair an input layer with "
+                f"a {type(l2 if in1 else l1).__name__}"
+            )
+        if isinstance(l1, SumLayer) and isinstance(l2, SumLayer):
+            children = list(
+                itertools.product(sc1.layer_inputs(l1), sc2.layer_inputs(l2))
+            )
+            missing = [p for p in children if p not in pair_val]
+            if missing:
+                stack.extend(missing)
+                continue
+            comp = _assemble_sum_comp(
+                [pair_val[p] for p in children], l1.arity, l2.arity
+            )
+            pair_val[pair] = sum_fn(l1, l2, comp)
+            stack.pop()
+            continue
+        if type(l1) is not type(l2) or not isinstance(l1, (HadamardLayer, KroneckerLayer)):
+            raise NotImplementedError(
+                f"Cross-circuit queries cannot pair {type(l1).__name__} with "
+                f"{type(l2).__name__}"
+            )
+        ins1 = list(sc1.layer_inputs(l1))
+        ins2 = list(sc2.layer_inputs(l2))
+        by_scope: dict[Any, tuple[int, Layer]] = {}
+        for j, c2 in enumerate(ins2):
+            key = tuple(sorted(sc2.layer_scope(c2)))
+            if key in by_scope:
+                raise NotImplementedError(
+                    "Cross-circuit queries require distinct child scopes per "
+                    "product layer"
+                )
+            by_scope[key] = (j, c2)
+        matched: list[tuple[int, int, _Pair]] = []
+        for i, c1 in enumerate(ins1):
+            key = tuple(sorted(sc1.layer_scope(c1)))
+            if key not in by_scope:
+                raise NotImplementedError(
+                    "Cross-circuit queries require identically aligned scope "
+                    f"partitions; no match for child scope {key}"
+                )
+            j, c2 = by_scope[key]
+            matched.append((i, j, (c1, c2)))
+        missing = [p for _, _, p in matched if p not in pair_val]
+        if missing:
+            stack.extend(missing)
+            continue
+        if isinstance(l1, HadamardLayer):
+            acc: _Val | None = None
+            for _, _, p in matched:
+                v = pair_val[p]
+                acc = v if acc is None else tuple(op(a, b) for op, a, b in zip(ops, acc, v))
+            assert acc is not None
+            pair_val[pair] = acc
+        else:  # Kronecker
+            pair_val[pair] = _assemble_kron(
+                [(i, j, pair_val[p]) for i, j, p in matched],
+                l1.arity,
+                l2.arity,
+                l1.num_input_units,
+                l2.num_input_units,
+                ops,
+                inits,
+            )
+        stack.pop()
+    return pair_val
+
+
+# --------------------------------------------------------------------------
+# the (log P, r) cross-expectation carriers
+# --------------------------------------------------------------------------
+
+
+def _cross_input(v1: Any, v2: Any, l1: Layer, l2: Layer) -> _Val:
+    if _is_gaussian(v1) and _is_gaussian(v2):
+        _, mp, sp = v1
+        _, mq, sq = v2
+        r = (
+            -0.5 * np.log(2.0 * np.pi * sq[None, :] ** 2)
+            - (sp[:, None] ** 2 + (mp[:, None] - mq[None, :]) ** 2)
+            / (2.0 * sq[None, :] ** 2)
+        )
+        return np.zeros_like(r), r
+    if _is_gaussian(v1) or _is_gaussian(v2):
+        raise NotImplementedError(
+            "Cross-circuit queries cannot pair a Gaussian input with a "
+            "finite-support input over the same variable"
+        )
+    if v1.shape[1] != v2.shape[1]:
+        raise NotImplementedError(
+            f"Paired {type(l1).__name__}/{type(l2).__name__} inputs disagree "
+            f"on the state count: {v1.shape[1]} vs {v2.shape[1]}"
+        )
+    mq = v2 > 0
+    with np.errstate(divide="ignore"):
+        logt = np.where(mq, np.log(np.where(mq, v2, 1.0)), 0.0)
+    p = v1 @ mq.T  # (K1, K2)
+    c = v1 @ (mq * logt).T
+    with np.errstate(divide="ignore"):
+        lp = np.log(p)
+    r = np.where(p > 0, c / np.maximum(p, np.finfo(np.float64).tiny), 0.0)
+    return lp, r
+
+
+def _cross_sum(a: np.ndarray, b: np.ndarray, lp: np.ndarray, r: np.ndarray) -> _Val:
+    """Two-stage reduction of the ``(log P, r)`` composite ``(Ma, Mb)``
+    under the p-side weights ``a`` ``(O1, Ma)`` and q-side support/log-
+    weights from ``b`` ``(O2, Mb)``. Stage 1 sums q's supported branches
+    per p-composite (per-row max shift); stage 2 mixes p's composites
+    per output with an exactly-masked shift (loop over p's output units;
+    these are host-side circuits with modest widths)."""
+    mb = b > 0
+    with np.errstate(divide="ignore"):
+        logb = np.where(mb, np.log(np.where(mb, b, 1.0)), 0.0)
+    s1 = lp.max(axis=1, keepdims=True)  # (Ma, 1)
+    s1 = np.where(np.isfinite(s1), s1, 0.0)
+    e = np.exp(lp - s1)  # zeros where log P = -inf
+    p1 = e @ mb.T  # (Ma, O2)
+    n1 = (e * r) @ mb.T + e @ (mb * logb).T
+    with np.errstate(divide="ignore"):
+        lp1 = np.log(p1) + s1
+    r1 = np.where(p1 > 0, n1 / np.maximum(p1, np.finfo(np.float64).tiny), 0.0)
+
+    o1, o2 = a.shape[0], b.shape[0]
+    lp_out = np.full((o1, o2), -np.inf)
+    r_out = np.zeros((o1, o2))
+    for i in range(o1):
+        rowmask = a[i] > 0
+        if not rowmask.any():
+            continue
+        aw = a[i][rowmask]
+        sub_lp = lp1[rowmask]  # (na, O2)
+        sub_r = r1[rowmask]
+        s2 = sub_lp.max(axis=0)  # (O2,)
+        s2f = np.where(np.isfinite(s2), s2, 0.0)
+        e2 = np.exp(sub_lp - s2f[None, :])
+        p2 = aw @ e2  # (O2,)
+        n2 = aw @ (e2 * sub_r)
+        with np.errstate(divide="ignore"):
+            lp_out[i] = np.log(p2) + s2f
+        r_out[i] = np.where(p2 > 0, n2 / np.maximum(p2, np.finfo(np.float64).tiny), 0.0)
+    return lp_out, r_out
+
+
+def _single_root(sc: Circuit, name: str) -> Layer:
+    if len(sc.outputs) != 1:
+        raise NotImplementedError(f"{name} supports single-output circuits only")
+    return sc.outputs[0]
+
+
+def _resolve_store(ctx, store) -> dict:
+    full = dict(ctx.parameters)
+    if store is not None:
+        full.update(store)
+    return full
+
+
+def expected_loglikelihood(
+    sc_p: Circuit,
+    sc_q: Circuit,
+    *,
+    ctx,
+    store_p=None,
+    store_q=None,
+    check: bool = True,
+) -> np.ndarray:
+    """Exact ``E_{x ~ p}[log q(x)]`` between two compatible circuits.
+
+    Both circuits must be compiled through ``ctx`` (their trained
+    parameters are read back through its slot state; ``store_p`` /
+    ``store_q`` merge over ``ctx.parameters``). Requires ``q``
+    DETERMINISTIC — verified by :func:`is_deterministic` when ``check``
+    is True (p may be any compatible circuit). Returns the ``(K_p,
+    K_q)`` matrix over root-unit pairs, each entry the expected
+    log-likelihood of q's normalized unit distribution under p's;
+    ``-inf`` where q's support misses p's mass. A support
+    double-counting guard raises if q turns out non-deterministic at
+    the numbers level even with ``check=False``."""
+    if not are_compatible(sc_p, sc_q):
+        raise ValueError(
+            "Cross-circuit queries require compatible circuits (identical "
+            "hierarchical scope partitioning)"
+        )
+    if check and not is_deterministic(sc_q, ctx=ctx, store=store_q):
+        raise ValueError(
+            "E_p[log q] is tractable only for deterministic q (every sum's "
+            "positively-weighted inputs with disjoint supports); pass "
+            "check=False to skip this verification at your own risk"
+        )
+    # side-specific tables: a layer shared between the two circuits (or the
+    # same circuit under two stores) reads p's values on the left, q's on
+    # the right
+    vp = _materialize_tables(sc_p, ctx, _resolve_store(ctx, store_p))
+    vq = _materialize_tables(sc_q, ctx, _resolve_store(ctx, store_q))
+
+    def input_fn(l1: Layer, l2: Layer) -> _Val:
+        return _cross_input(vp[l1], vq[l2], l1, l2)
+
+    def sum_fn(l1: Layer, l2: Layer, comp: _Val) -> _Val:
+        # a leaf paired against a (deeper) sum acts as an identity-
+        # weighted trivial sum on its side
+        a = vp[l1] if isinstance(l1, SumLayer) else np.eye(l1.num_output_units)
+        b = vq[l2] if isinstance(l2, SumLayer) else np.eye(l2.num_output_units)
+        return _cross_sum(a, b, *comp)
+
+    pv = _pairwise_walk(
+        sc_p, sc_q, input_fn, sum_fn, ops=(np.add, np.add), inits=(0.0, 0.0)
+    )
+    rp = _single_root(sc_p, "expected_loglikelihood")
+    rq = _single_root(sc_q, "expected_loglikelihood")
+    lp_root, r_root = pv[(rp, rq)]
+    logzp = _log_partition(sc_p, vp)[rp]  # (K1,)
+    logzq = _log_partition(sc_q, vq)[rq]  # (K2,)
+    tol = 1e-6 * np.maximum(1.0, np.abs(logzp))[:, None]
+    if (lp_root > logzp[:, None] + tol).any():
+        raise ValueError(
+            "Support double-counting detected (the restricted mass exceeds "
+            "p's partition function): q is not deterministic, so E_p[log q] "
+            "is intractable for this pair"
+        )
+    covered = lp_root >= logzp[:, None] - tol
+    return np.where(covered, r_root - logzq[None, :], -np.inf)
+
+
+def cross_circuit_kl(
+    sc_p: Circuit,
+    sc_q: Circuit,
+    *,
+    ctx,
+    store_p=None,
+    store_q=None,
+    check: bool = True,
+) -> np.ndarray:
+    """Exact ``KL(p || q)`` between two compatible DETERMINISTIC circuits
+    with different structures: ``-H(p) - E_p[log q]``, the entropy from
+    :class:`cirkit_tpu.backend.jax.entropy.EntropyQuery` (exact for
+    deterministic p) and the cross term from
+    :func:`expected_loglikelihood`. ``+inf`` where q's support misses
+    p's. Returns the ``(K_p, K_q)`` matrix over root-unit pairs. Both
+    circuits must be compiled through ``ctx`` under the 'lse-sum'
+    semiring. For two parameterizations of ONE circuit prefer
+    :class:`~cirkit_tpu.backend.jax.entropy.KLDivergenceQuery` (one
+    device pass, batch evidence support)."""
+    from cirkit_tpu.backend.jax.entropy import EntropyQuery
+
+    if check and not is_deterministic(sc_p, ctx=ctx, store=store_p):
+        raise ValueError(
+            "cross_circuit_kl is exact only for deterministic p (its "
+            "entropy term); pass check=False to skip this verification"
+        )
+    ell = expected_loglikelihood(
+        sc_p, sc_q, ctx=ctx, store_p=store_p, store_q=store_q, check=check
+    )
+    cc_p = ctx.compile(sc_p)
+    ent = np.asarray(
+        EntropyQuery(cc_p)(store=_resolve_store(ctx, store_p)), np.float64
+    )[0]  # (K1,)
+    return -ent[:, None] - ell
+
+
+# --------------------------------------------------------------------------
+# determinism verification (exact for finite-support leaves)
+# --------------------------------------------------------------------------
+
+
+def is_deterministic(
+    sc: Circuit,
+    *,
+    ctx,
+    store=None,
+    return_report: bool = False,
+):
+    """Whether the circuit is DETERMINISTIC under its current parameters:
+    at every sum unit, the positively-weighted input composites have
+    pairwise disjoint supports. Exact (not a heuristic) for circuits
+    with finite-support leaves: the walker pairs the circuit with itself
+    and carries boolean support-overlap matrices bottom-up — leaves
+    overlap where both state tables are positive, Hadamard/Kronecker
+    products overlap iff ALL scope-matched factor pairs do, sums union
+    their positively-weighted branches. Gaussian leaves always overlap
+    (full support), so sums over Gaussian-leaf scopes are deterministic
+    only with at most one positive weight per row. Determinism is the
+    exactness condition of :class:`EntropyQuery`,
+    :class:`KLDivergenceQuery`, and the cross-circuit queries — this
+    makes it checkable instead of assumed. ``return_report=True``
+    additionally returns the violating layers and unit rows."""
+    values = _materialize_tables(sc, ctx, _resolve_store(ctx, store))
+    violations: list[tuple[Layer, np.ndarray]] = []
+
+    def input_fn(l1: Layer, l2: Layer) -> _Val:
+        v1, v2 = values[l1], values[l2]
+        if _is_gaussian(v1) and _is_gaussian(v2):
+            return (np.ones((l1.num_output_units, l2.num_output_units), bool),)
+        if _is_gaussian(v1) or _is_gaussian(v2):
+            raise NotImplementedError(
+                "Determinism verification cannot pair a Gaussian input with "
+                "a finite-support input over the same variable"
+            )
+        if v1.shape[1] != v2.shape[1]:
+            raise NotImplementedError(
+                "Determinism verification requires same-scope inputs to "
+                "agree on the state count"
+            )
+        return (((v1 > 0).astype(np.float64) @ (v2 > 0).T.astype(np.float64)) > 0,)
+
+    def sum_fn(l1: Layer, l2: Layer, comp: _Val) -> _Val:
+        (ov,) = comp  # (Ma, Mb) bool
+        ma = (
+            values[l1] > 0
+            if isinstance(l1, SumLayer)
+            else np.eye(l1.num_output_units, dtype=bool)
+        )  # (O1, Ma)
+        mb = (
+            values[l2] > 0
+            if isinstance(l2, SumLayer)
+            else np.eye(l2.num_output_units, dtype=bool)
+        )
+        if l1 is l2:
+            off = ov & ~np.eye(ov.shape[0], dtype=bool)
+            hits = ma.astype(np.float64) @ off.astype(np.float64)  # (O, Mb)
+            bad = ((hits > 0) & ma).any(axis=1)  # (O,)
+            if bad.any():
+                violations.append((l1, np.flatnonzero(bad)))
+        out = (
+            ma.astype(np.float64) @ ov.astype(np.float64) @ mb.T.astype(np.float64)
+        ) > 0
+        return (out,)
+
+    _pairwise_walk(sc, sc, input_fn, sum_fn, ops=(np.logical_and,), inits=(True,))
+    ok = not violations
+    return (ok, violations) if return_report else ok

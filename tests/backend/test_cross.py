@@ -1,0 +1,324 @@
+"""Cross-circuit query tests: E_p[log q] and KL(p || q) between two
+DIFFERENT compatible deterministic circuits against exhaustive
+enumeration (including Kronecker pairs with permuted child orders and
+differing unit counts), closed-form factorized-Gaussian cross-entropies,
+support-gap +inf, the KL(p || p) = 0 / E_p[log p] = -H(p) consistency
+triangle with EntropyQuery, and the exact determinism verifier. All
+capabilities are extensions — the reference has no cross-circuit or
+determinism machinery (ref: ``cirkit/backend/torch/queries.py:19-275``)."""
+
+import numpy as np
+import pytest
+
+from cirkit_tpu.backend.jax.cross import (
+    cross_circuit_kl,
+    expected_loglikelihood,
+    is_deterministic,
+)
+from cirkit_tpu.backend.jax.entropy import EntropyQuery
+from cirkit_tpu.pipeline import PipelineContext
+from cirkit_tpu.utils import Scope
+
+from tests.fixtures import (
+    build_bivariate_gaussian_pc,
+    build_multivariate_categorical_pc,
+    const_param,
+)
+from tests.reference_eval import enumerate_worlds, eval_circuit
+
+NUM_STATES = 4
+
+
+def _groups(k: int) -> list[list[int]]:
+    """Disjoint state groups per unit: K=2 -> {0,1},{2,3}; K=3 -> {0},{1},{2,3}."""
+    if k == 2:
+        return [[0, 1], [2, 3]]
+    if k == 3:
+        return [[0], [1], [2, 3]]
+    raise ValueError(k)
+
+
+def _det_pc(
+    rng,
+    k: int,
+    *,
+    product: str = "hadamard",
+    reverse_children: bool = False,
+    dead_leaf_unit: int | None = None,
+    dense: bool = False,
+):
+    """3 vars, K disjoint-support categorical units per leaf, a
+    (Hadamard | Kronecker) pair over vars (0, 1), an inner sum, a
+    Hadamard with var 2, and a single-unit sum root: deterministic for
+    ANY positive weights because the aligned leaf supports are disjoint.
+    ``dead_leaf_unit`` zeroes that unit's row on the var-2 leaf, opening
+    a support gap."""
+    from cirkit_tpu.symbolic import (
+        CategoricalLayer,
+        Circuit,
+        HadamardLayer,
+        KroneckerLayer,
+        SumLayer,
+    )
+
+    def leaf(v, dead_unit=None):
+        if dense:  # full-support rows: NOT deterministic, same partition
+            probs = rng.uniform(0.2, 1.0, size=(k, NUM_STATES))
+            probs /= probs.sum(axis=1, keepdims=True)
+        else:
+            probs = np.zeros((k, NUM_STATES))
+            for u, g in enumerate(_groups(k)):
+                probs[u, g] = rng.uniform(0.2, 1.0, size=len(g))
+                probs[u] /= probs[u].sum()
+        if dead_unit is not None:
+            probs[dead_unit] = 0.0
+        return CategoricalLayer(
+            Scope([v]), k, num_categories=NUM_STATES, probs=const_param(probs)
+        )
+
+    l0, l1 = leaf(0), leaf(1)
+    l2 = leaf(2, dead_unit=dead_leaf_unit)
+    ins01 = [l1, l0] if reverse_children else [l0, l1]
+    if product == "hadamard":
+        prod01 = HadamardLayer(k, arity=2)
+        kin = k
+    else:
+        prod01 = KroneckerLayer(k, arity=2)
+        kin = k * k
+    s01 = SumLayer(kin, k, weight=const_param(rng.uniform(0.1, 1.0, size=(k, kin))))
+    prod2 = HadamardLayer(k, arity=2)
+    root = SumLayer(k, 1, weight=const_param(rng.uniform(0.1, 1.0, size=(1, k))))
+    layers = [l0, l1, l2, prod01, s01, prod2, root]
+    in_layers = {prod01: ins01, s01: [prod01], prod2: [s01, l2], root: [prod2]}
+    return Circuit(layers, in_layers, [root])
+
+
+def _enum_ell_kl(sc_p, sc_q):
+    worlds = enumerate_worlds(3, NUM_STATES)
+    p = eval_circuit(sc_p, worlds)[:, 0, 0]
+    q = eval_circuit(sc_q, worlds)[:, 0, 0]
+    p = p / p.sum()
+    q = q / q.sum()
+    nz = p > 0
+    if (q[nz] <= 0).any():
+        return -np.inf, np.inf
+    ell = float((p[nz] * np.log(q[nz])).sum())
+    kl = float((p[nz] * (np.log(p[nz]) - np.log(q[nz]))).sum())
+    return ell, kl
+
+
+@pytest.mark.parametrize("product", ["hadamard", "kronecker"])
+@pytest.mark.parametrize("reverse", [False, True])
+def test_cross_ell_kl_different_structures_match_enumeration(product, reverse):
+    """p with K=2 and q with K=3 units (and, for the reverse case, q's
+    product children listed in the opposite order — exercising the
+    digit-permutation path of the Kronecker pair assembly)."""
+    rng = np.random.default_rng(90)
+    sc_p = _det_pc(rng, 2, product=product)
+    sc_q = _det_pc(rng, 3, product=product, reverse_children=reverse)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    ctx.compile(sc_p)
+    ctx.compile(sc_q)
+
+    want_ell, want_kl = _enum_ell_kl(sc_p, sc_q)
+    ell = expected_loglikelihood(sc_p, sc_q, ctx=ctx)
+    kl = cross_circuit_kl(sc_p, sc_q, ctx=ctx)
+    assert ell.shape == (1, 1) and kl.shape == (1, 1)
+    np.testing.assert_allclose(ell[0, 0], want_ell, rtol=1e-6)
+    np.testing.assert_allclose(kl[0, 0], want_kl, rtol=1e-6, atol=1e-9)
+    assert kl[0, 0] >= -1e-12
+
+
+def test_cross_kl_self_is_zero_and_ell_is_negative_entropy():
+    rng = np.random.default_rng(91)
+    sc = _det_pc(rng, 2)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    kl = cross_circuit_kl(sc, sc, ctx=ctx)
+    np.testing.assert_allclose(kl[0, 0], 0.0, atol=1e-9)
+    ell = expected_loglikelihood(sc, sc, ctx=ctx)
+    h = float(EntropyQuery(cc)(store=ctx.parameters)[0, 0])
+    np.testing.assert_allclose(ell[0, 0], -h, rtol=1e-6)
+
+
+def test_cross_support_gap_gives_inf():
+    rng = np.random.default_rng(92)
+    sc_p = _det_pc(rng, 2)
+    sc_q = _det_pc(rng, 2, dead_leaf_unit=1)  # q never emits var2 in {2, 3}
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    ctx.compile(sc_p)
+    ctx.compile(sc_q)
+    ell = expected_loglikelihood(sc_p, sc_q, ctx=ctx)
+    kl = cross_circuit_kl(sc_p, sc_q, ctx=ctx)
+    assert ell[0, 0] == -np.inf
+    assert kl[0, 0] == np.inf
+
+
+def test_cross_gaussian_closed_form():
+    """Factorized K=1 Gaussians: E_p[log q] is the sum of per-variable
+    Gaussian cross-entropies -0.5 log(2 pi sq^2) - (sp^2 + (mp - mq)^2)
+    / (2 sq^2)."""
+    from cirkit_tpu.symbolic import Circuit, GaussianLayer, HadamardLayer, SumLayer
+
+    rng = np.random.default_rng(93)
+
+    def factorized(means, sds):
+        leaves = [
+            GaussianLayer(
+                Scope([v]),
+                1,
+                mean=const_param(np.array([means[v]])),
+                stddev=const_param(np.array([sds[v]])),
+            )
+            for v in range(2)
+        ]
+        prod = HadamardLayer(1, arity=2)
+        root = SumLayer(1, 1, weight=const_param(np.array([[1.0]])))
+        return Circuit(leaves + [prod, root], {prod: leaves, root: [prod]}, [root])
+
+    mp, sp = rng.normal(size=2), rng.uniform(0.5, 2.0, size=2)
+    mq, sq = rng.normal(size=2), rng.uniform(0.5, 2.0, size=2)
+    sc_p, sc_q = factorized(mp, sp), factorized(mq, sq)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    ctx.compile(sc_p)
+    ctx.compile(sc_q)
+    assert is_deterministic(sc_p, ctx=ctx)
+    ell = expected_loglikelihood(sc_p, sc_q, ctx=ctx)
+    want = sum(
+        -0.5 * np.log(2 * np.pi * sq[v] ** 2)
+        - (sp[v] ** 2 + (mp[v] - mq[v]) ** 2) / (2 * sq[v] ** 2)
+        for v in range(2)
+    )
+    np.testing.assert_allclose(ell[0, 0], want, rtol=1e-6)
+    kl = cross_circuit_kl(sc_p, sc_q, ctx=ctx)
+    want_kl = sum(
+        np.log(sq[v] / sp[v])
+        + (sp[v] ** 2 + (mp[v] - mq[v]) ** 2) / (2 * sq[v] ** 2)
+        - 0.5
+        for v in range(2)
+    )
+    np.testing.assert_allclose(kl[0, 0], want_kl, rtol=1e-6)
+
+
+def test_is_deterministic_verifier():
+    rng = np.random.default_rng(94)
+    for k in (2, 3):
+        sc = _det_pc(rng, k, product="kronecker" if k == 2 else "hadamard")
+        ctx = PipelineContext(semiring="lse-sum", fold=True)
+        ctx.compile(sc)
+        assert is_deterministic(sc, ctx=ctx)
+
+    dense = build_multivariate_categorical_pc(num_variables=3, rng=rng)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    ctx.compile(dense)
+    ok, report = is_deterministic(dense, ctx=ctx, return_report=True)
+    assert not ok and report
+
+    gmix = build_bivariate_gaussian_pc(num_units=2, rng=rng)
+    ctxg = PipelineContext(semiring="lse-sum", fold=True)
+    ctxg.compile(gmix)
+    assert not is_deterministic(gmix, ctx=ctxg)
+
+
+def test_cross_nondeterministic_q_raises():
+    rng = np.random.default_rng(95)
+    sc_p = _det_pc(rng, 2)
+    sc_q = _det_pc(rng, 2, dense=True)  # same partition, overlapping supports
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    ctx.compile(sc_p)
+    ctx.compile(sc_q)
+    with pytest.raises(ValueError, match="deterministic"):
+        expected_loglikelihood(sc_p, sc_q, ctx=ctx)
+    # even with check=False, the support double-counting guard trips:
+    # the restricted mass exceeds p's partition function
+    with pytest.raises(ValueError, match="double-counting|deterministic"):
+        expected_loglikelihood(sc_p, sc_q, ctx=ctx, check=False)
+
+
+def test_cross_kl_between_weighted_logic_circuits():
+    """KL between two weightings of one knowledge base: logic circuits
+    compile deterministic, so the cross-circuit KL of their weighted
+    model-counting distributions is exact — pinned by enumeration over
+    all satisfying assignments."""
+    import itertools
+
+    from cirkit_tpu.models.logic import (
+        ConjunctionNode,
+        DisjunctionNode,
+        LiteralNode,
+        LogicalCircuit,
+        NegatedLiteralNode,
+    )
+    from cirkit_tpu.symbolic.initializers import ConstantTensorInitializer
+    from cirkit_tpu.symbolic.layers import CategoricalLayer
+    from cirkit_tpu.symbolic.parameters import Parameter, TensorParameter
+
+    def formula():  # (x0 and x1) or (not x0 and x2)
+        x0, x1, x2 = LiteralNode(0), LiteralNode(1), LiteralNode(2)
+        nx0 = NegatedLiteralNode(0)
+        c1, c2 = ConjunctionNode(), ConjunctionNode()
+        root = DisjunctionNode()
+        return LogicalCircuit(
+            [x0, x1, x2, nx0, c1, c2, root],
+            {c1: [x0, x1], c2: [nx0, x2], root: [c1, c2]},
+            [root],
+        )
+
+    def lit_factory(weights, negated):
+        def factory(scope, num_units):
+            (var,) = tuple(scope)
+            w = weights[var, 1 - int(negated)]
+            with np.errstate(divide="ignore"):
+                logits = np.log(np.array([w, 0.0]) if negated else np.array([0.0, w]))
+            return CategoricalLayer(
+                scope,
+                num_units,
+                num_categories=2,
+                logits=Parameter.from_input(
+                    TensorParameter(
+                        1,
+                        2,
+                        initializer=ConstantTensorInitializer(logits),
+                        learnable=False,
+                    )
+                ),
+            )
+
+        return factory
+
+    rng = np.random.default_rng(97)
+    wp = rng.uniform(0.1, 1.0, size=(3, 2))
+    wq = rng.uniform(0.1, 1.0, size=(3, 2))
+
+    def build(w):
+        return formula().build_circuit(
+            literal_input_factory=lit_factory(w, negated=False),
+            negated_literal_input_factory=lit_factory(w, negated=True),
+        )
+
+    sc_p, sc_q = build(wp), build(wq)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    ctx.compile(sc_p)
+    ctx.compile(sc_q)
+    assert is_deterministic(sc_p, ctx=ctx)
+    kl = cross_circuit_kl(sc_p, sc_q, ctx=ctx)
+
+    worlds = np.array(list(itertools.product([0, 1], repeat=3)))
+    sat = np.array([(w[0] and w[1]) or ((not w[0]) and w[2]) for w in worlds])
+    scores_p = np.prod(wp[np.arange(3)[None, :], worlds], axis=1) * sat
+    scores_q = np.prod(wq[np.arange(3)[None, :], worlds], axis=1) * sat
+    p = scores_p / scores_p.sum()
+    q = scores_q / scores_q.sum()
+    nz = p > 0
+    want = float((p[nz] * (np.log(p[nz]) - np.log(q[nz]))).sum())
+    np.testing.assert_allclose(kl[0, 0], want, rtol=1e-6, atol=1e-9)
+
+
+def test_cross_requires_compiled_circuits():
+    rng = np.random.default_rng(96)
+    sc_p = _det_pc(rng, 2)
+    sc_q = _det_pc(rng, 2)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    ctx.compile(sc_p)
+    with pytest.raises(ValueError, match="Compile the circuit"):
+        expected_loglikelihood(sc_p, sc_q, ctx=ctx)
