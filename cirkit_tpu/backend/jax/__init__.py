@@ -10,7 +10,7 @@ from cirkit_tpu.backend.jax.entropy import (
     KLDivergenceQuery,
     renyi2_entropy,
 )
-from cirkit_tpu.backend.jax.pruning import prune_circuit
+from cirkit_tpu.backend.jax.pruning import grow_circuit, prune_circuit
 from cirkit_tpu.backend.jax.queries import (
     ExpectationQuery,
     IntegrateQuery,
@@ -46,6 +46,7 @@ __all__ = [
     "SamplingQuery",
     "cross_circuit_kl",
     "expected_loglikelihood",
+    "grow_circuit",
     "is_deterministic",
     "prune_circuit",
     "renyi2_entropy",

@@ -119,6 +119,52 @@ def _materialize(sc: Circuit, ctx, store) -> dict[Layer, Any]:
     return values
 
 
+def _importance(
+    sc: Circuit,
+    values: dict[Layer, Any],
+    topo: list[Layer],
+    out_set: set[Layer],
+    what: str,
+) -> dict[Layer, np.ndarray]:
+    """Root-to-leaf max-product importance flow: the root units score 1; a
+    sum sends each child unit ``max_o score_o * Wn[o, j]`` (rows
+    normalized), products pass scores through (Kronecker: max over the
+    composites a digit participates in). A unit's score upper-bounds the
+    normalized weight of any mixture path using it. Shared by pruning
+    (drop low scores) and growing (duplicate high scores)."""
+    score: dict[Layer, np.ndarray] = {
+        sl: np.full(sl.num_output_units, -np.inf) for sl in topo
+    }
+    for sl in out_set:
+        score[sl] = np.ones(sl.num_output_units)
+    for sl in reversed(topo):
+        s = score[sl]
+        children = sc.layer_inputs(sl)
+        if not children:
+            continue
+        if isinstance(sl, SumLayer):
+            w = values[sl]  # (O, H*K)
+            z = np.maximum(w.sum(axis=1, keepdims=True), np.finfo(np.float64).tiny)
+            contrib = (s[:, None] * (w / z)).max(axis=0)  # (H*K,)
+            k = sl.num_input_units
+            for h, c in enumerate(children):
+                score[c] = np.maximum(score[c], contrib[h * k : (h + 1) * k])
+        elif isinstance(sl, HadamardLayer):
+            for c in children:
+                score[c] = np.maximum(score[c], s)
+        elif isinstance(sl, KroneckerLayer):
+            k, h = sl.num_input_units, sl.arity
+            cube = s.reshape((k,) * h)
+            for hh, c in enumerate(children):
+                axes = tuple(a for a in range(h) if a != hh)
+                score[c] = np.maximum(score[c], cube.max(axis=axes) if axes else cube)
+        else:
+            raise NotImplementedError(
+                f"{what} is not supported for {type(sl).__name__}"
+            )
+    return score
+
+
 def _digit_lists(kept: list[int], k: int, arity: int) -> list[list[int]]:
     """Per-operand digit sets used by a Kronecker kept-composite set
     (row-major, first operand most significant)."""
@@ -165,38 +211,7 @@ def prune_circuit(
 
     topo = list(sc.topological_ordering())
     out_set = set(sc.outputs)
-
-    # ---- scoring: root-to-leaf max-product importance flow ------------------
-    score: dict[Layer, np.ndarray] = {
-        sl: np.full(sl.num_output_units, -np.inf) for sl in topo
-    }
-    for sl in out_set:
-        score[sl] = np.ones(sl.num_output_units)
-    for sl in reversed(topo):
-        s = score[sl]
-        children = sc.layer_inputs(sl)
-        if not children:
-            continue
-        if isinstance(sl, SumLayer):
-            w = values[sl]  # (O, H*K)
-            z = np.maximum(w.sum(axis=1, keepdims=True), np.finfo(np.float64).tiny)
-            contrib = (s[:, None] * (w / z)).max(axis=0)  # (H*K,)
-            k = sl.num_input_units
-            for h, c in enumerate(children):
-                score[c] = np.maximum(score[c], contrib[h * k : (h + 1) * k])
-        elif isinstance(sl, HadamardLayer):
-            for c in children:
-                score[c] = np.maximum(score[c], s)
-        elif isinstance(sl, KroneckerLayer):
-            k, h = sl.num_input_units, sl.arity
-            cube = s.reshape((k,) * h)
-            for hh, c in enumerate(children):
-                axes = tuple(a for a in range(h) if a != hh)
-                score[c] = np.maximum(score[c], cube.max(axis=axes) if axes else cube)
-        else:
-            raise NotImplementedError(
-                f"Pruning is not supported for {type(sl).__name__}"
-            )
+    score = _importance(sc, values, topo, out_set, "Pruning")
 
     # ---- initial kept sets --------------------------------------------------
     kept: dict[Layer, set[int]] = {}
@@ -334,3 +349,238 @@ def prune_circuit(
         ],
     }
     return pruned, report
+
+
+def _gather_list(mult: np.ndarray) -> list[int]:
+    """New-unit -> original-unit gather for a multiplicity vector:
+    ``[0, 0, 1, 2]`` for ``mult = [2, 1, 1]`` (copies adjacent, stable
+    order — all Hadamard siblings share one mult, hence one gather)."""
+    return [j for j in range(len(mult)) for _ in range(int(mult[j]))]
+
+
+def grow_circuit(
+    sc: Circuit,
+    *,
+    ctx,
+    store=None,
+    fraction: float = 0.25,
+    noise: float = 0.1,
+    seed: int = 0,
+) -> tuple[Circuit, dict]:
+    """Grow a trained circuit: duplicate its most important units.
+
+    The structural inverse of :func:`prune_circuit` and the other half of
+    the grow/prune structure-learning loop (Dang et al., "Pruning and
+    growing probabilistic circuits"): per prunable layer, the top
+    ``fraction`` of units by the same root-to-leaf max-product importance
+    flow get a second copy. Copies start as exact clones with each
+    consumer's incoming weight split uniformly over them, so ``noise=0``
+    is EXACTLY distribution-preserving (pinned in tests); ``noise > 0``
+    applies multiplicative jitter to the copies (leaf rows, duplicated
+    sum rows) to break the symmetry so EM/SGD fine-tuning can
+    differentiate them. Structural constraints are repaired to a
+    fixpoint like pruning's kept sets: Hadamard layers and their
+    children share one multiplicity vector (elementwise max), Kronecker
+    composites DERIVE from their digits (children equalized to one
+    width), sum children are equalized by duplicating their next-best
+    units. Output layers keep their unit count (the interface).
+
+    Returns ``(grown symbolic circuit, report)``. The grown circuit's
+    parameters are plain constant (still learnable) slots, so it is
+    ``fit_em``-eligible — the intended next step.
+
+    Choosing ``noise``: near-identical copies are an EM *saddle* — with
+    tiny jitter the responsibilities stay near-equal and differentiation
+    takes many epochs (measured: noise 0.3 barely moved a mixture fit in
+    60 epochs where 0.8 converged in 25). For grow-then-EM use noise in
+    the 0.1-1.0 range (it is a multiplicative log-scale jitter on the
+    copies only, so the pre-fine-tune distribution stays close); use 0.0
+    only when an exactly distribution-preserving rebuild is the point.
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError("'fraction' must be in (0, 1]")
+    if noise < 0.0:
+        raise ValueError("'noise' must be nonnegative")
+    if not ctx._compiler.is_compiled(sc):
+        raise ValueError(
+            "Compile the circuit through this context first (ctx.compile(sc)): "
+            "growing reads the trained parameters back through the context's "
+            "slot state"
+        )
+    full = dict(ctx.parameters)
+    if store is not None:
+        full.update(store)
+    values = _materialize(sc, ctx, full)
+    topo = list(sc.topological_ordering())
+    out_set = set(sc.outputs)
+    score = _importance(sc, values, topo, out_set, "Growing")
+    rng = np.random.default_rng(seed)
+
+    # ---- initial multiplicities: +1 copy for the top-scored units -----------
+    mult: dict[Layer, np.ndarray] = {}
+    order: dict[Layer, np.ndarray] = {}
+    for sl in topo:
+        k = sl.num_output_units
+        order[sl] = np.argsort(-score[sl], kind="stable")
+        m = np.ones(k, dtype=int)
+        if sl not in out_set and not isinstance(sl, (HadamardLayer, KroneckerLayer)):
+            n = max(1, math.ceil(k * fraction))
+            m[order[sl][:n]] += 1
+        mult[sl] = m
+
+    # ---- fixpoint repair of structural constraints --------------------------
+    def _equalize(children: list[Layer], target: int) -> bool:
+        changed = False
+        for c in children:
+            if isinstance(c, KroneckerLayer):
+                if int(mult[c].sum()) != target:
+                    raise NotImplementedError(
+                        "Growing could not equalize a Kronecker sibling's "
+                        "width (cross-product widths cannot grow by one); "
+                        "use a template without mixed dense/Kronecker "
+                        "sum inputs"
+                    )
+                continue
+            while int(mult[c].sum()) < target:
+                for j in order[c]:
+                    if int(mult[c].sum()) >= target:
+                        break
+                    mult[c][int(j)] += 1
+                changed = True
+        return changed
+
+    for _ in range(100):
+        changed = False
+        for sl in reversed(topo):
+            children = sc.layer_inputs(sl)
+            if isinstance(sl, HadamardLayer):
+                m = mult[sl]
+                for c in children:
+                    m = np.maximum(m, mult[c])
+                for lay in (sl, *children):
+                    if not np.array_equal(mult[lay], m):
+                        mult[lay] = m.copy()
+                        changed = True
+            elif isinstance(sl, KroneckerLayer):
+                # children must share one width; composites derive from digits
+                target = max(int(mult[c].sum()) for c in children)
+                changed |= _equalize(list(children), target)
+                comp = np.ones(1, dtype=int)
+                for c in children:  # first child most significant
+                    comp = np.kron(comp, mult[c])
+                if not np.array_equal(mult[sl], comp):
+                    mult[sl] = comp
+                    changed = True
+            elif isinstance(sl, SumLayer) and children:
+                target = max(int(mult[c].sum()) for c in children)
+                changed |= _equalize(list(children), target)
+        if not changed:
+            break
+    else:
+        raise NotImplementedError("Growing did not reach a structural fixpoint")
+
+    # ---- rebuild -------------------------------------------------------------
+    def _jitter(rows: np.ndarray, gather: list[int]) -> np.ndarray:
+        """1 for the first occurrence of each original unit, exp(noise *
+        eps) for later copies — multiplicative symmetry breaking."""
+        fac = np.ones(rows.shape)
+        seen: set[int] = set()
+        for i, j in enumerate(gather):
+            if j in seen and noise > 0.0:
+                fac[i] = np.exp(noise * rng.standard_normal(rows.shape[1:]))
+            seen.add(j)
+        return fac
+
+    gather: dict[Layer, list[int]] = {}
+    new_layers: dict[Layer, Layer] = {}
+    in_map: dict[Layer, list[Layer]] = {}
+    for sl in topo:
+        children = sc.layer_inputs(sl)
+        if isinstance(sl, KroneckerLayer):
+            k = sl.num_input_units
+            idx = [0]
+            for c in children:
+                idx = [i0 * k + j for i0 in idx for j in gather[c]]
+            gather[sl] = idx
+            new_layers[sl] = KroneckerLayer(len(gather[children[0]]), arity=sl.arity)
+        elif isinstance(sl, HadamardLayer):
+            gather[sl] = _gather_list(mult[sl])
+            new_layers[sl] = HadamardLayer(len(gather[sl]), arity=sl.arity)
+        elif isinstance(sl, SumLayer):
+            g = _gather_list(mult[sl]) if sl not in out_set else list(
+                range(sl.num_output_units)
+            )
+            gather[sl] = g
+            w = values[sl]
+            k = sl.num_input_units
+            widths = {len(gather[c]) for c in children}
+            if len(widths) != 1:
+                raise NotImplementedError(
+                    "Growing could not equalize the input widths of a sum "
+                    f"layer (got {sorted(widths)})"
+                )
+            cols, splits = [], []
+            for h, c in enumerate(children):
+                cnt = np.bincount(gather[c], minlength=c.num_output_units)
+                cols.extend(h * k + j for j in gather[c])
+                splits.extend(1.0 / cnt[j] for j in gather[c])
+            new_w = w[np.ix_(g, cols)] * np.asarray(splits)[None, :]
+            new_w = new_w * _jitter(new_w, g)
+            nk = len(gather[children[0]])
+            new_layers[sl] = SumLayer(nk, len(g), arity=sl.arity, weight=_const(new_w))
+        else:  # input layers
+            g = _gather_list(mult[sl]) if sl not in out_set else list(
+                range(sl.num_output_units)
+            )
+            gather[sl] = g
+            if isinstance(sl, CategoricalLayer):
+                p = values[sl][g] * _jitter(values[sl][g], g)
+                p = p / np.maximum(p.sum(axis=1, keepdims=True), np.finfo(np.float64).tiny)
+                new_layers[sl] = CategoricalLayer(
+                    sl.scope, len(g), num_categories=sl.num_categories,
+                    probs=_const(p),
+                )
+            elif isinstance(sl, GaussianLayer):
+                m, s = values[sl]
+                m, s = m[g].copy(), s[g].copy()
+                seen: set[int] = set()
+                for i, j in enumerate(g):
+                    if j in seen and noise > 0.0:
+                        m[i] += noise * s[i] * rng.standard_normal()
+                    seen.add(j)
+                new_layers[sl] = GaussianLayer(
+                    sl.scope, len(g), mean=_const(m), stddev=_const(s)
+                )
+            elif isinstance(sl, BinomialLayer):
+                p = values[sl][g].copy()
+                seen = set()
+                for i, j in enumerate(g):
+                    if j in seen and noise > 0.0:
+                        logit = np.log(p[i]) - np.log1p(-p[i])
+                        p[i] = 1.0 / (1.0 + np.exp(-(logit + noise * rng.standard_normal())))
+                    seen.add(j)
+                new_layers[sl] = BinomialLayer(
+                    sl.scope, len(g), total_count=sl.total_count, probs=_const(p)
+                )
+            else:  # EmbeddingLayer
+                t = values[sl][g] * _jitter(values[sl][g], g)
+                new_layers[sl] = EmbeddingLayer(
+                    sl.scope, len(g), num_states=sl.num_states, weight=_const(t)
+                )
+        if children:
+            in_map[new_layers[sl]] = [new_layers[c] for c in children]
+
+    grown = Circuit(
+        [new_layers[sl] for sl in topo], in_map, [new_layers[o] for o in sc.outputs]
+    )
+    units_before = sum(sl.num_output_units for sl in topo)
+    units_after = sum(l.num_output_units for l in new_layers.values())
+    report = {
+        "units_before": units_before,
+        "units_after": units_after,
+        "per_layer": [
+            (type(sl).__name__, sl.num_output_units, new_layers[sl].num_output_units)
+            for sl in topo
+        ],
+    }
+    return grown, report

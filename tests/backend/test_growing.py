@@ -1,0 +1,133 @@
+"""Structure-growing tests: noise=0 duplication is exactly lossless
+(pinned by enumeration through Hadamard and Kronecker templates and on
+Gaussian leaves), noise>0 stays a small perturbation while breaking the
+copy symmetry, and the grow -> EM fine-tune loop recovers likelihood a
+too-small model cannot reach (Dang et al.'s grow/prune recipe — the
+reference has no structure-editing machinery at all)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cirkit_tpu.backend.jax.pruning import grow_circuit, prune_circuit
+from cirkit_tpu.pipeline import PipelineContext
+
+from tests.fixtures import (
+    build_bivariate_categorical_pc,
+    build_bivariate_gaussian_pc,
+    build_multivariate_categorical_pc,
+)
+from tests.reference_eval import enumerate_worlds
+
+
+def _dist(ctx, cc, x):
+    return np.asarray(cc.evaluate(ctx.parameters, jnp.asarray(x)))[:, 0, :]
+
+
+@pytest.mark.parametrize("product", ["hadamard", "kronecker"])
+def test_grow_noise_zero_is_lossless(product):
+    sc = build_bivariate_categorical_pc(product=product, rng=np.random.default_rng(80))
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    worlds = enumerate_worlds(2, 3)
+    want = _dist(ctx, cc, worlds)
+
+    grown, report = grow_circuit(sc, ctx=ctx, fraction=0.5, noise=0.0)
+    assert report["units_after"] > report["units_before"]
+    ctx2 = PipelineContext(semiring="lse-sum", fold=True)
+    got = _dist(ctx2, ctx2.compile(grown), worlds)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_grow_noise_zero_lossless_deep_and_gaussian():
+    sc = build_multivariate_categorical_pc(num_variables=4, rng=np.random.default_rng(81))
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    ctx.compile(sc)
+    worlds = enumerate_worlds(4, 2)
+    want = _dist(ctx, ctx.compile(sc), worlds)
+    grown, _ = grow_circuit(sc, ctx=ctx, fraction=1.0, noise=0.0)
+    ctx2 = PipelineContext(semiring="lse-sum", fold=True)
+    got = _dist(ctx2, ctx2.compile(grown), worlds)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+    scg = build_bivariate_gaussian_pc(num_units=3, rng=np.random.default_rng(82))
+    ctxg = PipelineContext(semiring="lse-sum", fold=True)
+    ctxg.compile(scg)
+    x = np.random.default_rng(0).normal(size=(7, 2))
+    want = _dist(ctxg, ctxg.compile(scg), x)
+    growng, _ = grow_circuit(scg, ctx=ctxg, fraction=0.5, noise=0.0)
+    ctxg2 = PipelineContext(semiring="lse-sum", fold=True)
+    got = _dist(ctxg2, ctxg2.compile(growng), x)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_grow_noise_perturbs_but_stays_close():
+    sc = build_bivariate_categorical_pc(product="hadamard", rng=np.random.default_rng(83))
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    ctx.compile(sc)
+    worlds = enumerate_worlds(2, 3)
+    want = _dist(ctx, ctx.compile(sc), worlds)
+    grown, _ = grow_circuit(sc, ctx=ctx, fraction=1.0, noise=0.02, seed=7)
+    ctx2 = PipelineContext(semiring="lse-sum", fold=True)
+    got = _dist(ctx2, ctx2.compile(grown), worlds)
+    # close in distribution ...
+    np.testing.assert_allclose(got, want, atol=0.15)
+    # ... but the copies are genuinely differentiated (symmetry broken)
+    assert not np.allclose(got, want, atol=1e-9)
+
+
+def test_grow_then_em_recovers_capacity():
+    """A K=1 (fully factorized) model cannot fit correlated data; growing
+    to K=2 and EM fine-tuning must beat the converged K=1 likelihood."""
+    from cirkit_tpu.parallel.em import fit_em
+
+    rng = np.random.default_rng(84)
+    # two anti-correlated clusters over 2 ternary variables
+    n = 400
+    comp = rng.integers(0, 2, size=n)
+    x = np.where(comp[:, None] == 0, 0, 2) + rng.integers(0, 1 + 1, size=(n, 2))
+    x = np.clip(x, 0, 2).astype(np.int64)
+
+    sc = build_bivariate_categorical_pc(
+        num_units=1, product="hadamard", rng=np.random.default_rng(85)
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    store1, losses1 = fit_em(cc, x, store=ctx.parameters, num_epochs=15)
+
+    grown, report = grow_circuit(sc, ctx=ctx, store=store1, fraction=1.0, noise=0.1, seed=3)
+    assert report["units_after"] > report["units_before"]
+    ctx2 = PipelineContext(semiring="lse-sum", fold=True)
+    cc2 = ctx2.compile(grown)
+    store2, losses2 = fit_em(cc2, x, store=ctx2.parameters, num_epochs=25)
+    # final NLL must improve by a clear margin over the converged K=1 fit
+    assert losses2[-1] < losses1[-1] - 0.05
+
+
+def test_grow_prune_roundtrip_lossless():
+    """Growing with copies then pruning the grown circuit at threshold 0
+    keeps the distribution intact end to end."""
+    sc = build_bivariate_categorical_pc(product="hadamard", rng=np.random.default_rng(86))
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    ctx.compile(sc)
+    worlds = enumerate_worlds(2, 3)
+    want = _dist(ctx, ctx.compile(sc), worlds)
+    grown, _ = grow_circuit(sc, ctx=ctx, fraction=0.5, noise=0.0)
+    ctx2 = PipelineContext(semiring="lse-sum", fold=True)
+    ctx2.compile(grown)
+    pruned, _ = prune_circuit(grown, ctx=ctx2, threshold=0.0)
+    ctx3 = PipelineContext(semiring="lse-sum", fold=True)
+    got = _dist(ctx3, ctx3.compile(pruned), worlds)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_grow_validation():
+    sc = build_bivariate_categorical_pc(product="hadamard", rng=np.random.default_rng(87))
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    with pytest.raises(ValueError, match="Compile the circuit"):
+        grow_circuit(sc, ctx=ctx)
+    ctx.compile(sc)
+    with pytest.raises(ValueError, match="fraction"):
+        grow_circuit(sc, ctx=ctx, fraction=0.0)
+    with pytest.raises(ValueError, match="noise"):
+        grow_circuit(sc, ctx=ctx, noise=-1.0)
