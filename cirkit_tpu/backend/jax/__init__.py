@@ -17,6 +17,7 @@ from cirkit_tpu.backend.jax.queries import (
     MAPQuery,
     Query,
     SamplingQuery,
+    mutual_information,
 )
 from cirkit_tpu.backend.jax.serving import bf16_weight_store, weight_slots
 from cirkit_tpu.backend.jax.semiring import (
@@ -48,6 +49,7 @@ __all__ = [
     "expected_loglikelihood",
     "grow_circuit",
     "is_deterministic",
+    "mutual_information",
     "prune_circuit",
     "renyi2_entropy",
 ]

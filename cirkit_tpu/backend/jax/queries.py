@@ -576,6 +576,122 @@ def _build_expectation_run(cc: JaxCircuit, output: int, unit: int, mode: str = "
     return _run
 
 
+def _variable_supports(cc: JaxCircuit) -> np.ndarray:
+    """Per-variable finite support sizes (D,), -1 for continuous leaves."""
+    from cirkit_tpu.backend.jax.layers import JaxConstantInputLayer
+
+    num_vars = max(cc.scope) + 1
+    supports = np.full(num_vars, -1, dtype=np.int64)
+    for entry in cc._entries:
+        layer = entry.layer
+        if not isinstance(layer, JaxInputLayer) or isinstance(
+            layer, JaxConstantInputLayer
+        ):
+            continue
+        s = _leaf_support_size(layer)
+        if s is None:
+            continue
+        for v in np.asarray(layer.scope_idx[:, 0]):
+            supports[int(v)] = max(supports[int(v)], s)
+    return supports
+
+
+def mutual_information(
+    circuit: JaxCircuit,
+    *,
+    store: Store | None = None,
+    variables: Sequence[int] | None = None,
+    x: jnp.ndarray | np.ndarray | None = None,
+    evidence_mask: jnp.ndarray | np.ndarray | None = None,
+    output: int = 0,
+    unit: int = 0,
+) -> jnp.ndarray:
+    """Exact pairwise mutual information under the circuit distribution:
+    a (k, k) matrix over ``variables`` (default: every variable) with
+    ``out[i, j] = I(x_ui ; x_uj)`` in nats and the marginal entropies
+    ``H(x_ui)`` on the diagonal. With ``x``/``evidence_mask`` (a single
+    assignment), every term conditions on the evidence —
+    ``I(x_ui ; x_uj | x_obs)`` — and rows/columns of observed variables
+    are exactly 0. An extension beyond the reference (whose only queries
+    are integration and sampling, ref ``backend/torch/queries.py:19-275``):
+    this is the dependence signal Chow-Liu structure learning estimates
+    from *data* (ref ``utils/algorithms.py``-style MI estimators), computed
+    exactly from the *model* — see ``models.region_graph.chow_liu_tree``
+    for the data-side counterpart.
+
+    Mechanism: one batched :meth:`ExpectationQuery.marginals` call per
+    anchor variable u — the batch enumerates u's states as evidence, so a
+    single backward pass yields ``p(x_v = t | x_u = s)`` for ALL v, t at
+    once — combined with the unconditional marginals via
+    ``I(u, v) = sum_s p(s) KL(p(x_v | x_u = s) || p(x_v))``. Everything
+    reduces on-device; cost is linear in ``len(variables)`` (each call has
+    batch = u's support size), so query the subset you need on large
+    circuits. Requires finite-support leaves at the queried variables.
+    Unnormalized circuits are fine: responsibilities self-normalize.
+    """
+    q = ExpectationQuery(circuit)
+    supports = _variable_supports(circuit)
+    num_vars = supports.shape[0]
+    if variables is None:
+        variables = range(num_vars)
+    variables = tuple(int(v) for v in variables)
+    for v in variables:
+        if not 0 <= v < num_vars:
+            raise ValueError(f"Variable {v} is outside the circuit scope")
+        if supports[v] < 0:
+            raise NotImplementedError(
+                f"Mutual information needs finite-support leaves; variable "
+                f"{v} has a continuous input layer"
+            )
+    if x is None:
+        x0 = np.zeros(num_vars, dtype=np.int32)
+        m0 = np.zeros(num_vars, dtype=bool)
+    else:
+        x0 = np.asarray(x, dtype=np.int32).reshape(num_vars)
+        if evidence_mask is None:
+            raise ValueError("Passing x requires evidence_mask")
+        m0 = np.asarray(evidence_mask, dtype=bool).reshape(num_vars)
+
+    marg = q.marginals(
+        jnp.asarray(x0[None]), evidence_mask=jnp.asarray(m0[None]),
+        store=store, output=output, unit=unit,
+    )[0]  # (D, S)
+
+    dt = jnp.result_type(float)
+
+    @jax.jit
+    def _mi_row(cond, p_u, mg):
+        # cond (S_u, D, S): p(x_v = t | x_u = s); p_u (S_u,); mg (D, S).
+        # KL(p(. | s) || p(.)) per target, weighted by p(s). States with
+        # p(s) = 0 are impossible evidence (the backward produces NaN
+        # there) — masked out, they contribute nothing.
+        lcond = jnp.where(cond > 0, jnp.log(cond), 0.0)
+        lmarg = jnp.where(mg > 0, jnp.log(mg), 0.0)
+        kl = jnp.sum(cond * (lcond - lmarg[None]), axis=2)  # (S_u, D)
+        kl = jnp.where((p_u > 0)[:, None], jnp.nan_to_num(kl), 0.0)
+        return jnp.einsum("s,sd->d", p_u.astype(dt), kl)
+
+    rows = []
+    for u in variables:
+        if m0[u]:
+            rows.append(jnp.zeros(num_vars, dt))
+            continue
+        s_u = int(supports[u])
+        xs = np.tile(x0, (s_u, 1))
+        xs[:, u] = np.arange(s_u)
+        mk = np.tile(m0, (s_u, 1))
+        mk[:, u] = True
+        cond = q.marginals(
+            jnp.asarray(xs), evidence_mask=jnp.asarray(mk),
+            store=store, output=output, unit=unit,
+        )
+        rows.append(_mi_row(cond, marg[u, :s_u], marg))
+    mat = jnp.stack(rows)[:, np.asarray(variables)]
+    # observed columns: conditioning makes them constants
+    obs_col = jnp.asarray(m0[np.asarray(variables)])
+    return jnp.where(obs_col[None, :], 0.0, mat)
+
+
 def _pad_samples(samples: jnp.ndarray, scope_idx: np.ndarray, num_vars: int) -> jnp.ndarray:
     """Scatter univariate per-unit samples (F, K, N) into zero-padded
     assignments (F, K, N, D) at the layer's variable positions."""
