@@ -344,6 +344,13 @@ class JaxInputLayer(JaxLayer, ABC):
             f"State distributions are not defined for {type(self).__name__}"
         )
 
+    def cdf_state(self, store: Store, t: jnp.ndarray) -> jnp.ndarray:
+        """Per-unit CDF P(x <= t | unit) at per-(fold, sample) thresholds
+        ``t`` (F, B): (F, B, K). Drives the posterior CDF/quantile queries
+        (``ExpectationQuery.cdf``/``quantile``) — defined for continuous
+        leaves too, unlike :meth:`state_distribution`."""
+        raise TypeError(f"CDFs are not defined for {type(self).__name__}")
+
     def unit_entropy(self, store: Store) -> jnp.ndarray:
         """Entropy (nats) of each unit's NORMALIZED distribution: (F, K).
         Drives :class:`cirkit_tpu.backend.jax.entropy.EntropyQuery`."""
@@ -395,6 +402,15 @@ class JaxConstantInputLayer(JaxInputLayer, ABC):
             num_folds=num_folds,
             semiring=semiring,
         )
+
+
+def _discrete_cdf(p: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """P(x <= t | unit) from a per-unit state table: ``p`` (F, K, S),
+    thresholds ``t`` (F, B) -> (F, B, K). Non-integer thresholds floor
+    (step CDF); below-support thresholds give 0, above-support 1."""
+    states = jnp.arange(p.shape[2], dtype=p.dtype)
+    mask = (states[None, None, :] <= t[:, :, None]).astype(p.dtype)  # (F, B, S)
+    return jnp.einsum("fks,fbs->fbk", p, mask, precision=jax.lax.Precision.HIGHEST)
 
 
 class JaxExpFamilyLayer(JaxInputLayer, ABC):
@@ -511,6 +527,9 @@ class JaxCategoricalLayer(JaxExpFamilyLayer):
         # to the same measure the responsibilities are computed under
         return jax.nn.softmax(self._log_probs(store), axis=2)  # (F, K, C)
 
+    def cdf_state(self, store, t):
+        return _discrete_cdf(self.state_distribution(store), t)
+
     def unit_entropy(self, store):
         lp = jax.nn.log_softmax(self._log_probs(store), axis=2)  # (F, K, C)
         p = jnp.exp(lp)
@@ -619,6 +638,9 @@ class JaxEmbeddingLayer(JaxInputLayer):
             "fks,s->fk", p, states * states, precision=jax.lax.Precision.HIGHEST
         )
 
+    def cdf_state(self, store, t):
+        return _discrete_cdf(self.state_distribution(store), t)
+
     def unit_entropy(self, store):
         p = self.state_distribution(store)
         return -jnp.sum(jnp.where(p > 0, p * safelog(p), 0.0), axis=2)
@@ -710,6 +732,9 @@ class JaxBinomialLayer(JaxExpFamilyLayer):
 
     def state_distribution(self, store):
         return jnp.exp(self._log_pmf_table(store))  # (F, K, n+1)
+
+    def cdf_state(self, store, t):
+        return _discrete_cdf(self.state_distribution(store), t)
 
     def unit_entropy(self, store):
         lp = self._log_pmf_table(store)  # (F, K, n+1), normalized
@@ -819,6 +844,12 @@ class JaxGaussianLayer(JaxExpFamilyLayer):
 
     def second_moment_state(self, store):
         return jnp.square(self.mean(store)) + jnp.square(self.stddev(store))
+
+    def cdf_state(self, store, t):
+        z = (t[:, :, None] - self.mean(store)[:, None, :]) / self.stddev(store)[
+            :, None, :
+        ]
+        return jax.scipy.special.ndtr(z)
 
     def unit_entropy(self, store):
         # differential entropy of N(mu, sigma); a log_partition scaling
