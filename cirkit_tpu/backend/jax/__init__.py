@@ -5,6 +5,7 @@ from cirkit_tpu.backend.jax.cross import (
     expected_loglikelihood,
     is_deterministic,
 )
+from cirkit_tpu.backend.jax.distill import distill_tree
 from cirkit_tpu.backend.jax.entropy import (
     EntropyQuery,
     KLDivergenceQuery,
@@ -46,6 +47,7 @@ __all__ = [
     "Query",
     "SamplingQuery",
     "cross_circuit_kl",
+    "distill_tree",
     "expected_loglikelihood",
     "grow_circuit",
     "is_deterministic",

@@ -112,7 +112,11 @@ def _flow_slots(param: JaxParameter) -> list[str]:
 def em_slots(circuit: JaxCircuit) -> dict[str, str]:
     """The EM-updatable slots of a compiled circuit: ``slot -> kind``
     (``"sum"`` or ``"categorical"``). Raises if a sum-style layer's weight
-    is reparameterized (EM needs plain normalized weight tensors)."""
+    is reparameterized (EM needs plain normalized weight tensors).
+    Non-learnable slots (``ConstantParameter`` — e.g. the indicator leaves
+    of a distilled tree) are frozen, matching ``fit()``'s
+    ``learnable_slots`` contract."""
+    learnable = circuit.learnable_slots
     slots: dict[str, str] = {}
     for layer in circuit.layers:
         if isinstance(layer, (JaxSumLayer, JaxCPTLayer, JaxTuckerLayer, JaxTensorDotLayer)):
@@ -124,10 +128,11 @@ def em_slots(circuit: JaxCircuit) -> dict[str, str]:
                     'Parameterization(activation="none", initialization="dirichlet")'
                 )
             for slot in found:
-                slots[slot] = "sum"
+                if slot in learnable:  # frozen (ConstantParameter) slots stay fixed
+                    slots[slot] = "sum"
         elif isinstance(layer, JaxCategoricalLayer) and layer.probs is not None:
             slot = _flow_slot(layer.probs)
-            if slot is not None:
+            if slot is not None and slot in learnable:
                 slots[slot] = "categorical"
     if (
         not slots
@@ -216,7 +221,21 @@ def em_programs(
     gauss = gaussian_em_layers(circuit)
     binom = binomial_em_layers(circuit)
     leaf_types = (JaxCategoricalLayer, JaxGaussianLayer, JaxBinomialLayer)
-    has_leaves = any(isinstance(l, leaf_types) for l in circuit.layers)
+    learnable = circuit.learnable_slots
+
+    def _leaf_learnable(layer) -> bool:
+        """False when every slot behind the leaf is frozen (non-learnable
+        constants, e.g. a distilled tree's indicator leaves) — then the
+        leaf staying fixed is by construction, not a silent no-op."""
+        return any(
+            slot.slot in learnable
+            for p in layer.params.values()
+            for slot in p.tensor_slots()
+        )
+
+    has_leaves = any(
+        isinstance(l, leaf_types) and _leaf_learnable(l) for l in circuit.layers
+    )
     leaves_updatable = (
         bool(gauss) or bool(binom) or any(v == "categorical" for v in slots.values())
     )
