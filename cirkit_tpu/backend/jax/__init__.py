@@ -20,7 +20,12 @@ from cirkit_tpu.backend.jax.queries import (
     SamplingQuery,
     mutual_information,
 )
-from cirkit_tpu.backend.jax.serving import bf16_weight_store, weight_slots
+from cirkit_tpu.backend.jax.serving import (
+    bf16_weight_store,
+    export_circuit,
+    load_exported,
+    weight_slots,
+)
 from cirkit_tpu.backend.jax.semiring import (
     ComplexLSESumSemiring,
     LSESumSemiring,
@@ -49,6 +54,8 @@ __all__ = [
     "cross_circuit_kl",
     "distill_tree",
     "expected_loglikelihood",
+    "export_circuit",
+    "load_exported",
     "grow_circuit",
     "is_deterministic",
     "mutual_information",

@@ -69,3 +69,61 @@ def bf16_weight_store(circuit: JaxCircuit, store: Store) -> Store:
         k: (jnp.asarray(v).astype(jnp.bfloat16) if k in slots else v)
         for k, v in store.items()
     }
+
+
+def export_circuit(
+    circuit: JaxCircuit,
+    x,
+    *,
+    store: Store,
+    query: str = "evaluate",
+    platforms=None,
+) -> bytes:
+    """Serialize the circuit's forward as a portable StableHLO artifact
+    (``jax.export``): a production-serving handoff the reference has no
+    analogue of (its serving story is pickling torch modules). The
+    artifact is self-contained MLIR with a versioned calling convention —
+    loadable from any jax process (or XLA runtime) WITHOUT cirkit-tpu
+    installed, and replayable on new parameter stores of the same shapes
+    (the store is an argument, not baked in, so artifacts stay small and
+    checkpoint swaps need no re-export).
+
+    ``query="evaluate"`` exports ``(store, x) -> (B, O, K)`` log-densities;
+    ``query="integrate"`` exports ``(store, x, mask) -> (B, O, K)``
+    per-sample marginals (the :func:`masked_evaluate` program — runtime
+    evidence masks ride along into serving). ``x`` fixes the batch
+    shape/dtype. ``platforms`` defaults to the tracing backend: artifacts
+    traced on TPU embed the fused Mosaic kernels (TPU-only); trace on CPU
+    (``jax_platforms="cpu"``) for a pure-XLA artifact portable across
+    ``platforms=("cpu", "tpu", "cuda")``."""
+    import jax
+    from jax import export as jax_export
+
+    from cirkit_tpu.backend.jax.queries import masked_evaluate
+
+    restricted = circuit.restrict_store(store)
+    x = jnp.asarray(x)
+    spec = lambda v: jax.ShapeDtypeStruct(jnp.shape(v), jnp.asarray(v).dtype)
+    store_spec = {k: spec(v) for k, v in restricted.items()}
+    if query == "evaluate":
+        fn = jax.jit(lambda st, xx: circuit.evaluate(st, xx))
+        args = (store_spec, spec(x))
+    elif query == "integrate":
+        fn = jax.jit(lambda st, xx, mk: masked_evaluate(circuit, st, xx, mk))
+        mask_spec = jax.ShapeDtypeStruct((x.shape[0], x.shape[1]), jnp.bool_)
+        args = (store_spec, spec(x), mask_spec)
+    else:
+        raise ValueError(f"Unknown query to export: {query!r}")
+    kwargs = {} if platforms is None else {"platforms": tuple(platforms)}
+    exported = jax_export.export(fn, **kwargs)(*args)
+    return bytes(exported.serialize())
+
+
+def load_exported(data: bytes):
+    """Rehydrate an :func:`export_circuit` artifact into a callable with
+    the exported signature (``(store, x)`` or ``(store, x, mask)``). Works
+    in any jax process; the module's StableHLO is recompiled for the local
+    backend on first call."""
+    from jax import export as jax_export
+
+    return jax_export.deserialize(bytearray(data)).call

@@ -58,3 +58,43 @@ def test_bf16_weight_store_queries_run(monkeypatch):
     assert np.isfinite(np.asarray(marg)).all()
     asg, val = MAPQuery(cc)(x, evidence_mask=jnp.asarray(~mask), store=store)
     assert np.isfinite(np.asarray(val)).all()
+
+
+def test_export_circuit_roundtrip_and_store_swap():
+    """StableHLO export: the deserialized artifact reproduces evaluate()
+    bitwise, replays on a NEW store of the same shapes, and the integrate
+    variant carries runtime evidence masks into serving."""
+    from cirkit_tpu.backend.jax import export_circuit, load_exported
+    from cirkit_tpu.backend.jax.queries import IntegrateQuery
+
+    ctx, cc = _circuit("tucker")
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.integers(0, 256, size=(4, 16)), jnp.int32)
+    store = cc.restrict_store(ctx.parameters)
+
+    blob = export_circuit(cc, x, store=ctx.parameters)
+    assert isinstance(blob, bytes) and len(blob) < 5_000_000
+    fn = load_exported(blob)
+    want = np.asarray(cc.evaluate(store, x))
+    np.testing.assert_array_equal(np.asarray(fn(store, x)), want)
+
+    # replay on a different parameterization without re-exporting
+    ctx2, cc2 = _circuit("tucker", seed=9)
+    store2 = cc2.restrict_store(ctx2.parameters)
+    store2 = {k: store2[k] for k in store}  # same shapes, new values
+    want2 = np.asarray(cc.evaluate(store2, x))
+    np.testing.assert_array_equal(np.asarray(fn(store2, x)), want2)
+
+    # integrate variant: (store, x, mask)
+    blob_m = export_circuit(cc, x, store=ctx.parameters, query="integrate")
+    fn_m = load_exported(blob_m)
+    mask = jnp.asarray(rng.random((4, 16)) < 0.5)
+    want_m = np.asarray(
+        IntegrateQuery(cc)(x, integrate_vars=mask, store=store)
+    )
+    np.testing.assert_allclose(
+        np.asarray(fn_m(store, x, mask)), want_m, rtol=1e-6, atol=1e-12
+    )
+
+    with pytest.raises(ValueError, match="Unknown query"):
+        export_circuit(cc, x, store=ctx.parameters, query="sample")

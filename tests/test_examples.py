@@ -21,6 +21,7 @@ EXAMPLES = {
     },
     "em_training": {"SIDE": "4", "UNITS": "4", "EPOCHS": "3", "BATCH": "128"},
     "structure_learning": {"VARS": "5", "SAMPLES": "600"},
+    "model_distillation": {"SIDE": "3", "UNITS": "4", "EPOCHS": "3"},
     "prune_finetune": {},
     "region_graphs_comparison": {
         "SIDE": "4", "UNITS": "4", "EPOCHS": "1", "BATCH": "128",
