@@ -151,3 +151,48 @@ def test_cdf_monotone_in_t(gmm):
     assert (np.diff(vals, axis=0) >= -1e-12).all()
     np.testing.assert_allclose(vals[0], 0.0, atol=1e-8)
     np.testing.assert_allclose(vals[-1], 1.0, atol=1e-8)
+
+
+def test_cdf_binomial_and_embedding_leaves():
+    """The step-CDF hook on binomial (scipy oracle) and embedding
+    (normalized-weight cumsum oracle) leaves, via a 2-var mixture."""
+    from scipy.stats import binom
+
+    from cirkit_tpu.symbolic import BinomialLayer, EmbeddingLayer
+
+    rng = np.random.default_rng(73)
+    k, n, s_emb = 3, 5, 4
+    probs = rng.uniform(0.2, 0.8, size=k)
+    wemb = rng.uniform(0.1, 1.0, size=(k, s_emb))
+    leaves = [
+        BinomialLayer(Scope([0]), k, total_count=n, probs=const_param(probs)),
+        EmbeddingLayer(Scope([1]), k, num_states=s_emb, weight=const_param(wemb)),
+    ]
+    prod = HadamardLayer(k, arity=2)
+    w = rng.dirichlet(np.ones(k))
+    root = SumLayer(k, 1, weight=const_param(w[None]))
+    sc = Circuit(leaves + [prod, root], {prod: leaves, root: [prod]}, [root])
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    q = ExpectationQuery(cc)
+
+    x = np.array([[2, 0]], dtype=np.int32)
+    mask = np.array([[True, False]])
+    # posterior over mixture components given x_0 = 2 (embedding leaf has
+    # unnormalized weights: its normalizer rides the responsibility)
+    like = binom.pmf(2, n, probs) * wemb.sum(axis=1)  # leaf normalizers ride along
+    r = w * like / (w * like).sum()
+    pe = wemb / wemb.sum(axis=1, keepdims=True)
+    for t in (-0.5, 0.0, 1.0, 2.5, 4.0):
+        got = np.asarray(q.cdf(x, t=t, evidence_mask=mask, store=ctx.parameters))
+        want = (r[:, None] * pe).sum(axis=0)[: max(0, int(np.floor(t)) + 1)].sum()
+        np.testing.assert_allclose(got[0, 1], want, rtol=1e-7, atol=1e-12)
+    # binomial side unconditional: CDF at t of the mixture of binomials
+    # (the unnormalized embedding's per-unit integral reweights components)
+    mask0 = np.zeros((1, 2), bool)
+    r0 = w * wemb.sum(axis=1)
+    r0 = r0 / r0.sum()
+    for t in (0.0, 2.0, 5.0):
+        got = np.asarray(q.cdf(x, t=t, evidence_mask=mask0, store=ctx.parameters))
+        want = (r0 * binom.cdf(t, n, probs)).sum()
+        np.testing.assert_allclose(got[0, 0], want, rtol=1e-7, atol=1e-12)
