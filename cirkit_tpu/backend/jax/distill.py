@@ -93,25 +93,32 @@ def distill_tree(
     """
     supports = _variable_supports(circuit)
     num_vars = supports.shape[0]
-    if not 0 <= root < num_vars:
+    covered = [v for v in range(num_vars) if supports[v] != -2]
+    if not 0 <= root < num_vars or supports[root] == -2:
         raise ValueError(f"Root variable {root} is outside the circuit scope")
-    if (supports < 0).any():
-        bad = int(np.argmax(supports < 0))
+    if (supports[covered] == -1).any():
+        bad = covered[int(np.argmax(supports[covered] == -1))]
         raise NotImplementedError(
             f"Tree distillation needs finite-support leaves; variable {bad} "
             "has a continuous input layer"
         )
-    if num_vars < 2:
+    if len(covered) < 2:
         raise ValueError("Tree distillation needs at least two variables")
 
     q = ExpectationQuery(circuit)
     mi = np.asarray(
-        mutual_information(circuit, store=store, output=output, unit=unit),
+        mutual_information(
+            circuit, store=store, variables=covered, output=output, unit=unit
+        ),
         dtype=np.float64,
-    )
-    parent = _prim(mi, root)
-    children: dict[int, list[int]] = {v: [] for v in range(num_vars)}
-    for v in range(num_vars):
+    )  # (k, k) over `covered`
+    pos = {v: i for i, v in enumerate(covered)}
+    parent_pos = _prim(mi, pos[root])
+    parent = np.full(num_vars, -1, dtype=np.int64)
+    for i, v in enumerate(covered):
+        parent[v] = covered[int(parent_pos[i])] if parent_pos[i] >= 0 else -1
+    children: dict[int, list[int]] = {v: [] for v in covered}
+    for v in covered:
         if parent[v] >= 0:
             children[int(parent[v])].append(v)
 
@@ -189,13 +196,12 @@ def distill_tree(
         msg[v] = sum_l
 
     tree = Circuit(layers, in_map, [msg[root]])
-    edges = [(int(parent[v]), v) for v in range(num_vars) if parent[v] >= 0]
-    ent = np.array(np.diag(mi))
+    edges = [(int(parent[v]), v) for v in covered if parent[v] >= 0]
     report = {
         "root": root,
         "edges": edges,
-        "mi_objective": float(sum(mi[p, c] for p, c in edges)),
-        "entropies": ent,
+        "mi_objective": float(sum(mi[pos[p], pos[c]] for p, c in edges)),
+        "entropies": np.array(np.diag(mi)),
         "units": sum(sl.num_output_units for sl in layers),
     }
     return tree, report

@@ -682,11 +682,13 @@ def _build_expectation_run(cc: JaxCircuit, output: int, unit: int, mode: str = "
 
 
 def _variable_supports(cc: JaxCircuit) -> np.ndarray:
-    """Per-variable finite support sizes (D,), -1 for continuous leaves."""
+    """Per-variable finite support sizes (D,): -1 for variables covered by
+    a continuous leaf, -2 for variables with no input layer at all (a
+    non-contiguous circuit scope)."""
     from cirkit_tpu.backend.jax.layers import JaxConstantInputLayer
 
     num_vars = max(cc.scope) + 1
-    supports = np.full(num_vars, -1, dtype=np.int64)
+    supports = np.full(num_vars, -2, dtype=np.int64)
     for entry in cc._entries:
         layer = entry.layer
         if not isinstance(layer, JaxInputLayer) or isinstance(
@@ -694,11 +696,27 @@ def _variable_supports(cc: JaxCircuit) -> np.ndarray:
         ):
             continue
         s = _leaf_support_size(layer)
-        if s is None:
-            continue
         for v in np.asarray(layer.scope_idx[:, 0]):
-            supports[int(v)] = max(supports[int(v)], s)
+            if s is None:
+                supports[int(v)] = max(supports[int(v)], -1)
+            else:
+                supports[int(v)] = max(supports[int(v)], s)
     return supports
+
+
+@jax.jit
+def _mi_row_reduce(cond, p_u, mg):
+    """One anchor's MI row: cond (S_u, D, S) = p(x_v = t | x_u = s),
+    p_u (S_u,), mg (D, S) -> (D,) via I = sum_s p(s) KL(p(. | s) || p(.)).
+    Anchor states with p(s) = 0 are impossible evidence (the backward
+    produces NaN there) — masked out, they contribute nothing. Module-level
+    jit: the program caches across calls (the remote compile service costs
+    seconds per program)."""
+    lcond = jnp.where(cond > 0, jnp.log(cond), 0.0)
+    lmarg = jnp.where(mg > 0, jnp.log(mg), 0.0)
+    kl = jnp.sum(cond * (lcond - lmarg[None]), axis=2)  # (S_u, D)
+    kl = jnp.where((p_u > 0)[:, None], jnp.nan_to_num(kl), 0.0)
+    return jnp.einsum("s,sd->d", p_u.astype(cond.dtype), kl)
 
 
 def mutual_information(
@@ -738,12 +756,12 @@ def mutual_information(
     supports = _variable_supports(circuit)
     num_vars = supports.shape[0]
     if variables is None:
-        variables = range(num_vars)
+        variables = [v for v in range(num_vars) if supports[v] != -2]
     variables = tuple(int(v) for v in variables)
     for v in variables:
-        if not 0 <= v < num_vars:
+        if not 0 <= v < num_vars or supports[v] == -2:
             raise ValueError(f"Variable {v} is outside the circuit scope")
-        if supports[v] < 0:
+        if supports[v] == -1:
             raise NotImplementedError(
                 f"Mutual information needs finite-support leaves; variable "
                 f"{v} has a continuous input layer"
@@ -763,19 +781,6 @@ def mutual_information(
     )[0]  # (D, S)
 
     dt = jnp.result_type(float)
-
-    @jax.jit
-    def _mi_row(cond, p_u, mg):
-        # cond (S_u, D, S): p(x_v = t | x_u = s); p_u (S_u,); mg (D, S).
-        # KL(p(. | s) || p(.)) per target, weighted by p(s). States with
-        # p(s) = 0 are impossible evidence (the backward produces NaN
-        # there) — masked out, they contribute nothing.
-        lcond = jnp.where(cond > 0, jnp.log(cond), 0.0)
-        lmarg = jnp.where(mg > 0, jnp.log(mg), 0.0)
-        kl = jnp.sum(cond * (lcond - lmarg[None]), axis=2)  # (S_u, D)
-        kl = jnp.where((p_u > 0)[:, None], jnp.nan_to_num(kl), 0.0)
-        return jnp.einsum("s,sd->d", p_u.astype(dt), kl)
-
     rows = []
     for u in variables:
         if m0[u]:
@@ -790,7 +795,7 @@ def mutual_information(
             jnp.asarray(xs), evidence_mask=jnp.asarray(mk),
             store=store, output=output, unit=unit,
         )
-        rows.append(_mi_row(cond, marg[u, :s_u], marg))
+        rows.append(_mi_row_reduce(cond, marg[u, :s_u], marg))
     mat = jnp.stack(rows)[:, np.asarray(variables)]
     # observed columns: conditioning makes them constants
     obs_col = jnp.asarray(m0[np.asarray(variables)])

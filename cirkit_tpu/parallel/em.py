@@ -120,6 +120,13 @@ def em_slots(circuit: JaxCircuit) -> dict[str, str]:
     slots: dict[str, str] = {}
     for layer in circuit.layers:
         if isinstance(layer, (JaxSumLayer, JaxCPTLayer, JaxTuckerLayer, JaxTensorDotLayer)):
+            layer_slots = [
+                s.slot
+                for p in layer.params.values()
+                for s in p.tensor_slots()
+            ]
+            if not any(s in learnable for s in layer_slots):
+                continue  # entirely frozen (ConstantParameter): fixed by intent
             found = _flow_slots(layer.weight)
             if not found:
                 raise ValueError(
@@ -146,15 +153,20 @@ def em_slots(circuit: JaxCircuit) -> dict[str, str]:
 def gaussian_em_layers(
     circuit: JaxCircuit,
 ) -> list[tuple[int, "JaxGaussianLayer", str, str]]:
-    """Gaussian input layers whose mean AND stddev are plain slots, as
-    ``(layer_index, layer, mean_slot, stddev_slot)``; others stay fixed."""
+    """Gaussian input layers whose mean AND stddev are plain *learnable*
+    slots, as ``(layer_index, layer, mean_slot, stddev_slot)``; others
+    (reparameterized or frozen ``ConstantParameter``) stay fixed."""
+    learnable = circuit.learnable_slots
     out = []
     for i, layer in enumerate(circuit.layers):
         if not isinstance(layer, JaxGaussianLayer) or layer.log_partition is not None:
             continue
         mean_slot = _flow_slot(layer.mean)
         std_slot = _flow_slot(layer.stddev)
-        if mean_slot is not None and std_slot is not None:
+        if (
+            mean_slot in learnable
+            and std_slot in learnable
+        ):
             out.append((i, layer, mean_slot, std_slot))
     return out
 
@@ -162,19 +174,21 @@ def gaussian_em_layers(
 def binomial_em_layers(
     circuit: JaxCircuit,
 ) -> list[tuple[int, "JaxBinomialLayer", str, str]]:
-    """Binomial input layers with a plain ``probs`` or ``logits`` slot, as
-    ``(layer_index, layer, slot, kind)`` with kind "probs"/"logits"."""
+    """Binomial input layers with a plain *learnable* ``probs`` or
+    ``logits`` slot, as ``(layer_index, layer, slot, kind)`` with kind
+    "probs"/"logits"; frozen (``ConstantParameter``) slots stay fixed."""
+    learnable = circuit.learnable_slots
     out = []
     for i, layer in enumerate(circuit.layers):
         if not isinstance(layer, JaxBinomialLayer):
             continue
         if layer.probs is not None:
             slot = _flow_slot(layer.probs)
-            if slot is not None:
+            if slot in learnable:
                 out.append((i, layer, slot, "probs"))
         else:
             slot = _flow_slot(layer.logits)
-            if slot is not None:
+            if slot in learnable:
                 out.append((i, layer, slot, "logits"))
     return out
 

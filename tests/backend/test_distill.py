@@ -164,3 +164,47 @@ def test_distill_rejects_continuous_and_bad_root(source):
     ccg = ctxg.compile(scg)
     with pytest.raises(NotImplementedError, match="finite-support"):
         distill_tree(ccg, store=ctxg.parameters)
+
+
+def test_distill_non_contiguous_scope():
+    """Scope gaps (no leaf for some index) distill fine over the covered
+    variables — they are not 'continuous leaves'."""
+    from cirkit_tpu.symbolic import CategoricalLayer, SumLayer
+    from cirkit_tpu.symbolic import Circuit as SymCircuit
+    from cirkit_tpu.symbolic import HadamardLayer
+    from cirkit_tpu.utils.scope import Scope
+    from tests.fixtures import const_param
+
+    rng = np.random.default_rng(41)
+    k = 3
+    leaves = []
+    for v in (0, 2, 5):
+        raw = rng.uniform(0.1, 1.0, size=(k, 2))
+        leaves.append(
+            CategoricalLayer(Scope([v]), k, num_categories=2,
+                             probs=const_param(raw / raw.sum(1, keepdims=True)))
+        )
+    prod = HadamardLayer(k, arity=3)
+    root = SumLayer(k, 1, weight=const_param(rng.dirichlet(np.ones(k))[None]))
+    sc = SymCircuit(leaves + [prod, root], {prod: leaves, root: [prod]}, [root])
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    tree, rep = distill_tree(cc, store=ctx.parameters, root=2)
+    assert {u for e in rep["edges"] for u in e} <= {0, 2, 5}
+    assert len(rep["edges"]) == 2
+    # distilled distribution matches the source's pairwise marginals on
+    # its edges (evaluate over the padded world table)
+    worlds = np.zeros((8, 6), np.int64)
+    combos = enumerate_worlds(3, 2)
+    worlds[:, [0, 2, 5]] = combos
+    vals = np.exp(np.asarray(cc.evaluate(ctx.parameters, jnp.asarray(worlds)))[:, 0, 0])
+    p = vals / vals.sum()
+    ctx2 = PipelineContext(semiring="lse-sum", fold=True)
+    cc2 = ctx2.compile(tree)
+    q = np.exp(np.asarray(cc2.evaluate(ctx2.parameters, jnp.asarray(worlds)))[:, 0, 0])
+    for u, v in rep["edges"]:
+        for s in range(2):
+            for t in range(2):
+                keep = (worlds[:, u] == s) & (worlds[:, v] == t)
+                np.testing.assert_allclose(q[keep].sum(), p[keep].sum(),
+                                           rtol=1e-6, atol=1e-12)

@@ -117,3 +117,39 @@ def test_mi_rejects_continuous_and_out_of_scope(deep_pc):
     ccg = ctxg.compile(scg)
     with pytest.raises(NotImplementedError, match="finite-support"):
         mutual_information(ccg, store=ctxg.parameters)
+
+
+def test_mi_non_contiguous_scope():
+    """Scope gaps are not 'continuous leaves': default variables skip
+    them, explicit requests get the out-of-scope error."""
+    from cirkit_tpu.symbolic import (
+        CategoricalLayer,
+        Circuit,
+        HadamardLayer,
+        SumLayer,
+    )
+    from cirkit_tpu.utils.scope import Scope
+    from tests.fixtures import const_param
+
+    rng = np.random.default_rng(21)
+    k = 2
+    leaves = []
+    for v in (0, 2):  # variable 1 has no leaf
+        raw = rng.uniform(0.1, 1.0, size=(k, 3))
+        leaves.append(
+            CategoricalLayer(
+                Scope([v]), k, num_categories=3,
+                probs=const_param(raw / raw.sum(axis=1, keepdims=True)),
+            )
+        )
+    prod = HadamardLayer(k, arity=2)
+    root = SumLayer(k, 1, weight=const_param(rng.dirichlet(np.ones(k))[None]))
+    sc = Circuit(leaves + [prod, root], {prod: leaves, root: [prod]}, [root])
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+
+    got = np.asarray(mutual_information(cc, store=ctx.parameters))
+    assert got.shape == (2, 2)  # covered variables only
+    np.testing.assert_allclose(got, got.T, rtol=1e-7)
+    with pytest.raises(ValueError, match="outside the circuit scope"):
+        mutual_information(cc, store=ctx.parameters, variables=[1])

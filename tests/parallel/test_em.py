@@ -697,3 +697,72 @@ def test_missing_accepts_float_nan_sentinel():
     for k in a:
         np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]), rtol=1e-9)
     assert all(np.isfinite(l) for l in la), la
+
+
+def test_fit_em_keeps_frozen_leaf_and_sum_slots_fixed():
+    """Frozen (learnable=False ConstantParameter) Gaussian/Binomial leaf
+    slots and entirely-frozen sum weights must survive fit_em untouched —
+    matching fit()'s learnable_slots contract — and a frozen
+    reparameterized sum must be skipped, not raise."""
+    import jax.numpy as jnp
+
+    from cirkit_tpu.symbolic import (
+        BinomialLayer,
+        Circuit,
+        GaussianLayer,
+        HadamardLayer,
+        SumLayer,
+    )
+    from cirkit_tpu.symbolic.parameters import (
+        ConstantParameter,
+        Parameter,
+        SoftmaxParameter,
+        TensorParameter,
+    )
+    from cirkit_tpu.symbolic.initializers import NormalInitializer
+    from cirkit_tpu.utils.scope import Scope
+    from tests.fixtures import const_param
+
+    rng = np.random.default_rng(17)
+    k = 3
+
+    def frozen(v):
+        return Parameter.from_input(ConstantParameter(*np.shape(v), value=np.asarray(v)))
+
+    g = GaussianLayer(
+        Scope([0]), k,
+        mean=frozen(rng.normal(size=k)),
+        stddev=frozen(rng.uniform(0.5, 1.0, size=k)),
+    )
+    b = BinomialLayer(
+        Scope([1]), k, total_count=4, probs=frozen(rng.uniform(0.3, 0.7, size=k))
+    )
+    prod = HadamardLayer(k, arity=2)
+    # frozen softmax-REPARAMETERIZED inner sum: must be skipped, not raise
+    theta = Parameter.from_unary(
+        SoftmaxParameter((k, k)),
+        ConstantParameter(k, k, value=rng.normal(size=(k, k))),
+    )
+    mid = SumLayer(k, k, weight=theta)
+    root = SumLayer(k, 1, weight=const_param(rng.dirichlet(np.ones(k))[None]))
+    sc = Circuit(
+        [g, b, prod, mid, root],
+        {prod: [g, b], mid: [prod], root: [mid]},
+        [root],
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    before = {k_: np.asarray(v).copy() for k_, v in ctx.parameters.items()}
+    data = np.stack(
+        [rng.normal(size=64), rng.integers(0, 5, size=64).astype(float)], axis=1
+    )
+    store, _ = fit_em(cc, jnp.asarray(data), store=dict(ctx.parameters), num_epochs=2)
+    learnable = cc.learnable_slots
+    changed = {
+        k_ for k_ in before
+        if k_ in store and not np.array_equal(before[k_], np.asarray(store[k_]))
+    }
+    frozen_changed = changed - set(learnable)
+    assert not frozen_changed, frozen_changed
+    # the learnable root weight DID train
+    assert any(k_ in learnable for k_ in changed)
