@@ -68,11 +68,25 @@ def _const(value: np.ndarray) -> Parameter:
     )
 
 
+def _sibling_compile(sc: Circuit, ctx):
+    """Unoptimized folded sibling compile sharing the context's compiler
+    state (slots resolve to the SAME trained arrays): returns the compiled
+    circuit and its retained symbolic-layer -> (plan entry, fold) map."""
+    from cirkit_tpu.backend.jax.compiler import JaxCompiler
+
+    base = ctx._compiler
+    raw = JaxCompiler(semiring=base._flags["semiring"], fold=True, optimize=False)
+    raw.state = base.state
+    cc = raw.compile(sc)
+    placement = cc._symbolic_fold
+    assert placement is not None  # unoptimized compile always retains it
+    return cc, placement
+
+
 def _materialize(sc: Circuit, ctx, store) -> dict[Layer, Any]:
     """Per-symbolic-layer materialized parameter values from the trained
     store, via an unoptimized folded sibling compile sharing the
     context's compiler state (slots resolve to the SAME trained arrays)."""
-    from cirkit_tpu.backend.jax.compiler import JaxCompiler
     from cirkit_tpu.backend.jax.layers import (
         JaxBinomialLayer,
         JaxCategoricalLayer,
@@ -81,12 +95,7 @@ def _materialize(sc: Circuit, ctx, store) -> dict[Layer, Any]:
         JaxSumLayer,
     )
 
-    base = ctx._compiler
-    raw = JaxCompiler(semiring=base._flags["semiring"], fold=True, optimize=False)
-    raw.state = base.state
-    cc = raw.compile(sc)
-    placement = cc._symbolic_fold
-    assert placement is not None  # unoptimized compile always retains it
+    cc, placement = _sibling_compile(sc, ctx)
     import jax
 
     values: dict[Layer, Any] = {}
@@ -165,6 +174,80 @@ def _importance(
     return score
 
 
+def _flow_importance(
+    sc: Circuit,
+    ctx,
+    store,
+    data,
+    batch_size: int,
+) -> dict[Layer, np.ndarray]:
+    """Data-aware importance: each unit's average expected posterior usage
+    over ``data`` — the gradient of the mean evidence log-likelihood with
+    respect to a zero additive offset on EVERY layer's log-output (the same
+    flow identity EM's E-step and ExpectationQuery use, applied to inner
+    layers too). This is the criterion of Dang et al.'s circuit pruning
+    (expected flows), where :func:`_importance` is its data-free
+    weight-magnitude upper bound: units on parses the data never activates
+    score ~0 regardless of their weights. Works for ANY weight
+    parameterization (softmax included) — the offsets sit on outputs, not
+    parameters."""
+    import jax
+    import jax.numpy as jnp
+
+    from cirkit_tpu.backend.jax.layers import JaxConstantInputLayer
+    from cirkit_tpu.backend.jax.semiring import LSESumSemiring
+
+    cc, placement = _sibling_compile(sc, ctx)
+    if cc.semiring is not LSESumSemiring:
+        raise NotImplementedError(
+            "Flow-based importance requires the 'lse-sum' semiring"
+        )
+    store = cc.restrict_store(store)
+    entries = [
+        (e, entry.layer)
+        for e, entry in enumerate(cc._entries)
+        if not isinstance(entry.layer, JaxConstantInputLayer)
+    ]
+    off_name = {id(layer): f"__f{e}" for e, layer in entries}
+
+    def run(st, offs, xx):
+        def total_ll(o):
+            def fn(layer, s, xin):
+                out = layer(s, xin)
+                name = off_name.get(id(layer))
+                return out if name is None else out + o[name]
+
+            # every root head seeds flow 1, matching _importance
+            return jnp.sum(cc.evaluate(st, xx, module_fn=fn))
+
+        return jax.grad(total_ll)(offs)
+
+    run_jit = jax.jit(run)
+    data = np.asarray(data)
+    acc = {
+        f"__f{e}": np.zeros((layer.num_folds, layer.num_output_units))
+        for e, layer in entries
+    }
+    dt = jnp.result_type(float)
+    for lo in range(0, data.shape[0], batch_size):
+        xx = jnp.asarray(data[lo : lo + batch_size])
+        offs = {
+            f"__f{e}": jnp.zeros((layer.num_folds, xx.shape[0], layer.num_output_units), dt)
+            for e, layer in entries
+        }
+        grads = run_jit(store, offs, xx)
+        for name, g in grads.items():
+            acc[name] += np.asarray(jnp.sum(g, axis=1), np.float64)
+
+    n = data.shape[0]
+    score: dict[Layer, np.ndarray] = {}
+    for sl, (pi, f) in placement.items():
+        name = f"__f{pi}"
+        if name in acc:
+            score[sl] = acc[name][f] / n
+    return score
+
+
 def _digit_lists(kept: list[int], k: int, arity: int) -> list[list[int]]:
     """Per-operand digit sets used by a Kronecker kept-composite set
     (row-major, first operand most significant)."""
@@ -185,16 +268,26 @@ def prune_circuit(
     threshold: float | None = None,
     fraction: float | None = None,
     min_units: int = 1,
+    data=None,
+    batch_size: int = 1024,
 ) -> tuple[Circuit, dict]:
     """Prune low-importance units from a trained circuit.
 
-    Exactly one of ``threshold`` (keep units whose root-to-leaf
-    max-product importance is >= it) or ``fraction`` (prune this fraction
-    of each prunable layer's units, lowest importance first) must be
-    given. ``store`` defaults to the context's parameters (merged over
-    them otherwise). Returns ``(pruned symbolic circuit, report)`` where
-    the report carries per-layer kept counts and the total unit/parameter
-    reduction. ``threshold=0.0`` is a lossless rebuild (pinned in tests).
+    Exactly one of ``threshold`` (keep units whose importance is >= it) or
+    ``fraction`` (prune this fraction of each prunable layer's units,
+    lowest importance first) must be given. ``store`` defaults to the
+    context's parameters (merged over them otherwise). Returns
+    ``(pruned symbolic circuit, report)`` where the report carries
+    per-layer kept counts and the total unit/parameter reduction.
+    ``threshold=0.0`` is a lossless rebuild (pinned in tests).
+
+    Importance is the data-free root-to-leaf max-product weight flow by
+    default; pass ``data`` (a (N, D) array) to score by **expected
+    posterior usage flows** instead — Dang et al.'s criterion: each
+    unit's average responsibility over the dataset (one forward+backward
+    per batch), so units the data never routes through are pruned even
+    when their weights are large. With ``data``, ``threshold`` is in
+    average-usage units (e.g. ``1e-4`` = used by ~0.01% of parses).
     """
     if (threshold is None) == (fraction is None):
         raise ValueError("Exactly one of 'threshold' and 'fraction' must be given")
@@ -211,7 +304,12 @@ def prune_circuit(
 
     topo = list(sc.topological_ordering())
     out_set = set(sc.outputs)
-    score = _importance(sc, values, topo, out_set, "Pruning")
+    if data is not None:
+        score = _flow_importance(sc, ctx, full, data, batch_size)
+        for sl in out_set:
+            score[sl] = np.ones(sl.num_output_units)
+    else:
+        score = _importance(sc, values, topo, out_set, "Pruning")
 
     # ---- initial kept sets --------------------------------------------------
     kept: dict[Layer, set[int]] = {}
@@ -366,8 +464,15 @@ def grow_circuit(
     fraction: float = 0.25,
     noise: float = 0.1,
     seed: int = 0,
+    data=None,
+    batch_size: int = 1024,
 ) -> tuple[Circuit, dict]:
     """Grow a trained circuit: duplicate its most important units.
+
+    Pass ``data`` to rank units by expected posterior usage flows over the
+    dataset instead of the data-free weight flow (see
+    :func:`prune_circuit`) — growth then targets the units the data
+    actually routes through (the overloaded mixture components).
 
     The structural inverse of :func:`prune_circuit` and the other half of
     the grow/prune structure-learning loop (Dang et al., "Pruning and
@@ -413,7 +518,12 @@ def grow_circuit(
     values = _materialize(sc, ctx, full)
     topo = list(sc.topological_ordering())
     out_set = set(sc.outputs)
-    score = _importance(sc, values, topo, out_set, "Growing")
+    if data is not None:
+        score = _flow_importance(sc, ctx, full, data, batch_size)
+        for sl in out_set:
+            score[sl] = np.ones(sl.num_output_units)
+    else:
+        score = _importance(sc, values, topo, out_set, "Growing")
     rng = np.random.default_rng(seed)
 
     # ---- initial multiplicities: +1 copy for the top-scored units -----------

@@ -131,3 +131,20 @@ def test_grow_validation():
         grow_circuit(sc, ctx=ctx, fraction=0.0)
     with pytest.raises(ValueError, match="noise"):
         grow_circuit(sc, ctx=ctx, noise=-1.0)
+
+
+def test_grow_with_data_scores_lossless_at_noise_zero():
+    """Growth ranked by expected usage flows (data=) stays exactly
+    lossless at noise=0 and duplicates the data-used units."""
+    sc = build_multivariate_categorical_pc(num_variables=3, rng=np.random.default_rng(85))
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    worlds = enumerate_worlds(3, 2)
+    want = _dist(ctx, cc, worlds)
+    rng = np.random.default_rng(3)
+    data = worlds[rng.integers(0, len(worlds), size=64)].astype(np.int32)
+    grown, rep = grow_circuit(sc, ctx=ctx, fraction=0.34, noise=0.0, data=data)
+    assert rep["units_after"] > rep["units_before"]
+    ctx2 = PipelineContext(semiring="lse-sum", fold=True)
+    got = _dist(ctx2, ctx2.compile(grown), worlds)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)

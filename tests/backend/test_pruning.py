@@ -171,3 +171,57 @@ def test_prune_requires_compiled_context():
     ctx = PipelineContext(semiring="lse-sum", fold=True)
     with pytest.raises(ValueError, match="Compile the circuit"):
         prune_circuit(sc, ctx=ctx, threshold=0.0)
+
+
+def test_flow_importance_prunes_data_unused_branch():
+    """Data-aware pruning (expected posterior usage flows, Dang et al.):
+    a mixture branch the data NEVER routes through is pruned even though
+    its mixture weight is the largest — the weight-magnitude score would
+    keep it (and drop a used one)."""
+    import jax.numpy as jnp
+
+    from cirkit_tpu.backend.jax.pruning import _flow_importance
+    from cirkit_tpu.symbolic import CategoricalLayer, Circuit, HadamardLayer, SumLayer
+    from tests.fixtures import const_param
+
+    rng = np.random.default_rng(61)
+    k = 3
+    # component 0: peaked on state 0; component 1: peaked on state 1;
+    # component 2 (the HIGHEST-weighted): peaked on state 2 — but the data
+    # only ever contains states {0, 1}
+    leaves = []
+    for v in range(2):
+        p = np.full((k, 3), 0.01)
+        for c in range(k):
+            p[c, c] = 0.98
+        leaves.append(
+            CategoricalLayer(Scope([v]), k, num_categories=3,
+                             probs=const_param(p / p.sum(1, keepdims=True)))
+        )
+    prod = HadamardLayer(k, arity=2)
+    w = np.array([[0.2, 0.2, 0.6]])  # unused component has the top weight
+    root = SumLayer(k, 1, weight=const_param(w))
+    sc = Circuit(leaves + [prod, root], {prod: leaves, root: [prod]}, [root])
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+
+    data = np.concatenate([np.zeros((40, 2)), np.ones((40, 2))]).astype(np.int32)
+    score = _flow_importance(sc, ctx, ctx.parameters, data, batch_size=64)
+    s_prod = score[prod]
+    assert s_prod[2] < 0.01 < min(s_prod[0], s_prod[1])
+    # usage flows are responsibilities: they sum to ~1 at a smooth mixture
+    np.testing.assert_allclose(s_prod.sum(), 1.0, rtol=1e-5)
+
+    pruned, rep = prune_circuit(sc, ctx=ctx, fraction=1 / 3, data=data)
+    ctx2 = PipelineContext(semiring="lse-sum", fold=True)
+    cc2 = ctx2.compile(pruned)
+    # the data-used components survive: LL on the data barely moves
+    ll_full = np.asarray(cc.evaluate(ctx.parameters, jnp.asarray(data)))[:, 0, 0].mean()
+    ll_pruned = np.asarray(cc2.evaluate(ctx2.parameters, jnp.asarray(data)))[:, 0, 0].mean()
+    assert abs(ll_full - ll_pruned) < 0.05, (ll_full, ll_pruned)
+    # the WEIGHT-based score would have kept the unused branch instead
+    pruned_w, _ = prune_circuit(sc, ctx=ctx, fraction=1 / 3)
+    ctxw = PipelineContext(semiring="lse-sum", fold=True)
+    ccw = ctxw.compile(pruned_w)
+    ll_w = np.asarray(ccw.evaluate(ctxw.parameters, jnp.asarray(data)))[:, 0, 0].mean()
+    assert ll_pruned > ll_w + 0.1, (ll_pruned, ll_w)
