@@ -11,7 +11,11 @@ from cirkit_tpu.backend.jax.entropy import (
     KLDivergenceQuery,
     renyi2_entropy,
 )
-from cirkit_tpu.backend.jax.pruning import grow_circuit, prune_circuit
+from cirkit_tpu.backend.jax.pruning import (
+    grow_circuit,
+    grow_prune_loop,
+    prune_circuit,
+)
 from cirkit_tpu.backend.jax.queries import (
     ExpectationQuery,
     IntegrateQuery,
@@ -57,6 +61,7 @@ __all__ = [
     "export_circuit",
     "load_exported",
     "grow_circuit",
+    "grow_prune_loop",
     "is_deterministic",
     "mutual_information",
     "prune_circuit",

@@ -694,3 +694,100 @@ def grow_circuit(
         ],
     }
     return grown, report
+
+
+def grow_prune_loop(
+    sc: Circuit,
+    data,
+    *,
+    ctx=None,
+    val_data=None,
+    rounds: int = 3,
+    grow_fraction: float = 0.25,
+    prune_fraction: float = 0.2,
+    noise: float = 0.5,
+    em_epochs: int = 10,
+    batch_size: int = 1024,
+    seed: int = 0,
+    verbose: bool = False,
+):
+    """The full grow/prune structure-learning loop (Dang et al., "Pruning
+    and growing probabilistic circuits"), orchestrating this module's
+    pieces end to end: per round, GROW ``grow_fraction`` of each layer's
+    units by duplicating the most-used ones (with ``noise`` jitter so EM
+    can differentiate the copies), EM-train, then PRUNE the
+    ``prune_fraction`` with the least expected usage on ``data``
+    (reallocating capacity away from parses the data never takes), and EM
+    again. Equal fractions keep net size roughly constant while the
+    structure adapts; ``grow_fraction > prune_fraction`` searches upward
+    in capacity (the default). Keeps the best (circuit, store) by
+    held-out log-likelihood on ``val_data`` (``data`` itself if not
+    given) and stops early when a full round fails to improve it.
+
+    The input circuit must be ``fit_em``-eligible (plain sum weights and
+    leaves — e.g. templates built with ``em_ready=True``); pruned/grown
+    rebuilds are plain by construction. Returns ``(best symbolic circuit,
+    best trained store, history)`` where history rows are
+    ``(stage, units, heldout_ll)``.
+    """
+    from cirkit_tpu.parallel import evaluate_ll, fit_em
+    from cirkit_tpu.pipeline import PipelineContext
+
+    if ctx is None:
+        ctx = PipelineContext(semiring="lse-sum", fold=True)
+    val = data if val_data is None else val_data
+
+    def units_of(s: Circuit) -> int:
+        return sum(sl.num_output_units for sl in s.topological_ordering())
+
+    def train(s: Circuit, c):
+        cc = c.compile(s)
+        store, _ = fit_em(
+            cc, data, store=dict(c.parameters), num_epochs=em_epochs,
+            batch_size=batch_size,
+        )
+        c.parameters.update(store)
+        return cc, store, float(evaluate_ll(cc, val, store=store))
+
+    import logging
+
+    log = logging.getLogger(__name__)
+    cc, store, ll = train(sc, ctx)
+    best = (sc, dict(store), ll)
+    history = [("init", units_of(sc), ll)]
+    if verbose:  # pragma: no cover - logging only
+        log.info("grow_prune_loop init: %d units, LL %.4f", units_of(sc), ll)
+
+    cur_sc, cur_ctx = sc, ctx
+    for r in range(rounds):
+        improved = False
+        for stage in ("grow", "prune"):
+            if stage == "prune":
+                if prune_fraction <= 0.0:
+                    continue
+                nxt, _rep = prune_circuit(
+                    cur_sc, ctx=cur_ctx, fraction=prune_fraction, data=data,
+                    batch_size=batch_size,
+                )
+            else:
+                if grow_fraction <= 0.0:
+                    continue
+                nxt, _rep = grow_circuit(
+                    cur_sc, ctx=cur_ctx, fraction=grow_fraction, noise=noise,
+                    seed=seed + r, data=data, batch_size=batch_size,
+                )
+            nctx = PipelineContext(semiring="lse-sum", fold=True)
+            _, nstore, nll = train(nxt, nctx)
+            history.append((f"{stage}@{r}", units_of(nxt), nll))
+            if verbose:  # pragma: no cover
+                log.info(
+                    "grow_prune_loop %s@%d: %d units, LL %.4f",
+                    stage, r, units_of(nxt), nll,
+                )
+            cur_sc, cur_ctx = nxt, nctx
+            if nll > best[2]:
+                best = (nxt, dict(nstore), nll)
+                improved = True
+        if not improved:
+            break
+    return best[0], best[1], history

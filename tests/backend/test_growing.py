@@ -148,3 +148,39 @@ def test_grow_with_data_scores_lossless_at_noise_zero():
     ctx2 = PipelineContext(semiring="lse-sum", fold=True)
     got = _dist(ctx2, ctx2.compile(grown), worlds)
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_grow_prune_loop_improves_over_em_only():
+    """The orchestrated grow/prune loop: a deliberately too-small em_ready
+    template gains held-out LL over plain EM at comparable size, history
+    tracks stages, and the returned best store matches the best circuit."""
+    from cirkit_tpu.backend.jax.pruning import grow_prune_loop
+    from cirkit_tpu.models import tabular_data
+    from cirkit_tpu.parallel import evaluate_ll
+
+    rng = np.random.default_rng(87)
+    # 3 latent modes over 6 vars; a 2-unit model underfits
+    protos = rng.integers(0, 4, size=(3, 6))
+    lab = rng.integers(0, 3, size=700)
+    data = protos[lab]
+    data = np.where(rng.random(data.shape) < 0.15,
+                    rng.integers(0, 4, data.shape), data).astype(np.int32)
+    train, val = data[:500], data[500:]
+
+    sc = tabular_data(
+        "random-binary-tree", num_features=6,
+        input_layers={"name": "categorical", "args": {"num_categories": 4}},
+        num_input_units=2, sum_product_layer="cp", num_sum_units=2,
+        em_ready=True,
+    )
+    best_sc, best_store, history = grow_prune_loop(
+        sc, train, val_data=val, rounds=2, grow_fraction=1.0,
+        prune_fraction=0.25, noise=0.6, em_epochs=8, batch_size=128, seed=1,
+    )
+    assert history[0][0] == "init"
+    lls = [h[2] for h in history]
+    assert max(lls[1:]) > lls[0] + 1e-3  # structure search beat plain EM
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(best_sc)
+    got = evaluate_ll(cc, val, store=best_store)
+    assert abs(got - max(lls)) < 1e-6
