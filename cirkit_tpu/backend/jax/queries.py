@@ -337,6 +337,7 @@ class ExpectationQuery(Query):
         store: Store | None = None,
         output: int = 0,
         unit: int = 0,
+        dtype=None,
     ) -> jnp.ndarray:
         """Full posterior state distributions in one backward pass:
         (B, D, S) with ``out[b, v, s] = p(x_v = s | x_obs)`` under head
@@ -344,8 +345,14 @@ class ExpectationQuery(Query):
         (smaller-support variables zero-pad). Observed variables return
         the one-hot of their observed state. Requires every input layer
         to have finite support (categorical / binomial / embedding);
-        continuous leaves raise."""
-        return self._dispatch("marginals", x, evidence_mask, store, output, unit)
+        continuous leaves raise. ``dtype=jnp.bfloat16`` halves the
+        materialized (B, D, S) table (411 -> 205 MB per flagship batch;
+        the responsibilities still reduce in f32, only the output rounds,
+        ~3e-5 abs err). Measured speed-NEUTRAL on the flagship — the
+        table write overlaps the backward (docs/PERF.md) — so it buys
+        memory/transfer headroom, not time."""
+        mode = "marginals" if dtype is None else f"marginals:{jnp.dtype(dtype).name}"
+        return self._dispatch(mode, x, evidence_mask, store, output, unit)
 
     def cdf(
         self,
@@ -538,6 +545,9 @@ def _build_expectation_run(cc: JaxCircuit, output: int, unit: int, mode: str = "
             raise NotImplementedError(
                 "Expectations of multivariate input layers are not supported"
             )
+    out_dtype = None
+    if mode.startswith("marginals:"):
+        mode, out_dtype = "marginals", jnp.dtype(mode.split(":", 1)[1])
     supp = 0
     if mode == "marginals":
         for _, layer in inputs:
@@ -635,7 +645,10 @@ def _build_expectation_run(cc: JaxCircuit, output: int, unit: int, mode: str = "
             obs = jax.nn.one_hot(
                 jnp.clip(xx.astype(jnp.int32), 0, supp - 1), supp, dtype=dt
             )
-            return jnp.where(mk[:, :, None], obs, out)
+            res = jnp.where(mk[:, :, None], obs, out)
+            # the cast fuses into the producing ops: the materialized
+            # (B, D, S) table is written at the reduced width
+            return res if out_dtype is None else res.astype(out_dtype)
 
         if mode == "cdf":
             tt = uu  # thresholds (B, D), the dispatch's extra argument

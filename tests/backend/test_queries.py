@@ -824,3 +824,32 @@ def test_posterior_marginals_and_variance_binomial():
         m2 = (pw * worlds[keep][:, 1] ** 2).sum()
         np.testing.assert_allclose(float(mean[b, 1]), m1, rtol=1e-5)
         np.testing.assert_allclose(float(var[b, 1]), m2 - m1**2, rtol=1e-5)
+
+
+def test_marginals_bf16_output_matches_f32():
+    """marginals(dtype=bf16): same distributions at bf16 rounding, rows
+    still ~normalized, observed one-hots exact."""
+    import jax.numpy as jnp
+
+    from cirkit_tpu.backend.jax.queries import ExpectationQuery
+    from cirkit_tpu.models import image_data
+
+    sc = image_data(
+        (1, 2, 2), "quad-tree-2", input_layer="categorical",
+        num_input_units=4, sum_product_layer="cp", num_sum_units=4,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True, seed=3)
+    cc = ctx.compile(sc)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.integers(0, 256, size=(5, 4)), jnp.int32)
+    mask = jnp.asarray(rng.random((5, 4)) < 0.5)
+    q = ExpectationQuery(cc)
+    f32 = np.asarray(q.marginals(x, evidence_mask=mask, store=ctx.parameters))
+    b16 = q.marginals(x, evidence_mask=mask, store=ctx.parameters, dtype=jnp.bfloat16)
+    assert b16.dtype == jnp.bfloat16
+    b16 = np.asarray(b16).astype(np.float32)
+    np.testing.assert_allclose(b16, f32, atol=4e-3)
+    np.testing.assert_allclose(b16.sum(-1), 1.0, atol=2e-2)
+    obs = np.asarray(mask)
+    xi = np.asarray(x)
+    assert (b16[obs][np.arange(obs.sum()), xi[obs]] == 1.0).all()
