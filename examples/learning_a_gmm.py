@@ -29,8 +29,8 @@ def gmm_circuit(num_components: int = 8) -> Circuit:
     return Circuit([g0, g1, prod, mix], {prod: [g0, g1], mix: [prod]}, [mix])
 
 
-def synthetic_clusters(n: int = 3000) -> np.ndarray:
-    rng = np.random.default_rng(0)
+def synthetic_clusters(n: int = 3000, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
     centers = np.array([[-2.0, 0.0], [2.0, 1.5], [0.5, -2.5]])
     idx = rng.integers(0, len(centers), size=n)
     return (centers[idx] + 0.4 * rng.normal(size=(n, 2))).astype(np.float32)
@@ -86,6 +86,29 @@ def main() -> None:
     )
     print(f"EM  NLL: {em_losses[0]:.3f} -> {em_losses[-1]:.3f} (monotone)")
     assert all(b <= a + 1e-6 for a, b in zip(em_losses, em_losses[1:]))
+
+    # model criticism via the posterior-CDF query: probability integral
+    # transform — if the model is calibrated, u = F(x_1 | x_0) over
+    # held-out samples is Uniform(0, 1). The Kolmogorov-Smirnov distance
+    # quantifies it (an extension: the reference has no CDF queries)
+    import jax.numpy as jnp
+
+    from cirkit_tpu.backend.jax import ExpectationQuery
+
+    em_ctx_params = dict(ctx2.parameters)
+    em_ctx_params.update(em_store)
+    test = synthetic_clusters(seed=9)[:512]
+    eq = ExpectationQuery(em_circuit)
+    mask = np.zeros_like(test, bool)
+    mask[:, 0] = True  # condition on x_0, check the conditional of x_1
+    u = np.asarray(
+        eq.cdf(jnp.asarray(test), t=jnp.asarray(test),
+               evidence_mask=jnp.asarray(mask), store=em_ctx_params)
+    )[:, 1]
+    grid = np.sort(u)
+    ks = np.abs(grid - (np.arange(1, len(u) + 1) / len(u))).max()
+    print(f"PIT calibration: KS(u, Uniform) = {ks:.3f} "
+          f"(~{1.36 / np.sqrt(len(u)):.3f} is the 5% band)")
 
 
 if __name__ == "__main__":

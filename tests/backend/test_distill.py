@@ -208,3 +208,36 @@ def test_distill_non_contiguous_scope():
                 keep = (worlds[:, u] == s) & (worlds[:, v] == t)
                 np.testing.assert_allclose(q[keep].sum(), p[keep].sum(),
                                            rtol=1e-6, atol=1e-12)
+
+
+def test_distill_binomial_source():
+    """Distillation from binomial leaves: the tree's indicator
+    construction covers any finite-support source — pinned against the
+    enumerated count-world distribution."""
+    from cirkit_tpu.symbolic import BinomialLayer
+    from cirkit_tpu.symbolic import Circuit as SymCircuit
+    from cirkit_tpu.symbolic import HadamardLayer, SumLayer
+    from cirkit_tpu.utils.scope import Scope
+    from tests.fixtures import const_param
+
+    rng = np.random.default_rng(43)
+    k, n = 3, 3
+    leaves = [
+        BinomialLayer(Scope([v]), k, total_count=n,
+                      probs=const_param(rng.uniform(0.2, 0.8, size=k)))
+        for v in range(2)
+    ]
+    prod = HadamardLayer(k, arity=2)
+    root = SumLayer(k, 1, weight=const_param(rng.dirichlet(np.ones(k))[None]))
+    sc = SymCircuit(leaves + [prod, root], {prod: leaves, root: [prod]}, [root])
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    worlds = enumerate_worlds(2, n + 1)
+    vals = np.exp(np.asarray(cc.evaluate(ctx.parameters, jnp.asarray(worlds)))[:, 0, 0])
+    p = vals / vals.sum()
+    tree, rep = distill_tree(cc, store=ctx.parameters)
+    ctx2 = PipelineContext(semiring="lse-sum", fold=True)
+    cc2 = ctx2.compile(tree)
+    q = np.exp(np.asarray(cc2.evaluate(ctx2.parameters, jnp.asarray(worlds)))[:, 0, 0])
+    # a 2-variable distribution IS a tree: distillation is lossless
+    np.testing.assert_allclose(q / q.sum(), p, rtol=1e-6, atol=1e-12)
