@@ -64,6 +64,47 @@ def masked_evaluate(
     return cc.evaluate(store, x, module_fn=layer_fn)
 
 
+def _pad_rows(pad: int | None, x, *masks):
+    """Round the batch up to a multiple of ``pad`` by repeating row 0
+    (2-D array masks with a matching batch alike); returns
+    ``(x, *masks, original_b_or_None)``. One compiled program then serves
+    every serving batch size — remote-compile TPU platforms pay seconds
+    per shape — and callers slice outputs back to ``b``. Scope-typed
+    specs pass through (they broadcast from the padded ``x``)."""
+    if pad is None:
+        return (x, *masks, None)
+    if pad <= 0:
+        raise ValueError("pad_batch_to must be a positive integer")
+    x = jnp.asarray(x)
+    b = x.shape[0]
+    bp = -(-b // pad) * pad
+    if bp == b:
+        return (x, *masks, None)
+
+    def ext(a):
+        a = jnp.asarray(a)
+        return jnp.concatenate(
+            [a, jnp.broadcast_to(a[:1], (bp - b, *a.shape[1:]))], axis=0
+        )
+
+    padded = tuple(
+        ext(m)
+        if isinstance(m, (jnp.ndarray, np.ndarray))
+        and np.ndim(m) == 2
+        and np.shape(m)[0] == b
+        else m
+        for m in masks
+    )
+    return (ext(x), *padded, b)
+
+
+def _slice_rows(out, b: int | None):
+    """Undo :func:`_pad_rows` on every array leaf of ``out``."""
+    if b is None:
+        return out
+    return jax.tree_util.tree_map(lambda a: a[:b], out)
+
+
 class IntegrateQuery(Query):
     """Per-sample marginalization without recompiling: input-layer steps
     select between the layer's output and its integral with a (B, D) boolean
@@ -83,11 +124,15 @@ class IntegrateQuery(Query):
         *,
         integrate_vars: jnp.ndarray | np.ndarray | Scope | Sequence[Scope],
         store: Store | None = None,
+        pad_batch_to: int | None = None,
     ) -> jnp.ndarray:
         """Evaluate marginals: ``integrate_vars`` is a (B, D) or (D,) boolean
         mask (True = marginalized), a Scope, or a sequence of Scopes of
-        length 1 or B."""
+        length 1 or B. ``pad_batch_to`` rounds ragged serving batches up to
+        a multiple so one compiled program serves every size (array or
+        broadcastable specs only)."""
         cc = self._circuit
+        x, integrate_vars, _b = _pad_rows(pad_batch_to, x, integrate_vars)
         if isinstance(integrate_vars, (jnp.ndarray, np.ndarray)):
             mask = jnp.asarray(integrate_vars)
             if mask.dtype != jnp.bool_:
@@ -125,7 +170,7 @@ class IntegrateQuery(Query):
                 lambda st, xx, mk: masked_evaluate(cc, st, xx, mk)
             )
             cc._integrate_jit = fn
-        return fn(store, jnp.asarray(x), mask)
+        return _slice_rows(fn(store, jnp.asarray(x), mask), _b)
 
     @staticmethod
     def scopes_to_mask(
@@ -230,6 +275,7 @@ class SamplingQuery(Query):
         store: Store | None = None,
         output: int = 0,
         unit: int = 0,
+        pad_batch_to: int | None = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Posterior sampling given evidence — an extension: the reference
         documents this as not implemented (ref: ``queries.py:191-194``).
@@ -258,7 +304,7 @@ class SamplingQuery(Query):
                 f"'lse-sum' semiring, found {cc.semiring.__name__}"
             )
         num_vars = max(cc.scope) + 1
-        x = jnp.asarray(x)
+        x, evidence_mask, _b = _pad_rows(pad_batch_to, x, evidence_mask)
         mask = _evidence_to_mask(cc, evidence_mask, x.shape[0])
         if mask.shape[1] != num_vars:
             raise ValueError(
@@ -275,7 +321,7 @@ class SamplingQuery(Query):
 
         fn = _routing_jit(cc, "sample", output, unit)
         asg, vals, _ = fn(store, x, mask, key=key)  # (B, D), (O, B, K)
-        return asg, vals[output, :, unit]
+        return _slice_rows((asg, vals[output, :, unit]), _b)
 
 
 class ExpectationQuery(Query):
@@ -317,6 +363,7 @@ class ExpectationQuery(Query):
         output: int = 0,
         unit: int = 0,
         return_variance: bool = False,
+        pad_batch_to: int | None = None,
     ) -> jnp.ndarray | tuple[jnp.ndarray, jnp.ndarray]:
         """Return (B, D) expected states: ``x`` where ``evidence_mask`` is
         True, the posterior mean of head (``output``, ``unit``) elsewhere.
@@ -327,7 +374,9 @@ class ExpectationQuery(Query):
         the leaves' ``second_moment_state`` (law of total variance over
         units) finishes the job — uncertainty-aware imputation."""
         mode = "mean_var" if return_variance else "mean"
-        return self._dispatch(mode, x, evidence_mask, store, output, unit)
+        return self._dispatch(
+            mode, x, evidence_mask, store, output, unit, pad=pad_batch_to
+        )
 
     def marginals(
         self,
@@ -338,6 +387,7 @@ class ExpectationQuery(Query):
         output: int = 0,
         unit: int = 0,
         dtype=None,
+        pad_batch_to: int | None = None,
     ) -> jnp.ndarray:
         """Full posterior state distributions in one backward pass:
         (B, D, S) with ``out[b, v, s] = p(x_v = s | x_obs)`` under head
@@ -352,7 +402,9 @@ class ExpectationQuery(Query):
         table write overlaps the backward (docs/PERF.md) — so it buys
         memory/transfer headroom, not time."""
         mode = "marginals" if dtype is None else f"marginals:{jnp.dtype(dtype).name}"
-        return self._dispatch(mode, x, evidence_mask, store, output, unit)
+        return self._dispatch(
+            mode, x, evidence_mask, store, output, unit, pad=pad_batch_to
+        )
 
     def cdf(
         self,
@@ -363,6 +415,7 @@ class ExpectationQuery(Query):
         store: Store | None = None,
         output: int = 0,
         unit: int = 0,
+        pad_batch_to: int | None = None,
     ) -> jnp.ndarray:
         """Exact posterior CDFs: (B, D) with ``out[b, v] = p(x_v <= t_v |
         x_obs)``. ``t`` broadcasts from a scalar, (D,), or (B, D) array of
@@ -378,7 +431,8 @@ class ExpectationQuery(Query):
             jnp.asarray(t, jnp.result_type(float)), (x.shape[0], num_vars)
         )
         return self._dispatch(
-            "cdf", x, evidence_mask, store, output, unit, extra=(tt,)
+            "cdf", x, evidence_mask, store, output, unit, extra=(tt,),
+            pad=pad_batch_to,
         )
 
     def quantile(
@@ -390,6 +444,7 @@ class ExpectationQuery(Query):
         store: Store | None = None,
         output: int = 0,
         unit: int = 0,
+        pad_batch_to: int | None = None,
     ) -> jnp.ndarray:
         """Exact posterior quantiles — calibrated imputation intervals:
         (B, D) with ``out[b, v] = inf{t : p(x_v <= t | x_obs) >= q_v}``
@@ -410,7 +465,8 @@ class ExpectationQuery(Query):
             jnp.asarray(qv, jnp.result_type(float)), (x.shape[0], num_vars)
         )
         return self._dispatch(
-            "quantile", x, evidence_mask, store, output, unit, extra=(qq,)
+            "quantile", x, evidence_mask, store, output, unit, extra=(qq,),
+            pad=pad_batch_to,
         )
 
     def covariance(
@@ -461,8 +517,12 @@ class ExpectationQuery(Query):
         free = (~mask[:, vidx]).astype(cov.dtype)  # observed vars are constants
         return cov * free[:, :, None] * free[:, None, :]
 
-    def _dispatch(self, mode, x, evidence_mask, store, output, unit, extra=()):
+    def _dispatch(
+        self, mode, x, evidence_mask, store, output, unit, extra=(), pad=None
+    ):
         cc = self._circuit
+        padded = _pad_rows(pad, x, evidence_mask, *extra)
+        x, evidence_mask, extra, _b = padded[0], padded[1], padded[2:-1], padded[-1]
         x = jnp.asarray(x)
         mask = _evidence_to_mask(cc, evidence_mask, x.shape[0])
         num_vars = max(cc.scope) + 1
@@ -503,7 +563,7 @@ class ExpectationQuery(Query):
 
                 run = _run_no_pallas
             cache[key] = jax.jit(run)
-        return cache[key](store, x, mask, *extra)
+        return _slice_rows(cache[key](store, x, mask, *extra), _b)
 
 
 def _leaf_support_size(layer) -> int | None:
@@ -877,6 +937,7 @@ class MAPQuery(Query):
         output: int = 0,
         unit: int = 0,
         top_k: int | None = None,
+        pad_batch_to: int | None = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Compute MPE states: returns ``(assignments (B, D), log_values
         (B,))``. Unconditional when ``x`` is None (B=1); otherwise
@@ -913,12 +974,16 @@ class MAPQuery(Query):
                 raise ValueError("evidence_mask requires an input batch x")
             x = jnp.zeros((1, num_vars))
             mask = jnp.zeros((1, num_vars), dtype=bool)
+            _b = None
         else:
             if evidence_mask is None:
                 raise ValueError(
                     "Pass evidence_mask marking the observed entries of x "
                     "(an all-False mask reproduces the unconditional query)"
                 )
+            x, evidence_mask, marginalize_vars, _b = _pad_rows(
+                pad_batch_to, x, evidence_mask, marginalize_vars
+            )
             x = jnp.asarray(x)
             mask = _evidence_to_mask(cc, evidence_mask, x.shape[0])
         # mg stays None on the plain-MAP path: the traced program then
@@ -948,11 +1013,11 @@ class MAPQuery(Query):
                     "top_k cannot be combined with marginalize_vars"
                 )
             fn = _topk_jit(cc, top_k, output, unit)
-            return fn(store, x, mask)  # (B, T, D), (B, T)
+            return _slice_rows(fn(store, x, mask), _b)  # (B, T, D), (B, T)
 
         fn = _routing_jit(cc, "max", output, unit)
         asg, vals, _ = fn(store, x, mask, mg)  # (B, D), (O, B, K)
-        return asg, vals[output, :, unit]
+        return _slice_rows((asg, vals[output, :, unit]), _b)
 
 
 def _evidence_to_mask(cc: JaxCircuit, evidence_mask, batch: int) -> jnp.ndarray:

@@ -853,3 +853,77 @@ def test_marginals_bf16_output_matches_f32():
     obs = np.asarray(mask)
     xi = np.asarray(x)
     assert (b16[obs][np.arange(obs.sum()), xi[obs]] == 1.0).all()
+
+
+def test_pad_batch_to_on_queries():
+    """pad_batch_to: ragged batches reuse one compiled program per query
+    and results match the unpadded calls exactly (MAP/top-k/conditional/
+    integrate/expectation/marginals/cdf/quantile)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cirkit_tpu.backend.jax.queries import (
+        ExpectationQuery,
+        IntegrateQuery,
+        MAPQuery,
+        SamplingQuery,
+    )
+    from cirkit_tpu.models import image_data
+
+    sc = image_data(
+        (1, 2, 2), "quad-tree-2", input_layer="categorical",
+        num_input_units=4, sum_product_layer="tucker", num_sum_units=4,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True, seed=8)
+    cc = ctx.compile(sc)
+    st = ctx.parameters
+    rng = np.random.default_rng(11)
+    for b in (3, 5, 8):
+        x = jnp.asarray(rng.integers(0, 256, size=(b, 4)), jnp.int32)
+        mask = jnp.asarray(rng.random((b, 4)) < 0.5)
+
+        a1, v1 = MAPQuery(cc)(x, evidence_mask=mask, store=st)
+        a2, v2 = MAPQuery(cc)(x, evidence_mask=mask, store=st, pad_batch_to=8)
+        assert a2.shape == (b, 4)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2))
+
+        t1, s1 = MAPQuery(cc)(x, evidence_mask=mask, store=st, top_k=2)
+        t2, s2 = MAPQuery(cc)(x, evidence_mask=mask, store=st, top_k=2,
+                              pad_batch_to=8)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))
+
+        key = jax.random.PRNGKey(0)
+        c1, l1 = SamplingQuery(cc).conditional(x, evidence_mask=mask, key=key, store=st)
+        c2, l2 = SamplingQuery(cc).conditional(
+            x, evidence_mask=mask, key=key, store=st, pad_batch_to=8
+        )
+        assert c2.shape == (b, 4)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2))
+
+        i1 = IntegrateQuery(cc)(x, integrate_vars=mask, store=st)
+        i2 = IntegrateQuery(cc)(x, integrate_vars=mask, store=st, pad_batch_to=8)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+        q = ExpectationQuery(cc)
+        e1, var1 = q(x, evidence_mask=mask, store=st, return_variance=True)
+        e2, var2 = q(x, evidence_mask=mask, store=st, return_variance=True,
+                     pad_batch_to=8)
+        # responsibility reductions reorder with the padded batch shape:
+        # ulp-level drift, not a padding artifact
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(var1), np.asarray(var2),
+                                   rtol=1e-9, atol=1e-12)
+        m1 = q.marginals(x, evidence_mask=mask, store=st)
+        m2 = q.marginals(x, evidence_mask=mask, store=st, pad_batch_to=8)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
+                                   rtol=1e-12, atol=1e-15)
+        f1 = q.cdf(x, t=100.0, evidence_mask=mask, store=st)
+        f2 = q.cdf(x, t=100.0, evidence_mask=mask, store=st, pad_batch_to=8)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f2),
+                                   rtol=1e-12, atol=1e-15)
+        u1 = q.quantile(x, q=0.7, evidence_mask=mask, store=st)
+        u2 = q.quantile(x, q=0.7, evidence_mask=mask, store=st, pad_batch_to=8)
+        np.testing.assert_allclose(np.asarray(u1), np.asarray(u2),
+                                   rtol=1e-9, atol=1e-9)
