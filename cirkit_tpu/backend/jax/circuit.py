@@ -86,6 +86,59 @@ def _build_gather(
     return [plan_index[m] for m in in_ids], fold_idx
 
 
+def _pad_rows(pad: int | None, x, *masks):
+    """Round the batch up to a multiple of ``pad`` by repeating row 0
+    (2-D array masks with a matching batch alike); returns
+    ``(x, *masks, original_b_or_None)``. One compiled program then serves
+    every serving batch size — remote-compile TPU platforms pay seconds
+    per shape — and callers slice outputs back to ``b``. Host (numpy/list)
+    inputs pad host-side so new ragged sizes dispatch NO extra device
+    programs; single-``Scope`` specs pass through (they broadcast from the
+    padded ``x``), but per-row Scope lists cannot pad and raise."""
+    if pad is None:
+        return (x, *masks, None)
+    if pad <= 0:
+        raise ValueError("pad_batch_to must be a positive integer")
+    on_device = isinstance(x, jnp.ndarray)
+    x = jnp.asarray(x) if on_device else np.asarray(x)
+    b = x.shape[0]
+    bp = -(-b // pad) * pad
+    if bp == b:
+        return (x, *masks, None)
+
+    def ext(a):
+        lib = jnp if isinstance(a, jnp.ndarray) else np
+        a = lib.asarray(a)
+        return lib.concatenate(
+            [a, lib.broadcast_to(a[:1], (bp - b, *a.shape[1:]))], axis=0
+        )
+
+    padded = []
+    for m in masks:
+        if (
+            isinstance(m, (jnp.ndarray, np.ndarray))
+            and np.ndim(m) == 2
+            and np.shape(m)[0] == b
+        ):
+            padded.append(ext(m))
+        elif isinstance(m, (list, tuple)) and len(m) == b and b > 1:
+            raise ValueError(
+                "pad_batch_to cannot pad a per-row list of Scopes; pass the "
+                "evidence as a boolean array (or a single broadcast Scope)"
+            )
+        else:
+            padded.append(m)
+    return (ext(x), *padded, b)
+
+
+def _slice_rows(out, b: int | None):
+    """Undo :func:`_pad_rows` on every array leaf of ``out``."""
+    if b is None:
+        return out
+    return jax.tree_util.tree_map(lambda a: a[:b], out)
+
+
+
 class JaxCircuit:
     """A compiled circuit: layers + static plan, evaluated functionally.
 
@@ -355,13 +408,7 @@ class JaxCircuit:
         store = self.restrict_store(store)
         b = None
         if pad_batch_to is not None and x is not None:
-            x = jnp.asarray(x)
-            b = x.shape[0]
-            bp = -(-b // pad_batch_to) * pad_batch_to
-            if bp != b:
-                x = jnp.concatenate(
-                    [x, jnp.broadcast_to(x[:1], (bp - b, *x.shape[1:]))], axis=0
-                )
+            x, b = _pad_rows(pad_batch_to, x)
         key = "fwd" if batch_size is None else ("const", batch_size)
         if key not in self._jit_cache:
             if batch_size is None:

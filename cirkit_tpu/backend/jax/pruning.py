@@ -83,10 +83,12 @@ def _sibling_compile(sc: Circuit, ctx):
     return cc, placement
 
 
-def _materialize(sc: Circuit, ctx, store) -> dict[Layer, Any]:
+def _materialize(sc: Circuit, ctx, store, sib=None) -> dict[Layer, Any]:
     """Per-symbolic-layer materialized parameter values from the trained
     store, via an unoptimized folded sibling compile sharing the
-    context's compiler state (slots resolve to the SAME trained arrays)."""
+    context's compiler state (slots resolve to the SAME trained arrays).
+    Pass a precomputed ``sib = _sibling_compile(sc, ctx)`` to share the
+    compile with other readback passes."""
     from cirkit_tpu.backend.jax.layers import (
         JaxBinomialLayer,
         JaxCategoricalLayer,
@@ -95,7 +97,9 @@ def _materialize(sc: Circuit, ctx, store) -> dict[Layer, Any]:
         JaxSumLayer,
     )
 
-    cc, placement = _sibling_compile(sc, ctx)
+    if sib is None:
+        sib = _sibling_compile(sc, ctx)
+    cc, placement = sib
     import jax
 
     values: dict[Layer, Any] = {}
@@ -180,6 +184,7 @@ def _flow_importance(
     store,
     data,
     batch_size: int,
+    sib=None,
 ) -> dict[Layer, np.ndarray]:
     """Data-aware importance: each unit's average expected posterior usage
     over ``data`` — the gradient of the mean evidence log-likelihood with
@@ -197,7 +202,9 @@ def _flow_importance(
     from cirkit_tpu.backend.jax.layers import JaxConstantInputLayer
     from cirkit_tpu.backend.jax.semiring import LSESumSemiring
 
-    cc, placement = _sibling_compile(sc, ctx)
+    if sib is None:
+        sib = _sibling_compile(sc, ctx)
+    cc, placement = sib
     if cc.semiring is not LSESumSemiring:
         raise NotImplementedError(
             "Flow-based importance requires the 'lse-sum' semiring"
@@ -210,36 +217,49 @@ def _flow_importance(
     ]
     off_name = {id(layer): f"__f{e}" for e, layer in entries}
 
-    def run(st, offs, xx):
+    def run(st, offs, xx, ww):
         def total_ll(o):
             def fn(layer, s, xin):
                 out = layer(s, xin)
                 name = off_name.get(id(layer))
                 return out if name is None else out + o[name]
 
-            # every root head seeds flow 1, matching _importance
-            return jnp.sum(cc.evaluate(st, xx, module_fn=fn))
+            # every root head seeds flow 1, matching _importance; ww
+            # zeroes the repeated rows a padded final batch carries
+            return jnp.sum(cc.evaluate(st, xx, module_fn=fn) * ww[:, None, None])
 
         return jax.grad(total_ll)(offs)
 
     run_jit = jax.jit(run)
     data = np.asarray(data)
+    # 32-bit batches (int64/f64 host->device transfers are ~1000x slower
+    # through the tunnel — same policy as fit()/fit_em)
+    if not jax.config.jax_enable_x64:
+        if data.dtype == np.int64:
+            data = data.astype(np.int32)
+        elif data.dtype == np.float64:
+            data = data.astype(np.float32)
     acc = {
         f"__f{e}": np.zeros((layer.num_folds, layer.num_output_units))
         for e, layer in entries
     }
     dt = jnp.result_type(float)
-    for lo in range(0, data.shape[0], batch_size):
-        xx = jnp.asarray(data[lo : lo + batch_size])
+    n = data.shape[0]
+    for lo in range(0, n, batch_size):
+        xb = data[lo : lo + batch_size]
+        ww = np.ones(xb.shape[0], dtype=np.float32)
+        if xb.shape[0] < batch_size and lo > 0:
+            # zero-weight pad keeps one compiled program across batches
+            pad = batch_size - xb.shape[0]
+            xb = np.concatenate([xb, np.broadcast_to(xb[:1], (pad, *xb.shape[1:]))])
+            ww = np.concatenate([ww, np.zeros(pad, dtype=np.float32)])
         offs = {
-            f"__f{e}": jnp.zeros((layer.num_folds, xx.shape[0], layer.num_output_units), dt)
+            f"__f{e}": jnp.zeros((layer.num_folds, xb.shape[0], layer.num_output_units), dt)
             for e, layer in entries
         }
-        grads = run_jit(store, offs, xx)
+        grads = run_jit(store, offs, jnp.asarray(xb), jnp.asarray(ww))
         for name, g in grads.items():
             acc[name] += np.asarray(jnp.sum(g, axis=1), np.float64)
-
-    n = data.shape[0]
     score: dict[Layer, np.ndarray] = {}
     for sl, (pi, f) in placement.items():
         name = f"__f{pi}"
@@ -300,12 +320,13 @@ def prune_circuit(
     full = dict(ctx.parameters)
     if store is not None:
         full.update(store)
-    values = _materialize(sc, ctx, full)
+    sib = _sibling_compile(sc, ctx)
+    values = _materialize(sc, ctx, full, sib=sib)
 
     topo = list(sc.topological_ordering())
     out_set = set(sc.outputs)
     if data is not None:
-        score = _flow_importance(sc, ctx, full, data, batch_size)
+        score = _flow_importance(sc, ctx, full, data, batch_size, sib=sib)
         for sl in out_set:
             score[sl] = np.ones(sl.num_output_units)
     else:
@@ -515,11 +536,12 @@ def grow_circuit(
     full = dict(ctx.parameters)
     if store is not None:
         full.update(store)
-    values = _materialize(sc, ctx, full)
+    sib = _sibling_compile(sc, ctx)
+    values = _materialize(sc, ctx, full, sib=sib)
     topo = list(sc.topological_ordering())
     out_set = set(sc.outputs)
     if data is not None:
-        score = _flow_importance(sc, ctx, full, data, batch_size)
+        score = _flow_importance(sc, ctx, full, data, batch_size, sib=sib)
         for sl in out_set:
             score[sl] = np.ones(sl.num_output_units)
     else:
@@ -710,6 +732,7 @@ def grow_prune_loop(
     batch_size: int = 1024,
     seed: int = 0,
     verbose: bool = False,
+    ctx_factory=None,
 ):
     """The full grow/prune structure-learning loop (Dang et al., "Pruning
     and growing probabilistic circuits"), orchestrating this module's
@@ -735,6 +758,16 @@ def grow_prune_loop(
 
     if ctx is None:
         ctx = PipelineContext(semiring="lse-sum", fold=True)
+    if ctx_factory is None:
+        # clone the input context's backend flags for each stage; a fresh
+        # context per stage keeps the returned (circuit, store) pair
+        # portable — slot names allocate deterministically per compile
+        # order, so a later fresh compile of best_sc accepts best_store.
+        # Custom per-context optimization rules do NOT carry over: pass
+        # ctx_factory to recreate them per stage.
+        def ctx_factory():
+            return PipelineContext(ctx._backend, **ctx._backend_kwargs)
+
     val = data if val_data is None else val_data
 
     def units_of(s: Circuit) -> int:
@@ -776,7 +809,7 @@ def grow_prune_loop(
                     cur_sc, ctx=cur_ctx, fraction=grow_fraction, noise=noise,
                     seed=seed + r, data=data, batch_size=batch_size,
                 )
-            nctx = PipelineContext(semiring="lse-sum", fold=True)
+            nctx = ctx_factory()
             _, nstore, nll = train(nxt, nctx)
             history.append((f"{stage}@{r}", units_of(nxt), nll))
             if verbose:  # pragma: no cover

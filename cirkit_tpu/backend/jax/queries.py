@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cirkit_tpu.backend.jax.circuit import JaxCircuit
+from cirkit_tpu.backend.jax.circuit import JaxCircuit, _pad_rows, _slice_rows
 from cirkit_tpu.backend.jax.layers import JaxInnerLayer, JaxInputLayer, JaxLayer
 from cirkit_tpu.backend.jax.parameters import Store
 from cirkit_tpu.utils.scope import Scope
@@ -62,47 +62,6 @@ def masked_evaluate(
         return masked_leaf_select(layer, s, layer(s, xin), mask)
 
     return cc.evaluate(store, x, module_fn=layer_fn)
-
-
-def _pad_rows(pad: int | None, x, *masks):
-    """Round the batch up to a multiple of ``pad`` by repeating row 0
-    (2-D array masks with a matching batch alike); returns
-    ``(x, *masks, original_b_or_None)``. One compiled program then serves
-    every serving batch size — remote-compile TPU platforms pay seconds
-    per shape — and callers slice outputs back to ``b``. Scope-typed
-    specs pass through (they broadcast from the padded ``x``)."""
-    if pad is None:
-        return (x, *masks, None)
-    if pad <= 0:
-        raise ValueError("pad_batch_to must be a positive integer")
-    x = jnp.asarray(x)
-    b = x.shape[0]
-    bp = -(-b // pad) * pad
-    if bp == b:
-        return (x, *masks, None)
-
-    def ext(a):
-        a = jnp.asarray(a)
-        return jnp.concatenate(
-            [a, jnp.broadcast_to(a[:1], (bp - b, *a.shape[1:]))], axis=0
-        )
-
-    padded = tuple(
-        ext(m)
-        if isinstance(m, (jnp.ndarray, np.ndarray))
-        and np.ndim(m) == 2
-        and np.shape(m)[0] == b
-        else m
-        for m in masks
-    )
-    return (ext(x), *padded, b)
-
-
-def _slice_rows(out, b: int | None):
-    """Undo :func:`_pad_rows` on every array leaf of ``out``."""
-    if b is None:
-        return out
-    return jax.tree_util.tree_map(lambda a: a[:b], out)
 
 
 class IntegrateQuery(Query):
@@ -305,6 +264,7 @@ class SamplingQuery(Query):
             )
         num_vars = max(cc.scope) + 1
         x, evidence_mask, _b = _pad_rows(pad_batch_to, x, evidence_mask)
+        x = jnp.asarray(x)
         mask = _evidence_to_mask(cc, evidence_mask, x.shape[0])
         if mask.shape[1] != num_vars:
             raise ValueError(
@@ -478,6 +438,7 @@ class ExpectationQuery(Query):
         store: Store | None = None,
         output: int = 0,
         unit: int = 0,
+        pad_batch_to: int | None = None,
     ) -> jnp.ndarray:
         """Exact posterior covariances ``Cov[x_u, x_v | x_obs]`` for the
         queried ``variables``: (B, k, k) with k = len(variables).
@@ -498,12 +459,14 @@ class ExpectationQuery(Query):
         # the queried variable is a RUNTIME argument of one compiled row
         # program (k cheap dispatches, no per-subset retrace, and the
         # program stays small enough for the remote compile service)
-        m1, var = self._dispatch("mean_var", x, evidence_mask, store, output, unit)
+        m1, var = self._dispatch(
+            "mean_var", x, evidence_mask, store, output, unit, pad=pad_batch_to
+        )
         rows = jnp.stack(
             [
                 self._dispatch(
                     "cov_row", x, evidence_mask, store, output, unit,
-                    extra=(jnp.int32(u),),
+                    extra=(jnp.int32(u),), pad=pad_batch_to,
                 )
                 for u in variables
             ],
