@@ -155,8 +155,22 @@ def multiply(sc1: Circuit, sc2: Circuit, *, registry: OperatorRegistry | None = 
     MULTIPLICATION rule registry; disjoint-scope pairs get a fresh Kronecker
     layer (ref: ``symbolic/functional.py:259-415``)."""
     if sc1.scope != sc2.scope:
-        raise NotImplementedError("Only products of circuits over the same scope are supported")
-    if not are_compatible(sc1, sc2):
+        if sc1.scope & sc2.scope:
+            # partial overlap needs compatibility restricted to the shared
+            # scope plus private-part splicing — like the reference, only
+            # same-scope (ref functional.py:295-296) is supported there;
+            # fully DISJOINT scopes are an extension: independent models
+            # combine into p(x) q(y) over the union scope
+            raise NotImplementedError(
+                "Only products of circuits over the same scope or over "
+                "disjoint scopes are supported"
+            )
+        for sc in (sc1, sc2):
+            if not (sc.is_smooth and sc.is_decomposable):
+                raise StructuralPropertyError(
+                    "Only smooth and decomposable circuits can be multiplied"
+                )
+    elif not are_compatible(sc1, sc2):
         raise StructuralPropertyError("Only compatible circuits can be multiplied")
     registry = _ambient_registry(registry)
 

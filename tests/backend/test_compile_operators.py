@@ -174,3 +174,22 @@ def test_compiled_second_order_differentiation(fold):
         e0 = np.array([eps, 0.0])
         d2x0 = (f(x + e0) - 2 * f(x) + f(x - e0)) / eps**2
         np.testing.assert_allclose(got[b, 0], d2x0, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("fold,semiring,optimize", GRID_OPT)
+def test_compiled_disjoint_scope_product(fold, semiring, optimize):
+    """ctx.multiply of circuits over DISJOINT scopes (an extension; the
+    reference restricts products to same-scope): the compiled product
+    equals the outer product on the union scope, with shared parameters."""
+    from tests.symbolic.test_operators import _pc_over
+
+    ctx = _ctx(fold, semiring, optimize)
+    sc1 = _pc_over((0, 1), seed=21)
+    sc2 = _pc_over((2, 3), seed=22)
+    cc1, cc2 = ctx.compile(sc1), ctx.compile(sc2)
+    pcc = ctx.multiply(cc1, cc2)
+    worlds = enumerate_worlds(4, 3)
+    w1 = eval_circuit(sc1, worlds)[:, 0, 0]
+    w2 = eval_circuit(sc2, worlds)[:, 0, 0]
+    got = np.asarray(pcc(worlds))[:, 0, :].reshape(-1)
+    np.testing.assert_allclose(got, _to_semiring(w1 * w2, semiring), rtol=1e-9)

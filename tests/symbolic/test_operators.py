@@ -177,3 +177,49 @@ def test_multiply_kronecker_permutation():
     v2 = eval_circuit(sc2, worlds)[:, 0, 0]
     vp = eval_circuit(psc, worlds)[:, 0, 0]
     assert np.allclose(vp, v1 * v2, rtol=1e-10)
+
+
+def _pc_over(vars_, num_units=3, num_categories=3, seed=0):
+    """A small categorical PC over arbitrary variable ids."""
+    from cirkit_tpu.symbolic.circuit import Circuit
+    from cirkit_tpu.symbolic.layers import CategoricalLayer
+
+    rng = np.random.default_rng(seed)
+    leaves = []
+    for v in vars_:
+        raw = rng.uniform(0.1, 1.0, size=(num_units, num_categories))
+        leaves.append(
+            CategoricalLayer(
+                Scope([v]), num_units, num_categories=num_categories,
+                probs=const_param(raw / raw.sum(axis=1, keepdims=True)),
+            )
+        )
+    prod = HadamardLayer(num_units, arity=len(vars_))
+    root = SumLayer(
+        num_units, 1, weight=const_param(rng.uniform(0.1, 1.0, (1, num_units)))
+    )
+    return Circuit(leaves + [prod, root], {prod: leaves, root: [prod]}, [root])
+
+
+def test_multiply_disjoint_scopes_is_outer_product():
+    """Disjoint-scope multiply — an extension (the reference restricts to
+    same-scope, ref functional.py:295-296): p(x_{0,1}) q(x_{2,3}) over the
+    union scope equals the outer product, stays smooth + decomposable,
+    and partial overlap still raises."""
+    sc1 = _pc_over((0, 1), seed=5)
+    sc2 = _pc_over((2, 3), seed=6)
+    psc = SF.multiply(sc1, sc2)
+    assert psc.scope == Scope([0, 1, 2, 3])
+    assert psc.is_smooth and psc.is_decomposable
+    worlds = enumerate_worlds(4, 3)
+    # eval_circuit gathers each circuit's own scope columns from the full
+    # worlds; evaluate everything on the full assignment
+    vp = eval_circuit(psc, worlds)[:, 0, 0]
+    w1 = eval_circuit(sc1, worlds)[:, 0, 0]
+    w2 = eval_circuit(sc2, worlds)[:, 0, 0]
+    assert np.allclose(vp, w1 * w2, rtol=1e-10)
+
+    # partial overlap is still rejected
+    sc3 = _pc_over((1, 2), seed=7)
+    with pytest.raises(NotImplementedError, match="disjoint"):
+        SF.multiply(sc1, sc3)
