@@ -219,6 +219,13 @@ def test_multiply_disjoint_scopes_is_outer_product():
     w2 = eval_circuit(sc2, worlds)[:, 0, 0]
     assert np.allclose(vp, w1 * w2, rtol=1e-10)
 
+    # operator composition over the union scope: integrate factorizes
+    ipsc = SF.integrate(psc)
+    z1 = eval_circuit(SF.integrate(sc1), np.zeros((1, 0)))[0, 0, 0]
+    z2 = eval_circuit(SF.integrate(sc2), np.zeros((1, 0)))[0, 0, 0]
+    zp = eval_circuit(ipsc, np.zeros((1, 0)))[0, 0, 0]
+    assert np.isclose(zp, z1 * z2, rtol=1e-10)
+
     # partial overlap is still rejected
     sc3 = _pc_over((1, 2), seed=7)
     with pytest.raises(NotImplementedError, match="disjoint"):
