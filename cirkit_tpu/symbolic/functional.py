@@ -177,6 +177,27 @@ def multiply(sc1: Circuit, sc2: Circuit, *, registry: OperatorRegistry | None = 
     prod_block: dict[tuple[Layer, Layer], CircuitBlock] = {}
     blocks: list[CircuitBlock] = []
     in_blocks: dict[CircuitBlock, list[CircuitBlock]] = {}
+    splice_block: dict[tuple[int, Layer], CircuitBlock] = {}
+
+    def _splice(sc: Circuit, root: Layer) -> CircuitBlock:
+        """Copy a sub-circuit once per (operand, layer): repeated disjoint
+        pairs (multi-output operands, DAG-shared sub-circuits) reuse the
+        copies instead of duplicating the layer DAG per pair."""
+        key = (id(sc), root)
+        cached = splice_block.get(key)
+        if cached is not None:
+            return cached
+        for l in sc.subgraph(root).topological_ordering():
+            lk = (id(sc), l)
+            if lk in splice_block:
+                continue
+            b = CircuitBlock.from_layer(l.copyref())
+            blocks.append(b)
+            in_blocks[b] = [
+                splice_block[(id(sc), li)] for li in sc.layer_inputs(l)
+            ]
+            splice_block[lk] = b
+        return splice_block[key]
 
     stack: list[tuple[Layer, Layer]] = list(itertools.product(sc1.outputs, sc2.outputs))
     while stack:
@@ -187,22 +208,15 @@ def multiply(sc1: Circuit, sc2: Circuit, *, registry: OperatorRegistry | None = 
         l1, l2 = pair
 
         # Disjoint scopes: splice in copies of both sub-circuits and combine
-        # their roots with a fresh Kronecker product layer.
+        # their roots with a fresh Kronecker product layer. KroneckerLayer
+        # assumes equal-width operands, hence the unit-count restriction
+        # (documented in docs/api/symbolic.md).
         if not sc1.layer_scope(l1) & sc2.layer_scope(l2):
             if l1.num_output_units != l2.num_output_units:
                 raise NotImplementedError(
                     "Disjoint-scope layers can only be multiplied when they have equal size"
                 )
-            root_blocks: list[CircuitBlock] = []
-            for sc, root in ((sc1, l1), (sc2, l2)):
-                sub = sc.subgraph(root)
-                sub_blocks = {l: CircuitBlock.from_layer(l.copyref()) for l in sub.layers}
-                blocks.extend(sub_blocks.values())
-                in_blocks.update(
-                    (b, [sub_blocks[li] for li in sc.layer_inputs(l)])
-                    for l, b in sub_blocks.items()
-                )
-                root_blocks.append(sub_blocks[root])
+            root_blocks = [_splice(sc1, l1), _splice(sc2, l2)]
             kb = CircuitBlock.from_layer(KroneckerLayer(l1.num_output_units, arity=2))
             blocks.append(kb)
             in_blocks[kb] = root_blocks

@@ -181,11 +181,12 @@ def test_compiled_disjoint_scope_product(fold, semiring, optimize):
     """ctx.multiply of circuits over DISJOINT scopes (an extension; the
     reference restricts products to same-scope): the compiled product
     equals the outer product on the union scope, with shared parameters."""
-    from tests.symbolic.test_operators import _pc_over
 
     ctx = _ctx(fold, semiring, optimize)
-    sc1 = _pc_over((0, 1), seed=21)
-    sc2 = _pc_over((2, 3), seed=22)
+    from tests.fixtures import build_pc_over
+
+    sc1 = build_pc_over((0, 1), seed=21)
+    sc2 = build_pc_over((2, 3), seed=22)
     cc1, cc2 = ctx.compile(sc1), ctx.compile(sc2)
     pcc = ctx.multiply(cc1, cc2)
     worlds = enumerate_worlds(4, 3)

@@ -142,3 +142,25 @@ def build_bivariate_gaussian_pc(
     w = w / w.sum()
     out = SumLayer(num_units, 1, weight=const_param(w))
     return Circuit(layers + [prod, out], {prod: layers, out: [prod]}, [out])
+
+
+def build_pc_over(vars_, num_units=3, num_categories=3, seed=0):
+    """A small categorical PC over arbitrary variable ids (mixture of
+    per-variable categorical products) — used by the disjoint-scope
+    product tests."""
+
+    rng = np.random.default_rng(seed)
+    leaves = []
+    for v in vars_:
+        raw = rng.uniform(0.1, 1.0, size=(num_units, num_categories))
+        leaves.append(
+            CategoricalLayer(
+                Scope([v]), num_units, num_categories=num_categories,
+                probs=const_param(raw / raw.sum(axis=1, keepdims=True)),
+            )
+        )
+    prod = HadamardLayer(num_units, arity=len(vars_))
+    root = SumLayer(
+        num_units, 1, weight=const_param(rng.uniform(0.1, 1.0, (1, num_units)))
+    )
+    return Circuit(leaves + [prod, root], {prod: leaves, root: [prod]}, [root])

@@ -19,6 +19,7 @@ from cirkit_tpu.utils import Scope
 from tests.fixtures import (
     build_bivariate_categorical_pc,
     build_multivariate_categorical_pc,
+    build_pc_over,
     const_param,
 )
 from tests.reference_eval import enumerate_worlds, eval_circuit, partition_function
@@ -179,35 +180,13 @@ def test_multiply_kronecker_permutation():
     assert np.allclose(vp, v1 * v2, rtol=1e-10)
 
 
-def _pc_over(vars_, num_units=3, num_categories=3, seed=0):
-    """A small categorical PC over arbitrary variable ids."""
-    from cirkit_tpu.symbolic.circuit import Circuit
-    from cirkit_tpu.symbolic.layers import CategoricalLayer
-
-    rng = np.random.default_rng(seed)
-    leaves = []
-    for v in vars_:
-        raw = rng.uniform(0.1, 1.0, size=(num_units, num_categories))
-        leaves.append(
-            CategoricalLayer(
-                Scope([v]), num_units, num_categories=num_categories,
-                probs=const_param(raw / raw.sum(axis=1, keepdims=True)),
-            )
-        )
-    prod = HadamardLayer(num_units, arity=len(vars_))
-    root = SumLayer(
-        num_units, 1, weight=const_param(rng.uniform(0.1, 1.0, (1, num_units)))
-    )
-    return Circuit(leaves + [prod, root], {prod: leaves, root: [prod]}, [root])
-
-
 def test_multiply_disjoint_scopes_is_outer_product():
     """Disjoint-scope multiply — an extension (the reference restricts to
     same-scope, ref functional.py:295-296): p(x_{0,1}) q(x_{2,3}) over the
     union scope equals the outer product, stays smooth + decomposable,
     and partial overlap still raises."""
-    sc1 = _pc_over((0, 1), seed=5)
-    sc2 = _pc_over((2, 3), seed=6)
+    sc1 = build_pc_over((0, 1), seed=5)
+    sc2 = build_pc_over((2, 3), seed=6)
     psc = SF.multiply(sc1, sc2)
     assert psc.scope == Scope([0, 1, 2, 3])
     assert psc.is_smooth and psc.is_decomposable
@@ -227,6 +206,43 @@ def test_multiply_disjoint_scopes_is_outer_product():
     assert np.isclose(zp, z1 * z2, rtol=1e-10)
 
     # partial overlap is still rejected
-    sc3 = _pc_over((1, 2), seed=7)
+    sc3 = build_pc_over((1, 2), seed=7)
     with pytest.raises(NotImplementedError, match="disjoint"):
         SF.multiply(sc1, sc3)
+
+
+def test_multiply_disjoint_multi_output_shares_splices():
+    """Multi-output disjoint products memoize the spliced copies: the
+    shared operand's layers appear ONCE, not once per output pair."""
+    from cirkit_tpu.symbolic.layers import CategoricalLayer, HadamardLayer, SumLayer
+    from cirkit_tpu.symbolic.circuit import Circuit
+
+    sc1 = build_pc_over((0, 1), seed=8)
+    # a 2-output circuit over (2, 3): two roots over one shared product
+    rng = np.random.default_rng(9)
+    leaves = []
+    for v in (2, 3):
+        raw = rng.uniform(0.1, 1.0, size=(2, 3))
+        leaves.append(
+            CategoricalLayer(Scope([v]), 2, num_categories=3,
+                             probs=const_param(raw / raw.sum(1, keepdims=True)))
+        )
+    prod = HadamardLayer(2, arity=2)
+    r1 = SumLayer(2, 1, weight=const_param(rng.uniform(0.1, 1.0, (1, 2))))
+    r2 = SumLayer(2, 1, weight=const_param(rng.uniform(0.1, 1.0, (1, 2))))
+    sc2 = Circuit(leaves + [prod, r1, r2],
+                  {prod: leaves, r1: [prod], r2: [prod]}, [r1, r2])
+
+    psc = SF.multiply(sc1, sc2)
+    n1 = len(list(sc1.topological_ordering()))
+    n2 = len(list(sc2.topological_ordering()))
+    np_ = len(list(psc.topological_ordering()))
+    # shared splices: every operand layer once + one Kronecker per pair
+    assert np_ == n1 + n2 + 2, (np_, n1, n2)
+    # both heads still compute the right products
+    worlds = enumerate_worlds(4, 3)
+    vp = eval_circuit(psc, worlds)
+    w1 = eval_circuit(sc1, worlds)[:, 0, 0]
+    w2 = eval_circuit(sc2, worlds)  # (B, 2, 1)
+    assert np.allclose(vp[:, 0, 0], w1 * w2[:, 0, 0], rtol=1e-10)
+    assert np.allclose(vp[:, 1, 0], w1 * w2[:, 1, 0], rtol=1e-10)
