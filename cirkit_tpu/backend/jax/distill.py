@@ -144,15 +144,19 @@ def distill_tree(
         xs[:, p] = np.arange(s_p)
         mk = np.zeros((s_p, num_vars), dtype=bool)
         mk[:, p] = True
+        full = q.marginals(
+            jnp.asarray(xs), evidence_mask=jnp.asarray(mk),
+            store=store, output=output, unit=unit,
+        )  # (S_p, D, S) on device
+        # pull only the children's columns: the full table is ~hundreds of
+        # MB at image scale, and a per-parent device->host pull of it
+        # dominates everything. One take program per distinct child count.
         tab = np.asarray(
-            q.marginals(
-                jnp.asarray(xs), evidence_mask=jnp.asarray(mk),
-                store=store, output=output, unit=unit,
-            ),
+            jnp.take(full, jnp.asarray(np.asarray(cs, np.int32)), axis=1),
             dtype=np.float64,
-        )  # (S_p, D, S)
-        for c in cs:
-            w = tab[:, c, : int(supports[c])].copy()
+        )  # (S_p, len(cs), S)
+        for ci, c in enumerate(cs):
+            w = tab[:, ci, : int(supports[c])].copy()
             # impossible parent states (p(x_p = t) = 0) backward to NaN:
             # any valid row works — use the unconditional marginal
             bad = ~np.isfinite(w).all(axis=1) | (w.sum(axis=1) <= 0)

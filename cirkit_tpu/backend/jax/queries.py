@@ -815,6 +815,11 @@ def mutual_information(
         jnp.asarray(x0[None]), evidence_mask=jnp.asarray(m0[None]),
         store=store, output=output, unit=unit,
     )[0]  # (D, S)
+    # per-anchor slices happen on HOST: marg[u, :s_u] on the device array
+    # is a distinct tiny program PER STATIC u — on remote-compile backends
+    # each pays seconds of compile, turning a ~1.5 min full-matrix query
+    # into hours. One (D, S) pull instead.
+    marg_np = np.asarray(marg)
 
     dt = jnp.result_type(float)
     rows = []
@@ -831,7 +836,7 @@ def mutual_information(
             jnp.asarray(xs), evidence_mask=jnp.asarray(mk),
             store=store, output=output, unit=unit,
         )
-        rows.append(_mi_row_reduce(cond, marg[u, :s_u], marg))
+        rows.append(_mi_row_reduce(cond, jnp.asarray(marg_np[u, :s_u]), marg))
     mat = jnp.stack(rows)[:, np.asarray(variables)]
     # observed columns: conditioning makes them constants
     obs_col = jnp.asarray(m0[np.asarray(variables)])
