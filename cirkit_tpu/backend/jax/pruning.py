@@ -102,27 +102,42 @@ def _materialize(sc: Circuit, ctx, store, sib=None) -> dict[Layer, Any]:
     cc, placement = sib
     import jax
 
+    # materialize each ENTRY's folded parameters once and slice folds on
+    # host: evaluating + pulling the full (F, ...) array per symbolic
+    # layer repeats the same device program and transfer F times (the
+    # flagship has ~1500 folds of 1.6 GB Tucker cores)
+    entry_cache: dict[int, Any] = {}
+
+    def entry_value(pi: int, jl) -> Any:
+        cached = entry_cache.get(pi)
+        if cached is None:
+            if isinstance(jl, JaxGaussianLayer):
+                cached = (
+                    np.asarray(jl.mean(store), np.float64),
+                    np.asarray(jl.stddev(store), np.float64),
+                )
+            elif isinstance(jl, JaxBinomialLayer):
+                cached = np.asarray(jax.nn.sigmoid(jl._logits(store)), np.float64)
+            elif isinstance(jl, JaxCategoricalLayer):
+                cached = np.asarray(jl.state_distribution(store), np.float64)
+            else:  # sum-style / embedding weight
+                cached = np.asarray(jl.weight(store), np.float64)
+            entry_cache[pi] = cached
+        return cached
+
     values: dict[Layer, Any] = {}
     for sl, (pi, f) in placement.items():
         jl = cc._entries[pi].layer
-        if isinstance(sl, SumLayer):
-            values[sl] = np.asarray(jl.weight(store), np.float64)[f]
-        elif isinstance(sl, CategoricalLayer):
-            values[sl] = np.asarray(jl.state_distribution(store), np.float64)[f]
+        if isinstance(sl, (SumLayer, CategoricalLayer, EmbeddingLayer, BinomialLayer)):
+            values[sl] = entry_value(pi, jl)[f]
         elif isinstance(sl, GaussianLayer):
             if isinstance(jl, JaxGaussianLayer) and jl.log_partition is not None:
                 raise NotImplementedError(
                     "Pruning unnormalized (log-partition) Gaussian layers is "
                     "not supported"
                 )
-            values[sl] = (
-                np.asarray(jl.mean(store), np.float64)[f],
-                np.asarray(jl.stddev(store), np.float64)[f],
-            )
-        elif isinstance(sl, BinomialLayer):
-            values[sl] = np.asarray(jax.nn.sigmoid(jl._logits(store)), np.float64)[f]
-        elif isinstance(sl, EmbeddingLayer):
-            values[sl] = np.asarray(jl.weight(store), np.float64)[f]
+            m, s = entry_value(pi, jl)
+            values[sl] = (m[f], s[f])
         elif isinstance(sl, (HadamardLayer, KroneckerLayer)):
             pass  # parameterless
         else:
