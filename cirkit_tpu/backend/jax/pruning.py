@@ -109,19 +109,25 @@ def _materialize(sc: Circuit, ctx, store, sib=None) -> dict[Layer, Any]:
     entry_cache: dict[int, Any] = {}
 
     def entry_value(pi: int, jl) -> Any:
+        # NATIVE-dtype pulls: converting a multi-GB folded entry to f64 at
+        # readback is pathological both on this host (memory-bandwidth
+        # collapse on GB-scale astype — measured 20 s for one 1.4 GB entry)
+        # and through the TPU tunnel (f64 transfers take a per-element
+        # conversion path ~1000x slower). Downstream slicing/scoring/rebuild
+        # is dtype-agnostic; under x64 tests the store is f64 already.
         cached = entry_cache.get(pi)
         if cached is None:
             if isinstance(jl, JaxGaussianLayer):
                 cached = (
-                    np.asarray(jl.mean(store), np.float64),
-                    np.asarray(jl.stddev(store), np.float64),
+                    np.asarray(jl.mean(store)),
+                    np.asarray(jl.stddev(store)),
                 )
             elif isinstance(jl, JaxBinomialLayer):
-                cached = np.asarray(jax.nn.sigmoid(jl._logits(store)), np.float64)
+                cached = np.asarray(jax.nn.sigmoid(jl._logits(store)))
             elif isinstance(jl, JaxCategoricalLayer):
-                cached = np.asarray(jl.state_distribution(store), np.float64)
+                cached = np.asarray(jl.state_distribution(store))
             else:  # sum-style / embedding weight
-                cached = np.asarray(jl.weight(store), np.float64)
+                cached = np.asarray(jl.weight(store))
             entry_cache[pi] = cached
         return cached
 
@@ -171,8 +177,8 @@ def _importance(
         if not children:
             continue
         if isinstance(sl, SumLayer):
-            w = values[sl]  # (O, H*K)
-            z = np.maximum(w.sum(axis=1, keepdims=True), np.finfo(np.float64).tiny)
+            w = values[sl]  # (O, H*K), native store dtype
+            z = np.maximum(w.sum(axis=1, keepdims=True), np.finfo(w.dtype).tiny)
             contrib = (s[:, None] * (w / z)).max(axis=0)  # (H*K,)
             k = sl.num_input_units
             for h, c in enumerate(children):
@@ -283,18 +289,6 @@ def _flow_importance(
     return score
 
 
-def _digit_lists(kept: list[int], k: int, arity: int) -> list[list[int]]:
-    """Per-operand digit sets used by a Kronecker kept-composite set
-    (row-major, first operand most significant)."""
-    out = [set() for _ in range(arity)]
-    for c in kept:
-        rem = c
-        for h in range(arity - 1, -1, -1):
-            out[h].add(rem % k)
-            rem //= k
-    return [sorted(s) for s in out]
-
-
 def prune_circuit(
     sc: Circuit,
     *,
@@ -348,26 +342,33 @@ def prune_circuit(
         score = _importance(sc, values, topo, out_set, "Pruning")
 
     # ---- initial kept sets --------------------------------------------------
-    kept: dict[Layer, set[int]] = {}
+    # Boolean masks, not Python sets: the flagship fixpoint walks ~2600
+    # layers with 4096-wide Kronecker composites — set arithmetic there is
+    # minutes of pure interpreter time, mask ops are vectorized.
+    kept: dict[Layer, np.ndarray] = {}
     order: dict[Layer, np.ndarray] = {}
     for sl in topo:
         rank = np.argsort(-score[sl], kind="stable")
         order[sl] = rank
+        m = np.zeros(sl.num_output_units, dtype=bool)
         if sl in out_set:
-            kept[sl] = set(range(sl.num_output_units))
+            m[:] = True
         elif isinstance(sl, KroneckerLayer):
             # composites are DERIVED (cross product of the children's kept
             # units, filled by the fixpoint): thresholding composites
             # directly is self-defeating — the top composites' digit
             # unions typically cover every digit and the closure grows
             # back to the full layer
-            kept[sl] = set()
+            pass
         elif threshold is not None:
-            ks = {int(j) for j in np.where(score[sl] >= threshold)[0]}
-            kept[sl] = ks if len(ks) >= min_units else {int(j) for j in rank[:min_units]}
+            m = score[sl] >= threshold
+            if int(m.sum()) < min_units:
+                m[:] = False
+                m[rank[:min_units]] = True
         else:
             n = max(min_units, math.ceil(sl.num_output_units * (1.0 - fraction)))
-            kept[sl] = {int(j) for j in rank[:n]}
+            m[rank[:n]] = True
+        kept[sl] = m
 
     # ---- fixpoint repair of structural constraints --------------------------
     changed = True
@@ -376,50 +377,53 @@ def prune_circuit(
         for sl in reversed(topo):
             children = sc.layer_inputs(sl)
             if isinstance(sl, HadamardLayer):
-                u = set(kept[sl])
+                u = kept[sl].copy()
                 for c in children:
                     u |= kept[c]
                 for lay in (sl, *children):
-                    if kept[lay] != u:
-                        kept[lay] = set(u)
+                    if not np.array_equal(kept[lay], u):
+                        kept[lay] = u.copy()
                         changed = True
             elif isinstance(sl, KroneckerLayer):
                 k, h = sl.num_input_units, sl.arity
-                digits = _digit_lists(sorted(kept[sl]), k, h)
+                cube = kept[sl].reshape((k,) * h)
                 for hh, c in enumerate(children):
-                    u = kept[c] | set(digits[hh])
-                    if kept[c] != u:
+                    axes = tuple(a for a in range(h) if a != hh)
+                    u = kept[c] | (cube.any(axis=axes) if axes else cube)
+                    if not np.array_equal(kept[c], u):
                         kept[c] = u
                         changed = True
                 # the new layer computes the cross product of kept digits
-                comp = {0}
-                for hh in range(h):
-                    comp = {c0 * k + d for c0 in comp for d in sorted(kept[children[hh]])}
-                if kept[sl] != comp:
+                # (first operand most significant, row-major)
+                comp = kept[children[0]]
+                for c in children[1:]:
+                    comp = (comp[:, None] & kept[c][None, :]).reshape(-1)
+                if not np.array_equal(kept[sl], comp):
                     kept[sl] = comp
                     changed = True
             elif isinstance(sl, SumLayer) and children:
-                target = max(len(kept[c]) for c in children)
+                target = max(int(kept[c].sum()) for c in children)
                 for c in children:
-                    if len(kept[c]) < target:
-                        for j in order[c]:
-                            if len(kept[c]) >= target:
-                                break
-                            kept[c].add(int(j))
+                    have = int(kept[c].sum())
+                    if have < target:
+                        # grow back the next-best units by score order
+                        ranked = order[c]
+                        extra = ranked[~kept[c][ranked]][: target - have]
+                        kept[c][extra] = True
                         changed = True
 
     # ---- rebuild ------------------------------------------------------------
-    # old_index[layer]: new unit position -> old unit index
-    old_index: dict[Layer, list[int]] = {}
+    # old_index[layer]: new unit position -> old unit index (int array)
+    old_index: dict[Layer, np.ndarray] = {}
     new_layers: dict[Layer, Layer] = {}
     in_map: dict[Layer, list[Layer]] = {}
     for sl in topo:
         children = sc.layer_inputs(sl)
         if isinstance(sl, KroneckerLayer):
             k, h = sl.num_input_units, sl.arity
-            idx = [0]
+            idx = np.zeros(1, dtype=np.int64)
             for c in children:
-                idx = [i0 * k + j for i0 in idx for j in old_index[c]]
+                idx = (idx[:, None] * k + old_index[c][None, :]).reshape(-1)
             old_index[sl] = idx
             nk = len(old_index[children[0]])
             new_layers[sl] = KroneckerLayer(nk, arity=h)
@@ -427,7 +431,7 @@ def prune_circuit(
             old_index[sl] = old_index[children[0]]
             new_layers[sl] = HadamardLayer(len(old_index[sl]), arity=sl.arity)
         elif isinstance(sl, SumLayer):
-            rows = sorted(kept[sl])
+            rows = np.flatnonzero(kept[sl])
             old_index[sl] = rows
             w = values[sl]
             k = sl.num_input_units
@@ -439,12 +443,14 @@ def prune_circuit(
                     "Pruning could not equalize the input widths of a sum "
                     f"layer (got {sorted(widths)}); use a smaller fraction"
                 )
-            cols = [h * k + j for h, c in enumerate(children) for j in old_index[c]]
+            cols = np.concatenate(
+                [h * k + old_index[c] for h, c in enumerate(children)]
+            )
             new_w = w[np.ix_(rows, cols)]
             nk = len(old_index[children[0]])
             new_layers[sl] = SumLayer(nk, len(rows), arity=sl.arity, weight=_const(new_w))
         else:  # input layers
-            rows = sorted(kept[sl])
+            rows = np.flatnonzero(kept[sl])
             old_index[sl] = rows
             if isinstance(sl, CategoricalLayer):
                 new_layers[sl] = CategoricalLayer(
@@ -485,11 +491,11 @@ def prune_circuit(
     return pruned, report
 
 
-def _gather_list(mult: np.ndarray) -> list[int]:
+def _gather_list(mult: np.ndarray) -> np.ndarray:
     """New-unit -> original-unit gather for a multiplicity vector:
     ``[0, 0, 1, 2]`` for ``mult = [2, 1, 1]`` (copies adjacent, stable
     order — all Hadamard siblings share one mult, hence one gather)."""
-    return [j for j in range(len(mult)) for _ in range(int(mult[j]))]
+    return np.repeat(np.arange(len(mult)), mult)
 
 
 def grow_circuit(
@@ -638,24 +644,24 @@ def grow_circuit(
             seen.add(j)
         return fac
 
-    gather: dict[Layer, list[int]] = {}
+    gather: dict[Layer, np.ndarray] = {}
     new_layers: dict[Layer, Layer] = {}
     in_map: dict[Layer, list[Layer]] = {}
     for sl in topo:
         children = sc.layer_inputs(sl)
         if isinstance(sl, KroneckerLayer):
             k = sl.num_input_units
-            idx = [0]
+            idx = np.zeros(1, dtype=np.int64)
             for c in children:
-                idx = [i0 * k + j for i0 in idx for j in gather[c]]
+                idx = (idx[:, None] * k + gather[c][None, :]).reshape(-1)
             gather[sl] = idx
             new_layers[sl] = KroneckerLayer(len(gather[children[0]]), arity=sl.arity)
         elif isinstance(sl, HadamardLayer):
             gather[sl] = _gather_list(mult[sl])
             new_layers[sl] = HadamardLayer(len(gather[sl]), arity=sl.arity)
         elif isinstance(sl, SumLayer):
-            g = _gather_list(mult[sl]) if sl not in out_set else list(
-                range(sl.num_output_units)
+            g = _gather_list(mult[sl]) if sl not in out_set else np.arange(
+                sl.num_output_units
             )
             gather[sl] = g
             w = values[sl]
@@ -669,15 +675,15 @@ def grow_circuit(
             cols, splits = [], []
             for h, c in enumerate(children):
                 cnt = np.bincount(gather[c], minlength=c.num_output_units)
-                cols.extend(h * k + j for j in gather[c])
-                splits.extend(1.0 / cnt[j] for j in gather[c])
-            new_w = w[np.ix_(g, cols)] * np.asarray(splits)[None, :]
+                cols.append(h * k + gather[c])
+                splits.append(1.0 / cnt[gather[c]])
+            new_w = w[np.ix_(g, np.concatenate(cols))] * np.concatenate(splits)[None, :]
             new_w = new_w * _jitter(new_w, g)
             nk = len(gather[children[0]])
             new_layers[sl] = SumLayer(nk, len(g), arity=sl.arity, weight=_const(new_w))
         else:  # input layers
-            g = _gather_list(mult[sl]) if sl not in out_set else list(
-                range(sl.num_output_units)
+            g = _gather_list(mult[sl]) if sl not in out_set else np.arange(
+                sl.num_output_units
             )
             gather[sl] = g
             if isinstance(sl, CategoricalLayer):
