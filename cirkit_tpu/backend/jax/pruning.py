@@ -102,54 +102,71 @@ def _materialize(sc: Circuit, ctx, store, sib=None) -> dict[Layer, Any]:
     cc, placement = sib
     import jax
 
-    # materialize each ENTRY's folded parameters once and slice folds on
-    # host: evaluating + pulling the full (F, ...) array per symbolic
-    # layer repeats the same device program and transfer F times (the
-    # flagship has ~1500 folds of 1.6 GB Tucker cores)
-    entry_cache: dict[int, Any] = {}
-
-    def entry_value(pi: int, jl) -> Any:
-        # NATIVE-dtype pulls: converting a multi-GB folded entry to f64 at
-        # readback is pathological both on this host (memory-bandwidth
-        # collapse on GB-scale astype — measured 20 s for one 1.4 GB entry)
-        # and through the TPU tunnel (f64 transfers take a per-element
-        # conversion path ~1000x slower). Downstream slicing/scoring/rebuild
-        # is dtype-agnostic; under x64 tests the store is f64 already.
-        cached = entry_cache.get(pi)
-        if cached is None:
-            if isinstance(jl, JaxGaussianLayer):
-                cached = (
-                    np.asarray(jl.mean(store)),
-                    np.asarray(jl.stddev(store)),
-                )
-            elif isinstance(jl, JaxBinomialLayer):
-                cached = np.asarray(jax.nn.sigmoid(jl._logits(store)))
-            elif isinstance(jl, JaxCategoricalLayer):
-                cached = np.asarray(jl.state_distribution(store))
-            else:  # sum-style / embedding weight
-                cached = np.asarray(jl.weight(store))
-            entry_cache[pi] = cached
-        return cached
-
-    values: dict[Layer, Any] = {}
-    for sl, (pi, f) in placement.items():
+    # Materialize each ENTRY's folded parameters once (slicing folds on
+    # host: per-symbolic-layer pulls would repeat the program and transfer
+    # F times), ALL entries in ONE jitted program: per-entry eager
+    # evaluation costs one remote compile (~2-7 s) per program on the
+    # tunnel backend — ~190 s of the 269 s flagship prune before batching.
+    needed: dict[int, Any] = {}
+    for sl, (pi, _f) in placement.items():
         jl = cc._entries[pi].layer
-        if isinstance(sl, (SumLayer, CategoricalLayer, EmbeddingLayer, BinomialLayer)):
-            values[sl] = entry_value(pi, jl)[f]
-        elif isinstance(sl, GaussianLayer):
+        if isinstance(sl, GaussianLayer):
             if isinstance(jl, JaxGaussianLayer) and jl.log_partition is not None:
                 raise NotImplementedError(
                     "Pruning unnormalized (log-partition) Gaussian layers is "
                     "not supported"
                 )
-            m, s = entry_value(pi, jl)
-            values[sl] = (m[f], s[f])
+            needed[pi] = jl
+        elif isinstance(sl, (SumLayer, CategoricalLayer, EmbeddingLayer, BinomialLayer)):
+            needed[pi] = jl
         elif isinstance(sl, (HadamardLayer, KroneckerLayer)):
             pass  # parameterless
         else:
             raise NotImplementedError(
                 f"Pruning is not supported for {type(sl).__name__}"
             )
+
+    def eval_all(st):
+        out: dict[int, Any] = {}
+        for pi, jl in needed.items():
+            if isinstance(jl, JaxGaussianLayer):
+                out[pi] = (jl.mean(st), jl.stddev(st))
+            elif isinstance(jl, JaxBinomialLayer):
+                out[pi] = jax.nn.sigmoid(jl._logits(st))
+            elif isinstance(jl, JaxCategoricalLayer):
+                out[pi] = jl.state_distribution(st)
+            else:  # sum-style / embedding weight
+                out[pi] = jl.weight(st)
+        return out
+
+    dev = jax.jit(eval_all)(store)
+    # NATIVE-dtype pulls: converting a multi-GB folded entry to f64 at
+    # readback is pathological both on this host (memory-bandwidth
+    # collapse on GB-scale astype — measured 20 s for one 1.4 GB entry)
+    # and through the TPU tunnel (f64 transfers take a per-element
+    # conversion path ~1000x slower). Downstream slicing/scoring/rebuild
+    # is dtype-agnostic; under x64 tests the store is f64 already.
+    entry_cache: dict[int, Any] = {}
+
+    def entry_value(pi: int) -> Any:
+        cached = entry_cache.get(pi)
+        if cached is None:
+            v = dev[pi]
+            cached = (
+                tuple(np.asarray(a) for a in v)
+                if isinstance(v, tuple)
+                else np.asarray(v)
+            )
+            entry_cache[pi] = cached
+        return cached
+
+    values: dict[Layer, Any] = {}
+    for sl, (pi, f) in placement.items():
+        if isinstance(sl, (SumLayer, CategoricalLayer, EmbeddingLayer, BinomialLayer)):
+            values[sl] = entry_value(pi)[f]
+        elif isinstance(sl, GaussianLayer):
+            m, s = entry_value(pi)
+            values[sl] = (m[f], s[f])
     return values
 
 
