@@ -151,8 +151,8 @@ def _materialize(sc: Circuit, ctx, store, sib=None) -> dict[Layer, Any]:
     def entry_value(pi: int) -> Any:
         cached = entry_cache.get(pi)
         if cached is None:
-            v = dev[pi]
-            cached = (
+            v = dev.pop(pi)  # free the device copy once pulled: peak HBM
+            cached = (  # stays ~store-size, not store + materialized copy
                 tuple(np.asarray(a) for a in v)
                 if isinstance(v, tuple)
                 else np.asarray(v)
@@ -195,6 +195,11 @@ def _importance(
             continue
         if isinstance(sl, SumLayer):
             w = values[sl]  # (O, H*K), native store dtype
+            if w.dtype.itemsize < 4:
+                # bf16 stores: host-emulated 16-bit ufuncs are slow and the
+                # accumulation error can reorder ranks near the threshold;
+                # score in f32 (per-fold 2-D slices are small vs readback).
+                w = np.asarray(w, np.float32)
             z = np.maximum(w.sum(axis=1, keepdims=True), np.finfo(w.dtype).tiny)
             contrib = (s[:, None] * (w / z)).max(axis=0)  # (H*K,)
             k = sl.num_input_units
@@ -412,7 +417,9 @@ def prune_circuit(
                         changed = True
                 # the new layer computes the cross product of kept digits
                 # (first operand most significant, row-major)
-                comp = kept[children[0]]
+                # copy: for arity 1 `comp` would alias the child's mask, and
+                # the SumLayer equalize branch mutates masks in place below
+                comp = kept[children[0]].copy()
                 for c in children[1:]:
                     comp = (comp[:, None] & kept[c][None, :]).reshape(-1)
                 if not np.array_equal(kept[sl], comp):
