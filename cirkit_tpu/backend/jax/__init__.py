@@ -30,6 +30,12 @@ from cirkit_tpu.backend.jax.serving import (
     load_exported,
     weight_slots,
 )
+from cirkit_tpu.backend.jax.warmstart import (
+    WarmBundle,
+    WarmStartError,
+    load_bundle,
+    save_bundle,
+)
 from cirkit_tpu.backend.jax.semiring import (
     ComplexLSESumSemiring,
     LSESumSemiring,
@@ -66,4 +72,8 @@ __all__ = [
     "mutual_information",
     "prune_circuit",
     "renyi2_entropy",
+    "WarmBundle",
+    "WarmStartError",
+    "load_bundle",
+    "save_bundle",
 ]
