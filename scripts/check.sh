@@ -5,7 +5,12 @@
 # Runs the strong tools (ruff/black/mypy, configured in pyproject.toml)
 # when they are installed; always runs the dependency-free fallbacks:
 # byte-compilation of every source and the stdlib-ast lint in
-# scripts/static_check.py. Pass --no-tests to skip pytest.
+# scripts/static_check.py.
+#
+# Tests default to the FAST tier (-m "not slow", a few minutes): the slow
+# marks cover example smoke-runs, fuzz/parity grids, TP mesh grids, and the
+# heavyweight per-feature cases, each of which has fast sibling coverage.
+# Pass --full for the whole suite (~19 min), --no-tests to skip pytest.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
@@ -31,8 +36,10 @@ fi
 step "compileall" python -m compileall -q cirkit_tpu
 step "ast lint" python scripts/static_check.py
 
-if [ "${1:-}" != "--no-tests" ]; then
-  step "pytest" python -m pytest tests/ -q
-fi
+case "${1:-}" in
+  --no-tests) ;;
+  --full) step "pytest (full)" python -m pytest tests/ -q ;;
+  *) step "pytest (fast tier)" python -m pytest tests/ -q -m "not slow" ;;
+esac
 
 exit $fail

@@ -101,6 +101,7 @@ def test_chow_liu_identity_and_optimality(source, distilled):
         assert report["mi_objective"] >= star - 1e-9
 
 
+@pytest.mark.slow
 def test_distill_recovers_tree_source_exactly():
     """An HMM is already a tree: distilling it must be lossless."""
     from cirkit_tpu.models import hmm
@@ -166,6 +167,7 @@ def test_distill_rejects_continuous_and_bad_root(source):
         distill_tree(ccg, store=ctxg.parameters)
 
 
+@pytest.mark.slow
 def test_distill_non_contiguous_scope():
     """Scope gaps (no leaf for some index) distill fine over the covered
     variables — they are not 'continuous leaves'."""
@@ -210,6 +212,7 @@ def test_distill_non_contiguous_scope():
                                            rtol=1e-6, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_distill_binomial_source():
     """Distillation from binomial leaves: the tree's indicator
     construction covers any finite-support source — pinned against the

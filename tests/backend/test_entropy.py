@@ -121,6 +121,7 @@ def test_entropy_conditional_matches_enumeration():
 
 
 @pytest.mark.parametrize("sum_product", ["tucker", "cp", "cp-t"])
+@pytest.mark.slow
 def test_entropy_runs_through_optimized_plan(sum_product):
     """Through fused Tucker/CPT/TensorDot plans: the recursion's root
     log-partition must equal IntegrateQuery's all-marginalized evaluation

@@ -150,6 +150,7 @@ def test_grow_with_data_scores_lossless_at_noise_zero():
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_grow_prune_loop_improves_over_em_only():
     """The orchestrated grow/prune loop: a deliberately too-small em_ready
     template gains held-out LL over plain EM at comparable size, history

@@ -100,6 +100,7 @@ def test_map_per_head_selection_matches_enumeration():
         query(store=ctx.parameters, output=1)
 
 
+@pytest.mark.slow
 def test_conditional_sampling_per_head_log_evidence():
     """conditional(..., unit=h) conditions on head h: its log-evidence must
     equal that head's marginal over the free variables."""
@@ -193,6 +194,7 @@ def test_map_gaussian_mode_routing():
     np.testing.assert_allclose(float(val[0]), np.log(scores[k_star]), rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_map_on_optimized_image_circuit():
     """Template circuit compiled folded+optimized (Tucker fusions): MAP runs
     through the fused layers; full-evidence values must lower-bound the true
@@ -320,6 +322,7 @@ def test_conditional_sampling_through_tensordot():
     np.testing.assert_allclose(np.asarray(vals), want, rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_map_and_conditional_accept_scope_evidence():
     """Scope-based evidence specs work like IntegrateQuery's (observed =
     the given scope), matching the boolean-mask result exactly."""
@@ -352,6 +355,7 @@ def test_map_and_conditional_accept_scope_evidence():
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
 
 
+@pytest.mark.slow
 def test_map_route_kernel_matches_xla_path(monkeypatch):
     """The fused route_tucker2 kernel (CIRKIT_TPU_FORCE_PALLAS interpret
     mode) must reproduce the XLA downward routing exactly on an optimized
@@ -420,6 +424,7 @@ def test_marginal_map_matches_enumeration():
         query(x, evidence_mask=obs, marginalize_vars=Scope([0]), store=ctx.parameters)
 
 
+@pytest.mark.slow
 def test_marginal_map_runs_through_optimized_tucker(monkeypatch):
     """MMAP through the fused tropical/routing kernels (interpret mode)
     equals the XLA path."""

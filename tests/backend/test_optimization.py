@@ -20,6 +20,7 @@ def _layer_types(cc):
 
 @pytest.mark.parametrize("fold,semiring", GRID)
 @pytest.mark.parametrize("sum_product", ["cp", "cp-t", "tucker"])
+@pytest.mark.slow
 def test_optimized_image_circuit_matches_unoptimized(fold, semiring, sum_product):
     from cirkit_tpu.models import image_data
 

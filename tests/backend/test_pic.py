@@ -52,6 +52,7 @@ def test_unknown_method_raises():
 
 
 @pytest.mark.parametrize("sharing", ["none", "f", "c"])
+@pytest.mark.slow
 def test_pic_input_net_shapes_and_sharing(sharing):
     net = PICInputNet(num_variables=5, num_param=3, sharing=sharing)
     params = net.init(jax.random.PRNGKey(0), net_dim=16, dtype=jnp.float64)
@@ -64,6 +65,7 @@ def test_pic_input_net_shapes_and_sharing(sharing):
 
 
 @pytest.mark.parametrize("sharing", ["none", "f", "c"])
+@pytest.mark.slow
 def test_pic_inner_net_normalization(sharing):
     net = PICInnerNet(num_dim=3, num_funcs=4, norm_dim=(2, 3), sharing=sharing)
     params = net.init(jax.random.PRNGKey(1), net_dim=16, dtype=jnp.float64)
@@ -95,6 +97,7 @@ def _build_qpc(num_units=4, method="trapezoidal"):
     return qpc, qp
 
 
+@pytest.mark.slow
 def test_pc2qpc_normalized_and_evaluates():
     qpc, qp = _build_qpc()
     store = qp.materialize()
@@ -118,6 +121,7 @@ def _partition_by_integration(qpc, store):
     return np.asarray(z)[0, 0, 0]
 
 
+@pytest.mark.slow
 def test_qpc_training_step_decreases_loss():
     import optax
 
@@ -141,6 +145,7 @@ def test_qpc_training_step_decreases_loss():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_qpc_stays_normalized_after_training_shapes():
     # generated sum weights keep the quadrature normalization by construction
     qpc, qp = _build_qpc(method="leggauss")

@@ -101,6 +101,7 @@ def test_prune_drops_dead_units_distribution_unchanged():
     assert [a for name, b, a in report["per_layer"] if name == "HadamardLayer"] == [2]
 
 
+@pytest.mark.slow
 def test_prune_fraction_through_optimized_context():
     """Readback + pruning from a context that compiled the circuit with
     optimize=True (fused plans): the sibling unoptimized compile shares
@@ -173,6 +174,7 @@ def test_prune_requires_compiled_context():
         prune_circuit(sc, ctx=ctx, threshold=0.0)
 
 
+@pytest.mark.slow
 def test_flow_importance_prunes_data_unused_branch():
     """Data-aware pruning (expected posterior usage flows, Dang et al.):
     a mixture branch the data NEVER routes through is pruned even though

@@ -255,6 +255,7 @@ def test_conditional_sampling_full_evidence_returns_input():
     np.testing.assert_allclose(np.asarray(vals), want, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_conditional_sampling_on_optimized_circuit_runs():
     """Folded+optimized (Tucker-fused) circuits route conditional draws
     through the fused layers; observed entries round-trip."""
@@ -392,6 +393,7 @@ def test_sampling_sum_product_semiring_uses_dense_path():
     assert len(mixtures) >= 1
 
 
+@pytest.mark.slow
 def test_sample_selected_with_zero_probability_category():
     """A zero-probability category in ANY unit must not corrupt other
     units' draws through the one-hot selection matmul (0 * -inf = NaN;
@@ -434,6 +436,7 @@ def test_sample_selected_with_zero_probability_category():
     np.testing.assert_allclose(freq, p, atol=0.04)
 
 
+@pytest.mark.slow
 def test_conditional_sampling_accepts_rbg_key():
     """A typed rbg key (4-word key data) is a legitimate key argument and
     must not crash the 2-word tile conversion (regression)."""
@@ -515,6 +518,7 @@ def test_expectation_query_gaussian_posterior_mean():
         np.testing.assert_allclose(got[b, 0], x[b, 0], rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_expectation_query_on_optimized_image_circuit():
     """Soft imputation runs through fused Tucker circuits and respects the
     evidence; free entries land inside the state range."""
@@ -631,6 +635,7 @@ def test_posterior_variance_matches_enumeration():
         assert var[b, 0] == 0.0
 
 
+@pytest.mark.slow
 def test_posterior_covariance_matches_enumeration():
     """covariance(): the full (B, k, k) posterior covariance over queried
     variables must match exhaustive posterior second moments; symmetric;
@@ -706,6 +711,7 @@ def test_posterior_covariance_gaussian_closed_form():
         q.covariance(x, evidence_mask=mask, variables=(0, 5), store=ctx.parameters)
 
 
+@pytest.mark.slow
 def test_posterior_covariance_with_kernels_forced(monkeypatch):
     """The covariance program takes jvp-over-grad, which the Pallas
     kernels cannot (custom VJP only): the query must trace its program on
@@ -826,6 +832,7 @@ def test_posterior_marginals_and_variance_binomial():
         np.testing.assert_allclose(float(var[b, 1]), m2 - m1**2, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_marginals_bf16_output_matches_f32():
     """marginals(dtype=bf16): same distributions at bf16 rounding, rows
     still ~normalized, observed one-hots exact."""
@@ -855,6 +862,7 @@ def test_marginals_bf16_output_matches_f32():
     assert (b16[obs][np.arange(obs.sum()), xi[obs]] == 1.0).all()
 
 
+@pytest.mark.slow
 def test_pad_batch_to_on_queries():
     """pad_batch_to: ragged batches reuse one compiled program per query
     and results match the unpadded calls exactly (MAP/top-k/conditional/

@@ -22,6 +22,7 @@ def _circuit(sp, optimize=True, seed=4):
 
 @pytest.mark.parametrize("force_pallas", [False, True])
 @pytest.mark.parametrize("sp", ["cp", "tucker"])
+@pytest.mark.slow
 def test_bf16_weight_store_fast_grade_forward(sp, force_pallas, monkeypatch):
     if force_pallas:
         monkeypatch.setenv("CIRKIT_TPU_FORCE_PALLAS", "1")
@@ -41,6 +42,7 @@ def test_bf16_weight_store_fast_grade_forward(sp, force_pallas, monkeypatch):
     np.testing.assert_allclose(b, a, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_bf16_weight_store_queries_run(monkeypatch):
     monkeypatch.setenv("CIRKIT_TPU_FORCE_PALLAS", "1")
     import jax
@@ -60,6 +62,7 @@ def test_bf16_weight_store_queries_run(monkeypatch):
     assert np.isfinite(np.asarray(val)).all()
 
 
+@pytest.mark.slow
 def test_export_circuit_roundtrip_and_store_swap():
     """StableHLO export: the deserialized artifact reproduces evaluate()
     bitwise, replays on a NEW store of the same shapes, and the integrate

@@ -61,6 +61,7 @@ def test_signed_squared_circuit_matches_complex(fold, optimize):
         np.testing.assert_allclose(z, want.sum(), rtol=1e-9, err_msg=semiring)
 
 
+@pytest.mark.slow
 def test_signed_gradients_match_complex():
     """MLE gradients of the squared-circuit NLL under the signed semiring
     equal the complex-semiring ones (real parts) — same loss landscape."""
@@ -148,6 +149,7 @@ def test_signed_integrate_query():
     np.testing.assert_allclose(got.reshape(3, 3)[:, 1], want, rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_signed_sos_mle_training_decreases_nll():
     """Maximum-likelihood training of a squared non-monotonic circuit under
     the signed semiring: minimize -log(|c(x)|^2 / Z) — fully differentiable

@@ -91,6 +91,7 @@ def test_top1_equals_map():
     np.testing.assert_allclose(float(valk[0, 0]), float(val1[0]), rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_topk_with_evidence_matches_restricted_enumeration():
     sc = build_multivariate_categorical_pc(
         num_variables=4, rng=np.random.default_rng(73)
@@ -129,6 +130,7 @@ def test_topk_padding_beyond_parse_count():
     _check_against_oracle(asg[0], scores[0], want_scores, want_asgs)
 
 
+@pytest.mark.slow
 def test_topk_per_head_selection():
     from cirkit_tpu.symbolic import CategoricalLayer, Circuit, HadamardLayer, SumLayer
     from cirkit_tpu.utils import Scope
@@ -194,6 +196,7 @@ def test_topk_gaussian_leaves_route_through_latents():
         )
 
 
+@pytest.mark.slow
 def test_topk_through_tensordot_shattered_sums():
     """Product circuits compile (optimize=True) to Kronecker-shattered
     tensor-dot pairs; the sequential Monarch-half choices must compose to

@@ -141,6 +141,7 @@ def test_tensor_train_matches_explicit_contraction():
     np.testing.assert_allclose(got, want, rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_image_data_circuit():
     sc = image_data(
         (1, 4, 4),
@@ -164,6 +165,7 @@ def test_image_data_circuit():
 
 @pytest.mark.parametrize("sum_product", ["cp", "cp-t", "tucker"])
 @pytest.mark.parametrize("rg", ["quad-tree-2", "quad-graph"])
+@pytest.mark.slow
 def test_image_data_variants(sum_product, rg):
     sc = image_data(
         (1, 4, 4),

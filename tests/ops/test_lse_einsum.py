@@ -108,6 +108,7 @@ def test_lse_tucker2_softmax_matches_composition():
     np.testing.assert_allclose(out, ref, rtol=RTOL, atol=ATOL)
 
 
+@pytest.mark.slow
 def test_lse_matmul_gradients_match_fallback():
     rng = np.random.default_rng(4)
     x = _rand(rng, (2, 8, 32))
@@ -125,6 +126,7 @@ def test_lse_matmul_gradients_match_fallback():
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_lse_tucker2_softmax_gradients_match_composition():
     rng = np.random.default_rng(5)
     x1 = _rand(rng, (2, 8, 8))
@@ -143,6 +145,7 @@ def test_lse_tucker2_softmax_gradients_match_composition():
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_lse_matmul_softmax_grad_multi_tile_batch():
     """dtheta accumulates across batch tiles; check a batch spanning >1 tile
     by shrinking the tile budget via a large input width."""
@@ -161,6 +164,7 @@ def test_lse_matmul_softmax_grad_multi_tile_batch():
     np.testing.assert_allclose(gk, gf, rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_lse_matmul_all_neg_inf_row_yields_no_nan():
     """Rows of -inf (zero probability everywhere) must stay NaN-free in both
     the output (-inf) and the gradient (zero), mirroring SafeLog."""
@@ -238,6 +242,7 @@ def test_oversized_tucker_routes_through_blocked_matmul(monkeypatch):
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_lse_tucker2_softmax_grad_multi_tile_batch(monkeypatch):
     """dtheta accumulation across batch tiles for the tucker-softmax kernel
     (batch tiles shrink when the VMEM budget forces it)."""
@@ -291,6 +296,7 @@ _BOUNDS = {False: (3e-4, 2e-3), True: (8e-3, 4e-2)}
 @pytest.mark.parametrize(
     "op", ["matmul", "matmul_softmax", "tucker2", "tucker2_softmax"]
 )
+@pytest.mark.slow
 def test_error_bounds_vs_float64(op, fast, monkeypatch):
     if fast:
         monkeypatch.setenv("CIRKIT_TPU_FAST", "1")
@@ -374,6 +380,7 @@ def _f64_cmatmul(x, w):
 
 
 @pytest.mark.parametrize("b", [8, 13])
+@pytest.mark.slow
 def test_clse_matmul_matches_complex128(b):
     from cirkit_tpu.ops.lse_einsum import clse_matmul_parts
 
@@ -390,6 +397,7 @@ def test_clse_matmul_matches_complex128(b):
     np.testing.assert_allclose(dphi, 0.0, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_clse_matmul_gradients_match_fallback():
     from cirkit_tpu.backend.jax.semiring import ComplexLSESumSemiring as C
     from cirkit_tpu.backend.jax.utils import csafelog
@@ -494,6 +502,7 @@ def test_slse_tucker2_softmax_matches_fallback():
     np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(rs))
 
 
+@pytest.mark.slow
 def test_slse_matmul_gradients_match_fallback():
     from cirkit_tpu.ops.lse_einsum import slse_dispatch
 
@@ -516,6 +525,7 @@ def test_slse_matmul_gradients_match_fallback():
         np.testing.assert_allclose(x, y, rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_slse_tucker2_gradients_match_fallback_multi_tile(monkeypatch):
     from cirkit_tpu.ops import lse_einsum as LL
 
@@ -540,6 +550,7 @@ def test_slse_tucker2_gradients_match_fallback_multi_tile(monkeypatch):
 
 
 @pytest.mark.parametrize("softmax", [False, True], ids=["plain", "softmax"])
+@pytest.mark.slow
 def test_slse_bf16_weight_gradients(softmax):
     """Gradients through a bf16-resident weight store on the signed kernel:
     dL/dw accumulates in f32 in VMEM and is cast back to bf16 on exit
@@ -575,6 +586,7 @@ def test_slse_bf16_weight_gradients(softmax):
     )
 
 
+@pytest.mark.slow
 def test_slse_exact_cancellation_sign_zero_no_nan():
     """Exact cancellation to 0 must give sign 0, log -inf, and finite (zero)
     gradients — the signed analogue of ComplexSafeLog."""
@@ -753,6 +765,7 @@ def test_wide_tucker_routes_to_blocked_kernel():
     np.testing.assert_allclose(out, ref, rtol=RTOL, atol=ATOL)
 
 
+@pytest.mark.slow
 def test_blocked_matmul_accepts_bf16_weights(monkeypatch):
     """Wide contractions with a bf16-resident weight store must stay on the
     blocked kernel (not fall to the dense XLA composition), and gradients

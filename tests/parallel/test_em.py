@@ -27,6 +27,7 @@ def _em_ready_image_circuit(ctx, optimize=False):
     return ctx.compile(sc)
 
 
+@pytest.mark.slow
 def test_em_full_batch_monotonically_increases_likelihood():
     ctx = PipelineContext(semiring="lse-sum", fold=True, seed=3)
     cc = _em_ready_image_circuit(ctx)
@@ -94,6 +95,7 @@ def test_em_damped_step_interpolates():
     )
 
 
+@pytest.mark.slow
 def test_em_mesh_matches_single_device():
     """Data-parallel EM over the 8-device mesh: same losses and same final
     weights as the single-device recursion (flows all-reduce like grads)."""
@@ -278,6 +280,7 @@ def test_binomial_em_one_step_matches_closed_form():
         )
 
 
+@pytest.mark.slow
 def test_online_em_improves_and_matches_epoch_on_single_batch():
     """update_every='batch': with one batch per epoch it equals epoch mode;
     with several batches it still drives the NLL down under damping."""
@@ -356,6 +359,7 @@ def test_em_through_collapsed_sum_chain_matches_unfused():
         )
 
 
+@pytest.mark.slow
 def test_em_ready_quadgraph_with_collapsed_mixing_chain():
     """A (1, 6, 6) QuadGraph compiles (optimize=True) with a fused
     MatMul(slot, MixingWeight(slot)) sum weight — em_slots must accept it
@@ -420,6 +424,7 @@ def test_em_warns_when_leaves_not_updatable():
         fit_em(cc, x, store=ctx.parameters, num_epochs=1, batch_size=32, strict=True)
 
 
+@pytest.mark.slow
 def test_em_step_size_schedules():
     """Schedules: a constant callable matches the float; 'robbins-monro'
     parses, decays, and still fits; unknown names raise."""
@@ -621,6 +626,7 @@ def test_fit_missing_first_loss_matches_integrate_query():
     np.testing.assert_allclose(losses[0], want, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_fit_missing_sentinel_categorical_improves():
     """Sentinel-coded missing categorical entries (-1) train on their
     observed margins and improve the marginal NLL."""

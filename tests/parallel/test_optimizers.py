@@ -50,6 +50,7 @@ def test_f32_state_matches_optax_adam_exactly():
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bf16_moments_track_ema_where_plain_rounding_stalls():
     """Constant gradient g: nu must converge toward g^2. Deterministic bf16
     EMA stalls near zero because (1-b2)*g^2 increments vanish against warm
@@ -115,6 +116,7 @@ def test_state_dtype_is_bfloat16_and_zero1_shardable():
     assert shardings.count.spec == P()
 
 
+@pytest.mark.slow
 def test_fit_trains_with_lowmem_adam():
     from cirkit_tpu.models import image_data
     from cirkit_tpu.parallel import fit

@@ -19,6 +19,8 @@ from cirkit_tpu.parallel.tensor import (
 from cirkit_tpu.parallel.training import split_trainable
 from cirkit_tpu.pipeline import PipelineContext
 
+pytestmark = pytest.mark.slow  # TP grids compile per (rg, layer, mesh) combination
+
 
 def _mesh2d():
     devices = np.asarray(jax.devices()[:8]).reshape(4, 2)

@@ -38,6 +38,7 @@ def test_fit_single_device_decreases_nll():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_fit_multichip_matches_single_chip():
     """DP training over 8 devices must produce the same losses as 1 device
     (identical math, batch just sharded)."""
@@ -86,6 +87,7 @@ def test_fit_batch_not_divisible_raises():
         fit(cc, np.zeros((64, 16), dtype=np.int64), batch_size=31, mesh=mesh)
 
 
+@pytest.mark.slow
 def test_fit_partial_final_batch_trains_every_sample():
     """A trailing partial batch is zero-padded and weighted instead of
     dropped: fit over N samples with batch_size not dividing N must match a
@@ -135,6 +137,7 @@ def test_fit_dataset_smaller_than_batch_trains_one_weighted_step():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_evaluate_ll_matches_direct_and_shards():
     """evaluate_ll: batched + padded evaluation equals the direct mean LL,
     on one device and over the 8-device mesh."""
@@ -154,6 +157,7 @@ def test_evaluate_ll_matches_direct_and_shards():
     np.testing.assert_allclose(got_mesh, direct, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_zero1_sharded_optimizer_matches_replicated():
     """ZeRO-1: optimizer state sharded over the data axis, gradients
     reduce-scattered, updates all-gathered — numerically identical to the

@@ -7,6 +7,8 @@ import runpy
 
 import pytest
 
+pytestmark = pytest.mark.slow  # every example smoke-run rebuilds+compiles a full pipeline
+
 # name -> env overrides that shrink it to smoke-test size
 EXAMPLES = {
     "logic_wmc": {},

@@ -17,6 +17,8 @@ from cirkit_tpu.symbolic.parameters import Parameter, SoftmaxParameter, TensorPa
 
 from tests.reference_eval import eval_circuit
 
+pytestmark = pytest.mark.slow  # fuzz grids enumerate ground truth per case
+
 NUM_CATS = 3
 
 

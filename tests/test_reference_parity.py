@@ -22,6 +22,8 @@ from types import SimpleNamespace
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # imports and runs the torch reference backend
+
 REFERENCE_PATH = "/root/reference"
 if not os.path.isdir(os.path.join(REFERENCE_PATH, "cirkit")):
     pytest.skip("reference tree unavailable", allow_module_level=True)

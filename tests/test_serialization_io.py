@@ -30,6 +30,7 @@ def _small_circuit(fold, optimize, semiring):
 @pytest.mark.parametrize("fold", [False, True])
 @pytest.mark.parametrize("optimize", [False, True])
 @pytest.mark.parametrize("semiring", ["sum-product", "lse-sum"])
+@pytest.mark.slow
 def test_store_roundtrip_preserves_outputs(tmp_path, fold, optimize, semiring):
     _, ctx, cc = _small_circuit(fold, optimize, semiring)
     x = np.random.default_rng(0).integers(0, 256, size=(7, 16))
