@@ -778,6 +778,8 @@ def grow_prune_loop(
     seed: int = 0,
     verbose: bool = False,
     ctx_factory=None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ):
     """The full grow/prune structure-learning loop (Dang et al., "Pruning
     and growing probabilistic circuits"), orchestrating this module's
@@ -797,6 +799,14 @@ def grow_prune_loop(
     rebuilds are plain by construction. Returns ``(best symbolic circuit,
     best trained store, history)`` where history rows are
     ``(stage, units, heldout_ll)``.
+
+    ``checkpoint_dir`` persists the loop state after every completed stage
+    (current + best symbolic circuits via ``save_circuit``, their trained
+    stores, the history, and an atomically-replaced LATEST marker);
+    ``resume=True`` restores the newest stage and continues — a structure
+    search killed mid-way redoes at most one stage. Deterministic given
+    the same data/fractions/seed (stage seeds derive from the round
+    index), so a resumed run reproduces the uninterrupted one.
     """
     from cirkit_tpu.parallel import evaluate_ll, fit_em
     from cirkit_tpu.pipeline import PipelineContext
@@ -827,19 +837,97 @@ def grow_prune_loop(
         c.parameters.update(store)
         return cc, store, float(evaluate_ll(cc, val, store=store))
 
+    import json
     import logging
+    import os
+    import shutil
 
     log = logging.getLogger(__name__)
-    cc, store, ll = train(sc, ctx)
-    best = (sc, dict(store), ll)
-    history = [("init", units_of(sc), ll)]
-    if verbose:  # pragma: no cover - logging only
-        log.info("grow_prune_loop init: %d units, LL %.4f", units_of(sc), ll)
 
-    cur_sc, cur_ctx = sc, ctx
+    def _checkpoint(stages_done: int, improved: bool) -> None:
+        if checkpoint_dir is None:
+            return
+        from cirkit_tpu.utils.checkpoint import save_circuit, save_store
+
+        sdir = os.path.join(checkpoint_dir, f"stage{stages_done}")
+        os.makedirs(sdir, exist_ok=True)
+        save_circuit(os.path.join(sdir, "cur_circuit.ckpt"), cur_sc)
+        save_store(os.path.join(sdir, "cur_store.npz"), cur_store)
+        save_circuit(os.path.join(sdir, "best_circuit.ckpt"), best[0])
+        save_store(os.path.join(sdir, "best_store.npz"), best[1])
+        with open(os.path.join(sdir, "state.json"), "w") as fh:
+            json.dump(
+                {
+                    "stages_done": stages_done,
+                    "improved": improved,
+                    "best_ll": best[2],
+                    "history": history,
+                },
+                fh,
+            )
+        # the atomically-replaced marker is what makes a stage dir valid:
+        # a kill mid-write leaves LATEST pointing at the previous stage
+        tmp = os.path.join(checkpoint_dir, "LATEST.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(stages_done))
+        os.replace(tmp, os.path.join(checkpoint_dir, "LATEST"))
+        for name in os.listdir(checkpoint_dir):
+            if name.startswith("stage") and name != f"stage{stages_done}":
+                shutil.rmtree(os.path.join(checkpoint_dir, name), ignore_errors=True)
+
+    start_stages = 0
+    improved_resume = False
+    latest = (
+        os.path.join(checkpoint_dir, "LATEST") if checkpoint_dir is not None else None
+    )
+    if resume and latest is not None and os.path.exists(latest):
+        from cirkit_tpu.utils.checkpoint import load_circuit, load_store
+
+        with open(latest) as fh:
+            start_stages = int(fh.read().strip())
+        sdir = os.path.join(checkpoint_dir, f"stage{start_stages}")
+        with open(os.path.join(sdir, "state.json")) as fh:
+            state = json.load(fh)
+        improved_resume = bool(state["improved"])
+        history = [tuple(row) for row in state["history"]]
+        cur_sc = load_circuit(os.path.join(sdir, "cur_circuit.ckpt"))
+        cur_store = load_store(os.path.join(sdir, "cur_store.npz"))
+        best = (
+            load_circuit(os.path.join(sdir, "best_circuit.ckpt")),
+            load_store(os.path.join(sdir, "best_store.npz")),
+            float(state["best_ll"]),
+        )
+        cur_ctx = ctx_factory()
+        cur_ctx.compile(cur_sc)  # slot names allocate deterministically
+        cur_ctx.parameters.update(cur_store)
+        if verbose:  # pragma: no cover - logging only
+            log.info(
+                "grow_prune_loop resume: %d stage(s) done, best LL %.4f",
+                start_stages, best[2],
+            )
+    else:
+        cc, store, ll = train(sc, ctx)
+        best = (sc, dict(store), ll)
+        cur_store = store
+        history = [("init", units_of(sc), ll)]
+        cur_sc, cur_ctx = sc, ctx
+        _checkpoint(1, False)
+        start_stages = 1
+        if verbose:  # pragma: no cover - logging only
+            log.info("grow_prune_loop init: %d units, LL %.4f", units_of(sc), ll)
+
+    idx = 1  # global stage counter; init is stage 1
     for r in range(rounds):
-        improved = False
+        if idx + 2 <= start_stages:
+            # fully-completed round (it must have improved, or the original
+            # run would have stopped and this checkpoint would be final)
+            idx += 2
+            continue
+        improved = improved_resume if idx < start_stages else False
         for stage in ("grow", "prune"):
+            idx += 1
+            if idx <= start_stages:
+                continue
             if stage == "prune":
                 if prune_fraction <= 0.0:
                     continue
@@ -863,9 +951,11 @@ def grow_prune_loop(
                     stage, r, units_of(nxt), nll,
                 )
             cur_sc, cur_ctx = nxt, nctx
+            cur_store = nstore
             if nll > best[2]:
                 best = (nxt, dict(nstore), nll)
                 improved = True
+            _checkpoint(idx, improved)
         if not improved:
             break
     return best[0], best[1], history

@@ -825,7 +825,7 @@ def mutual_information(
     rows = []
     for u in variables:
         if m0[u]:
-            rows.append(jnp.zeros(num_vars, dt))
+            rows.append(np.zeros(num_vars))  # host: no device program
             continue
         s_u = int(supports[u])
         xs = np.tile(x0, (s_u, 1))
@@ -837,10 +837,14 @@ def mutual_information(
             store=store, output=output, unit=unit,
         )
         rows.append(_mi_row_reduce(cond, jnp.asarray(marg_np[u, :s_u]), marg))
-    mat = jnp.stack(rows)[:, np.asarray(variables)]
-    # observed columns: conditioning makes them constants
-    obs_col = jnp.asarray(m0[np.asarray(variables)])
-    return jnp.where(obs_col[None, :], 0.0, mat)
+    # Column-select and mask on HOST: a static-index gather on device is a
+    # distinct program per `variables` tuple — seconds of compile each on
+    # remote-compile backends (same scale trap as per-anchor device
+    # slicing above). The rows are tiny (k x D) f32 pulls.
+    cols = np.asarray(variables)
+    mat = np.stack([np.asarray(r, dtype=np.float64) for r in rows])[:, cols]
+    mat[:, m0[cols]] = 0.0  # observed columns: conditioning makes them constants
+    return jnp.asarray(mat, dt)
 
 
 def _pad_samples(samples: jnp.ndarray, scope_idx: np.ndarray, num_vars: int) -> jnp.ndarray:

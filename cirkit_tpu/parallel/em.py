@@ -451,6 +451,9 @@ def fit_em(
     mesh: "jax.sharding.Mesh | None" = None,
     axis: str = "data",
     missing: str | float | int | None = None,
+    checkpoint_every: int | None = None,
+    checkpoint_path: str | None = None,
+    resume: bool = False,
 ) -> tuple[Store, list[float]]:
     """Train a circuit by (mini-batch) EM.
 
@@ -490,6 +493,13 @@ def fit_em(
     same all-reduce as data-parallel SGD and the result is bitwise the
     single-device recursion.
 
+    ``checkpoint_every=N`` writes an atomic checkpoint (EM parameters +
+    epoch/M-step counters + losses) to ``checkpoint_path`` every N
+    *epochs*; ``resume=True`` restores it if present and continues from
+    the next epoch — deterministic given the same data/batch_size/key, so
+    a resumed run reproduces the uninterrupted one (schedules stay aligned
+    through the restored M-step counter).
+
     Returns the updated store and the mean train NLL per epoch. With
     ``update_every="epoch"`` each entry is measured under the weights
     before that epoch's update; in online mode parameters change mid-epoch,
@@ -506,6 +516,8 @@ def fit_em(
         raise ValueError("The batch size must divide evenly across the mesh devices")
     if update_every not in ("epoch", "batch"):
         raise ValueError(f"update_every must be 'epoch' or 'batch', got {update_every!r}")
+    if (checkpoint_every is not None or resume) and checkpoint_path is None:
+        raise ValueError("checkpoint_every/resume require checkpoint_path")
     if callable(step_size):
         schedule = step_size
     elif isinstance(step_size, str):
@@ -544,12 +556,42 @@ def fit_em(
     num_batches = -(-len(data) // batch_size)
     losses: list[float] = []
     m_steps = 0
+    start_epoch = 0
+    if resume:
+        import os as _os
+
+        from cirkit_tpu.utils.checkpoint import load_store, training_state_path
+
+        ck_file = training_state_path(checkpoint_path)
+        if _os.path.exists(ck_file):
+            restored = load_store(
+                ck_file, like={"em_params": em_params, "gauss_params": gauss_params}
+            )
+            meta = load_store(ck_file)
+            start_epoch = int(np.asarray(meta["epoch"]))
+            m_steps = int(np.asarray(meta["m_steps"]))
+            losses = [float(v) for v in np.asarray(meta["losses"]).ravel()]
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                rep = NamedSharding(mesh, PartitionSpec())
+                put = lambda l: jax.device_put(jnp.asarray(l), rep)  # noqa: E731
+            else:
+                put = jnp.asarray
+            em_params = {k: put(v) for k, v in restored["em_params"].items()}
+            gauss_params = {k: put(v) for k, v in restored["gauss_params"].items()}
 
     def _step_size():
         s = step_size if schedule is None else schedule(m_steps)
         return jnp.asarray(s, dtype=jnp.result_type(float))
 
-    for _ in range(num_epochs):
+    for epoch in range(num_epochs):
+        if epoch < start_epoch:
+            if shuffle:
+                # replay the key evolution so resumed epochs see the same
+                # permutations the uninterrupted run would have
+                key, _ = jax.random.split(key)
+            continue
         if shuffle:
             key, sub = jax.random.split(key)
             perm = np.asarray(jax.random.permutation(sub, len(data)))
@@ -586,6 +628,19 @@ def fit_em(
             em_params, gauss_params = em_update(em_params, gauss_params, acc, _step_size())
             m_steps += 1
         losses.append(-float(acc_ll) / len(data))
+        if checkpoint_every is not None and (epoch + 1) % checkpoint_every == 0:
+            from cirkit_tpu.utils.checkpoint import save_training_state
+
+            save_training_state(
+                checkpoint_path,
+                {
+                    "em_params": em_params,
+                    "gauss_params": gauss_params,
+                    "epoch": np.int64(epoch + 1),
+                    "m_steps": np.int64(m_steps),
+                    "losses": np.asarray(losses, np.float64),
+                },
+            )
 
     new_store = dict(store)
     new_store.update(em_params)

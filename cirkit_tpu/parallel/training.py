@@ -275,6 +275,9 @@ def fit(
     shuffle: bool = True,
     callback: Callable[[int, int, float], Any] | None = None,
     missing: str | float | int | None = None,
+    checkpoint_every: int | None = None,
+    checkpoint_path: str | None = None,
+    resume: bool = False,
 ) -> tuple[Store, list[float]]:
     """Maximum-likelihood training of a compiled circuit.
 
@@ -292,7 +295,16 @@ def fit(
     missingness pattern is a per-batch runtime mask, so one compiled step
     serves every pattern. Losses are then mean *marginal* NLLs (their
     scale shrinks with the number of observed entries).
+
+    ``checkpoint_every=N`` writes an atomic training checkpoint (params +
+    optimizer state + step counter + losses) to ``checkpoint_path`` every N
+    steps; ``resume=True`` restores it if present and continues exactly
+    where the interrupted run stopped — the batch schedule replays
+    deterministically from ``key``, so a resumed run reproduces the
+    uninterrupted one (pass the same data/batch_size/key/optimizer).
     """
+    if (checkpoint_every is not None or resume) and checkpoint_path is None:
+        raise ValueError("checkpoint_every/resume require checkpoint_path")
     if optimizer is None:
         optimizer = optax.adam(1e-2)
     if store is None:
@@ -323,6 +335,29 @@ def fit(
         # caller's store stays valid
         trainable = {k: jnp.array(v) for k, v in trainable.items()}
     opt_state = optimizer.init(trainable)
+
+    start_step = 0
+    losses: list[float] = []
+    if resume:
+        import os as _os
+
+        from cirkit_tpu.utils.checkpoint import load_store, training_state_path
+
+        ck_file = training_state_path(checkpoint_path)
+        if _os.path.exists(ck_file):
+            restored = load_store(
+                ck_file, like={"trainable": trainable, "opt_state": opt_state}
+            )
+            meta = load_store(ck_file)
+            start_step = int(np.asarray(meta["step"]))
+            losses = [float(v) for v in np.asarray(meta["losses"]).ravel()]
+            if mesh is not None:
+                rep = NamedSharding(mesh, P())
+                put = lambda l: jax.device_put(jnp.asarray(l), rep)  # noqa: E731
+            else:
+                put = jnp.asarray
+            trainable = {k: put(v) for k, v in restored["trainable"].items()}
+            opt_state = jax.tree_util.tree_map(put, restored["opt_state"])
     # A dataset smaller than one batch is itself a "partial batch": pad and
     # weight it like a trailing one instead of silently training zero steps.
     remainder = len(data) % batch_size
@@ -393,11 +428,14 @@ def fit(
     # the loop unless a callback needs them: float(loss) every step would
     # re-synchronize the pipeline.
     device_losses: list = []
-    losses: list[float] = []
     it = host_batches()
+    for _ in range(start_step):
+        # resume: consume skipped batches on host only — replays the exact
+        # key/permutation evolution without any device work
+        next(it)
     pending = next(it, None)
     pending = to_device(pending) if pending is not None else None
-    step_idx = 0
+    step_idx = start_step
     while pending is not None:
         epoch, batch, wdev, mdev = pending
         nxt = next(it, None)
@@ -415,8 +453,25 @@ def fit(
         else:
             device_losses.append(loss)
         step_idx += 1
-    if callback is None:
-        losses = [float(l) for l in device_losses]
+        if (
+            checkpoint_every is not None
+            and step_idx % checkpoint_every == 0
+            and pending is not None  # the final state lands in the return
+        ):
+            from cirkit_tpu.utils.checkpoint import save_training_state
+
+            losses.extend(float(l) for l in device_losses)
+            device_losses.clear()
+            save_training_state(
+                checkpoint_path,
+                {
+                    "trainable": trainable,
+                    "opt_state": opt_state,
+                    "step": np.int64(step_idx),
+                    "losses": np.asarray(losses, np.float64),
+                },
+            )
+    losses.extend(float(l) for l in device_losses)
 
     new_store = dict(store)
     new_store.update({k: v for k, v in trainable.items()})

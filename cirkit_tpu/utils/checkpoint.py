@@ -114,6 +114,29 @@ def load_store(path: str | PathLike[str], like: Any | None = None) -> Any:
     return root
 
 
+def save_training_state(path: str | PathLike[str], tree: Any) -> None:
+    """Atomically serialize a training-state pytree to ``path`` (an ``.npz``
+    file; the suffix is appended if missing): written to a temp file first,
+    then ``os.replace``d, so a run killed mid-write never corrupts the last
+    good checkpoint. Used by ``fit``/``fit_em``/``grow_prune_loop``'s
+    ``checkpoint_every``/``resume`` arguments (SURVEY §5 checkpoint/resume;
+    the reference has no trainers, ref ``backend/torch/queries.py:19``)."""
+    import os
+
+    path = str(path)
+    if not path.endswith(".npz"):
+        path += ".npz"
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **_flatten(tree))
+    os.replace(tmp, path)
+
+
+def training_state_path(path: str | PathLike[str]) -> str:
+    """The canonical on-disk file for :func:`save_training_state`."""
+    path = str(path)
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_checkpoint(path: str | PathLike[str], tree: Any) -> None:
     """Save a pytree as an orbax directory checkpoint (TPU-native: sharded
     arrays are written distributed and restored with their sharding)."""

@@ -9,8 +9,15 @@ constants, so EM fine-tuning applies directly. On this synthetic task the
 circuit pruned to ~30% of its units recovers the full model's likelihood
 after a few EM epochs.
 
+The initial training runs with ``checkpoint_every``/``resume``: kill the
+script mid-train and rerun it — EM resumes from the last epoch checkpoint
+instead of restarting.
+
 Run: python examples/prune_finetune.py
 """
+
+import os
+import tempfile
 
 import numpy as np
 
@@ -39,8 +46,14 @@ def main() -> None:
     noise = rng.random(data.shape) < 0.3
     data = np.where(noise, rng.integers(0, 8, size=data.shape), data).astype(np.int32)
 
-    store, losses = fit_em(cc, data, store=ctx.parameters, num_epochs=8, batch_size=128)
+    ck = os.path.join(tempfile.gettempdir(), "prune_finetune_em.npz")
+    store, losses = fit_em(
+        cc, data, store=ctx.parameters, num_epochs=8, batch_size=128,
+        checkpoint_every=2, checkpoint_path=ck, resume=True,
+    )
     print(f"trained {len(losses)} EM epochs: NLL {losses[0]:.2f} -> {losses[-1]:.2f}")
+    if os.path.exists(ck):
+        os.remove(ck)  # a completed run starts fresh next time
 
     x = jnp.asarray(data[:64])
     ll_full = float(np.mean(np.asarray(cc.evaluate(store, x))[:, 0, 0]))
