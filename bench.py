@@ -254,6 +254,52 @@ def bench_queries(sum_product: str, num_units: int, batch: int, iters: int):
     out["expectation_query_ms"] = round(
         time_it(lambda: eq(x, evidence_mask=mask, store=store), max(iters // 5, 3)), 2
     )
+    # The r3 capability queries, regression-pinned (docs/PERF.md claims):
+    # posterior marginals / cdf / quantile ride the same responsibility
+    # backward; entropy is the carrier-generic bottom-up walker.
+    out["marginals_query_ms"] = round(
+        time_it(
+            lambda: eq.marginals(x, evidence_mask=mask, store=store),
+            max(iters // 5, 3),
+        ),
+        2,
+    )
+    out["cdf_query_ms"] = round(
+        time_it(
+            lambda: eq.cdf(x, t=127.0, evidence_mask=mask, store=store),
+            max(iters // 5, 3),
+        ),
+        2,
+    )
+    out["quantile_query_ms"] = round(
+        time_it(
+            lambda: eq.quantile(x, q=0.5, evidence_mask=mask, store=store),
+            max(iters // 5, 3),
+        ),
+        2,
+    )
+    from cirkit_tpu.backend.jax.entropy import EntropyQuery
+
+    hq = EntropyQuery(cc)
+    out["entropy_query_ms"] = round(time_it(lambda: hq(store=store), 10), 2)
+    out["posterior_entropy_ms"] = round(
+        time_it(
+            lambda: hq(x, evidence_mask=mask, store=store), max(iters // 5, 3)
+        ),
+        2,
+    )
+    if os.environ.get("BENCH_SKIP_MI", "0") != "1":
+        from cirkit_tpu.backend.jax.queries import mutual_information
+
+        # One-time B=256 anchored-marginals compile, then per-anchor cost
+        # is linear: compile on a 2-anchor call, time a fresh 4-anchor one.
+        t0 = time.time()
+        mutual_information(cc, store=store, variables=[0, 1])
+        out["mi_compile_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        mi = mutual_information(cc, store=store, variables=[2, 3, 4, 5])
+        float(jnp.sum(mi))
+        out["mi_per_anchor_ms"] = round((time.time() - t0) / 4 * 1e3, 1)
     return out
 
 
@@ -360,6 +406,53 @@ def bench_serving(sum_product: str, num_units: int, iters: int):
         finally:
             os.environ.pop("CIRKIT_TPU_FAST", None)
     return rows
+
+
+def bench_structure(sum_product: str, num_units: int) -> dict:
+    """Structure-search timings: flagship prune_circuit end-to-end and a
+    mid-size grow_prune_loop round. Pins the docs/PERF.md scale numbers.
+
+    Profiled floor (docs/PERF.md): at flagship scale 97.5% of prune is the
+    trained-weight readback at the tunnel's ~7 MB/s link bandwidth — the
+    host scoring/fixpoint/rebuild is ~5 s post-vectorization — so this
+    metric tracks the host algorithms only at mid-size; the flagship
+    number is effectively a link-bandwidth measurement.
+    """
+    from cirkit_tpu.backend.jax.pruning import grow_prune_loop, prune_circuit
+    from cirkit_tpu.models import image_data
+    from cirkit_tpu.pipeline import PipelineContext
+
+    out = {}
+    # mid-size loop: (1, 8, 8) categorical, one grow+prune round with EM
+    sc = image_data(
+        (1, 8, 8), "quad-graph", input_layer="categorical",
+        num_input_units=16, sum_product_layer=sum_product, num_sum_units=16,
+        em_ready=True,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, size=(512, 64), dtype=np.int32)
+    t0 = time.time()
+    _, _, history = grow_prune_loop(
+        sc, data, ctx=ctx, rounds=1, grow_fraction=0.25, prune_fraction=0.25,
+        em_epochs=2, batch_size=256,
+    )
+    out["grow_prune_loop_midsize_s"] = round(time.time() - t0, 1)
+    out["grow_prune_loop_stages"] = len(history)
+
+    if os.environ.get("BENCH_SKIP_FLAGSHIP_PRUNE", "0") != "1":
+        sc = image_data(
+            (1, 28, 28), "quad-graph", input_layer="categorical",
+            num_input_units=num_units, sum_product_layer=sum_product,
+            num_sum_units=num_units, em_ready=True,
+        )
+        ctx = PipelineContext(semiring="lse-sum", fold=True)
+        ctx.compile(sc)
+        t0 = time.time()
+        _, rep = prune_circuit(sc, ctx=ctx, fraction=0.5)
+        out["prune_flagship_s"] = round(time.time() - t0, 1)
+        out["prune_flagship_units"] = [rep["units_before"], rep["units_after"]]
+    return out
 
 
 def bench_warmstart(sum_product: str, num_units: int, batch: int) -> dict:
@@ -523,6 +616,8 @@ def main() -> None:
         result.update(bench_queries(sum_product, num_units, batch, iters))
     if os.environ.get("BENCH_SKIP_SERVING", "0") != "1":
         result["serving"] = bench_serving(sum_product, num_units, iters)
+    if os.environ.get("BENCH_SKIP_STRUCTURE", "0") != "1":
+        result.update(bench_structure(sum_product, num_units))
     print(json.dumps(result))
 
 
