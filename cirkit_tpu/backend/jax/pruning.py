@@ -844,17 +844,51 @@ def grow_prune_loop(
 
     log = logging.getLogger(__name__)
 
-    def _checkpoint(stages_done: int, improved: bool) -> None:
+    def _link_or_copy(src: str, dst: str) -> None:
+        try:
+            os.link(src, dst)
+        except OSError:  # cross-device / unsupported: fall back to a copy
+            shutil.copyfile(src, dst)
+
+    def _checkpoint(stages_done: int, improved: bool, best_is_cur: bool) -> None:
         if checkpoint_dir is None:
             return
         from cirkit_tpu.utils.checkpoint import save_circuit, save_store
 
+        prev_dirs = [
+            os.path.join(checkpoint_dir, name)
+            for name in (
+                os.listdir(checkpoint_dir) if os.path.isdir(checkpoint_dir) else []
+            )
+            if name.startswith("stage") and name != f"stage{stages_done}"
+        ]
         sdir = os.path.join(checkpoint_dir, f"stage{stages_done}")
         os.makedirs(sdir, exist_ok=True)
         save_circuit(os.path.join(sdir, "cur_circuit.ckpt"), cur_sc)
         save_store(os.path.join(sdir, "cur_store.npz"), cur_store)
-        save_circuit(os.path.join(sdir, "best_circuit.ckpt"), best[0])
-        save_store(os.path.join(sdir, "best_store.npz"), best[1])
+        # best artifacts: stores are large at structure-search scale, so
+        # avoid re-serializing an unchanged best — hard-link the cur files
+        # when best IS cur (it just improved), or the previous stage dir's
+        # best files (still on disk; cleanup runs after) when it didn't
+        prev_best = os.path.join(prev_dirs[0], "best_circuit.ckpt") if prev_dirs else ""
+        if best_is_cur:
+            _link_or_copy(
+                os.path.join(sdir, "cur_circuit.ckpt"),
+                os.path.join(sdir, "best_circuit.ckpt"),
+            )
+            _link_or_copy(
+                os.path.join(sdir, "cur_store.npz"),
+                os.path.join(sdir, "best_store.npz"),
+            )
+        elif prev_dirs and os.path.exists(prev_best):
+            _link_or_copy(prev_best, os.path.join(sdir, "best_circuit.ckpt"))
+            _link_or_copy(
+                os.path.join(prev_dirs[0], "best_store.npz"),
+                os.path.join(sdir, "best_store.npz"),
+            )
+        else:
+            save_circuit(os.path.join(sdir, "best_circuit.ckpt"), best[0])
+            save_store(os.path.join(sdir, "best_store.npz"), best[1])
         with open(os.path.join(sdir, "state.json"), "w") as fh:
             json.dump(
                 {
@@ -911,7 +945,7 @@ def grow_prune_loop(
         cur_store = store
         history = [("init", units_of(sc), ll)]
         cur_sc, cur_ctx = sc, ctx
-        _checkpoint(1, False)
+        _checkpoint(1, False, best_is_cur=True)
         start_stages = 1
         if verbose:  # pragma: no cover - logging only
             log.info("grow_prune_loop init: %d units, LL %.4f", units_of(sc), ll)
@@ -919,9 +953,13 @@ def grow_prune_loop(
     idx = 1  # global stage counter; init is stage 1
     for r in range(rounds):
         if idx + 2 <= start_stages:
-            # fully-completed round (it must have improved, or the original
-            # run would have stopped and this checkpoint would be final)
             idx += 2
+            if idx == start_stages and not improved_resume:
+                # the checkpointed run finished this round without improving
+                # and early-stopped — replay the stop, don't run extra rounds
+                break
+            # otherwise a fully-completed, non-final round must have improved
+            # (the original run would have stopped here if not)
             continue
         improved = improved_resume if idx < start_stages else False
         for stage in ("grow", "prune"):
@@ -952,10 +990,11 @@ def grow_prune_loop(
                 )
             cur_sc, cur_ctx = nxt, nctx
             cur_store = nstore
-            if nll > best[2]:
+            stage_improved = nll > best[2]
+            if stage_improved:
                 best = (nxt, dict(nstore), nll)
                 improved = True
-            _checkpoint(idx, improved)
+            _checkpoint(idx, improved, best_is_cur=stage_improved)
         if not improved:
             break
     return best[0], best[1], history

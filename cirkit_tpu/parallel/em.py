@@ -518,6 +518,8 @@ def fit_em(
         raise ValueError(f"update_every must be 'epoch' or 'batch', got {update_every!r}")
     if (checkpoint_every is not None or resume) and checkpoint_path is None:
         raise ValueError("checkpoint_every/resume require checkpoint_path")
+    if checkpoint_every is not None and checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     if callable(step_size):
         schedule = step_size
     elif isinstance(step_size, str):
@@ -558,28 +560,29 @@ def fit_em(
     m_steps = 0
     start_epoch = 0
     if resume:
-        import os as _os
+        from cirkit_tpu.utils.checkpoint import load_training_state, place_replicated
 
-        from cirkit_tpu.utils.checkpoint import load_store, training_state_path
-
-        ck_file = training_state_path(checkpoint_path)
-        if _os.path.exists(ck_file):
-            restored = load_store(
-                ck_file, like={"em_params": em_params, "gauss_params": gauss_params}
-            )
-            meta = load_store(ck_file)
-            start_epoch = int(np.asarray(meta["epoch"]))
-            m_steps = int(np.asarray(meta["m_steps"]))
-            losses = [float(v) for v in np.asarray(meta["losses"]).ravel()]
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
-
-                rep = NamedSharding(mesh, PartitionSpec())
-                put = lambda l: jax.device_put(jnp.asarray(l), rep)  # noqa: E731
-            else:
-                put = jnp.asarray
-            em_params = {k: put(v) for k, v in restored["em_params"].items()}
-            gauss_params = {k: put(v) for k, v in restored["gauss_params"].items()}
+        restored = load_training_state(
+            checkpoint_path,
+            like={
+                "em_params": em_params,
+                "gauss_params": gauss_params,
+                "epoch": np.int64(0),
+                "m_steps": np.int64(0),
+                "losses": np.zeros(0),
+            },
+        )
+        if restored is not None:
+            start_epoch = int(np.asarray(restored["epoch"]))
+            m_steps = int(np.asarray(restored["m_steps"]))
+            losses = [float(v) for v in np.asarray(restored["losses"]).ravel()]
+            if start_epoch > num_epochs:
+                raise ValueError(
+                    f"Checkpoint at epoch {start_epoch} is beyond this run's "
+                    f"{num_epochs} epochs — resume with the same (or more) epochs"
+                )
+            em_params = place_replicated(restored["em_params"], mesh)
+            gauss_params = place_replicated(restored["gauss_params"], mesh)
 
     def _step_size():
         s = step_size if schedule is None else schedule(m_steps)

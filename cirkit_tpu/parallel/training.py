@@ -305,6 +305,8 @@ def fit(
     """
     if (checkpoint_every is not None or resume) and checkpoint_path is None:
         raise ValueError("checkpoint_every/resume require checkpoint_path")
+    if checkpoint_every is not None and checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     if optimizer is None:
         optimizer = optax.adam(1e-2)
     if store is None:
@@ -339,25 +341,22 @@ def fit(
     start_step = 0
     losses: list[float] = []
     if resume:
-        import os as _os
+        from cirkit_tpu.utils.checkpoint import load_training_state, place_replicated
 
-        from cirkit_tpu.utils.checkpoint import load_store, training_state_path
-
-        ck_file = training_state_path(checkpoint_path)
-        if _os.path.exists(ck_file):
-            restored = load_store(
-                ck_file, like={"trainable": trainable, "opt_state": opt_state}
-            )
-            meta = load_store(ck_file)
-            start_step = int(np.asarray(meta["step"]))
-            losses = [float(v) for v in np.asarray(meta["losses"]).ravel()]
-            if mesh is not None:
-                rep = NamedSharding(mesh, P())
-                put = lambda l: jax.device_put(jnp.asarray(l), rep)  # noqa: E731
-            else:
-                put = jnp.asarray
-            trainable = {k: put(v) for k, v in restored["trainable"].items()}
-            opt_state = jax.tree_util.tree_map(put, restored["opt_state"])
+        restored = load_training_state(
+            checkpoint_path,
+            like={
+                "trainable": trainable,
+                "opt_state": opt_state,
+                "step": np.int64(0),
+                "losses": np.zeros(0),
+            },
+        )
+        if restored is not None:
+            start_step = int(np.asarray(restored["step"]))
+            losses = [float(v) for v in np.asarray(restored["losses"]).ravel()]
+            trainable = place_replicated(restored["trainable"], mesh)
+            opt_state = place_replicated(restored["opt_state"], mesh)
     # A dataset smaller than one batch is itself a "partial batch": pad and
     # weight it like a trailing one instead of silently training zero steps.
     remainder = len(data) % batch_size
@@ -384,9 +383,12 @@ def fit(
     # gathering batches on device costs ~30 ms of eager-dispatch round trips
     # per step through the remote tunnel, while asynchronously *queued* host
     # transfers of the batch cost ~3 ms — plain device_put wins.
-    def host_batches():
-        """Yield (epoch, host batch, host weights or None, host missing mask or None)."""
+    def host_batches(skip: int = 0):
+        """Yield (epoch, host batch, host weights or None, host missing mask
+        or None). The first ``skip`` batches (a resume's completed steps) are
+        not materialized — the key/permutation evolution still replays."""
         nonlocal key
+        seen = 0
         for epoch in range(num_epochs):
             if shuffle:
                 key, sub = jax.random.split(key)
@@ -394,6 +396,10 @@ def fit(
             else:
                 perm = np.arange(len(data))
             for b in range(num_batches):
+                if seen < skip:
+                    seen += 1
+                    continue
+                seen += 1
                 idx = perm[b * batch_size : (b + 1) * batch_size]
                 weights = ones
                 if len(idx) < batch_size:
@@ -427,12 +433,14 @@ def fit(
     # to the step itself without the overlap). Losses stay on device during
     # the loop unless a callback needs them: float(loss) every step would
     # re-synchronize the pipeline.
+    if start_step > num_epochs * num_batches:
+        raise ValueError(
+            f"Checkpoint at step {start_step} is beyond this run's "
+            f"{num_epochs * num_batches} total steps — resume with the same "
+            "(or more) epochs and the same data/batch_size"
+        )
     device_losses: list = []
-    it = host_batches()
-    for _ in range(start_step):
-        # resume: consume skipped batches on host only — replays the exact
-        # key/permutation evolution without any device work
-        next(it)
+    it = host_batches(skip=start_step)
     pending = next(it, None)
     pending = to_device(pending) if pending is not None else None
     step_idx = start_step

@@ -137,6 +137,36 @@ def training_state_path(path: str | PathLike[str]) -> str:
     return path if path.endswith(".npz") else path + ".npz"
 
 
+def load_training_state(path: str | PathLike[str], like: Any) -> Any | None:
+    """Restore a :func:`save_training_state` checkpoint, or ``None`` when no
+    file exists at (the canonicalized) ``path``. One pass over the file:
+    include the metadata leaves (step counters, loss arrays) in ``like`` —
+    their ``like`` values only fix dtypes, stored shapes win — so the
+    GB-scale parameter entries are not read twice. Leaves come back as
+    numpy; callers place them (``place_replicated`` for the mesh case)."""
+    import os
+
+    file = training_state_path(path)
+    if not os.path.exists(file):
+        return None
+    return load_store(file, like=like)
+
+
+def place_replicated(tree: Any, mesh: Any | None = None) -> Any:
+    """Put every array leaf on device — replicated over ``mesh`` when given
+    (the placement trainer checkpoints restore with)."""
+    import jax.numpy as jnp
+
+    if mesh is None:
+        return jax.tree_util.tree_map(jnp.asarray, tree)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sharding = NamedSharding(mesh, PartitionSpec())
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(jnp.asarray(leaf), sharding), tree
+    )
+
+
 def save_checkpoint(path: str | PathLike[str], tree: Any) -> None:
     """Save a pytree as an orbax directory checkpoint (TPU-native: sharded
     arrays are written distributed and restored with their sharding)."""

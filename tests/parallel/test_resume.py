@@ -82,6 +82,36 @@ def test_fit_resume_requires_path():
         fit(cc, _data(32), store=dict(ctx.parameters), checkpoint_every=1)
 
 
+def test_fit_checkpoint_every_zero_raises(tmp_path):
+    _, ctx, cc = _compile()
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        fit(
+            cc, _data(32), store=dict(ctx.parameters),
+            checkpoint_every=0, checkpoint_path=str(tmp_path / "ck"),
+        )
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        fit_em(
+            cc, _data(32), store=dict(ctx.parameters),
+            checkpoint_every=0, checkpoint_path=str(tmp_path / "ck"),
+        )
+
+
+def test_fit_resume_beyond_run_raises(tmp_path):
+    data = _data(64)
+    ck = tmp_path / "ck"
+    _, ctx, cc = _compile()
+    fit(
+        cc, data, store=dict(ctx.parameters), num_epochs=2, batch_size=16,
+        checkpoint_every=1, checkpoint_path=str(ck),
+    )
+    _, ctx2, cc2 = _compile()
+    with pytest.raises(ValueError, match="beyond this run"):
+        fit(
+            cc2, data, store=dict(ctx2.parameters), num_epochs=1, batch_size=16,
+            checkpoint_path=str(ck), resume=True,
+        )
+
+
 def test_fit_em_resume_continues_epochs(tmp_path):
     data = _data(n=80, seed=3)
     ck = tmp_path / "em_ck"
@@ -157,3 +187,39 @@ def test_grow_prune_loop_resume_after_kill(tmp_path, monkeypatch):
     cc = PipelineContext(semiring="lse-sum", fold=True).compile(r_sc)
     ll = float(evaluate_ll(cc, data, store=r_store))
     np.testing.assert_allclose(ll, max(h[2] for h in history), rtol=1e-6)
+
+
+def test_grow_prune_loop_resume_replays_early_stop(tmp_path, monkeypatch):
+    """A checkpoint left by a run that legitimately early-stopped (its last
+    round did not improve) must NOT trigger extra rounds on resume."""
+    import cirkit_tpu.parallel as parallel
+    from cirkit_tpu.backend.jax import pruning
+
+    data = _data(n=48, seed=13)
+    kwargs = dict(
+        rounds=3, grow_fraction=0.25, prune_fraction=0.25, noise=0.0,
+        em_epochs=1, batch_size=48, seed=0,
+    )
+    # decreasing held-out LL: init is best, round 0 never improves -> stop
+    lls = iter(np.arange(100.0, 0.0, -1.0))
+    calls = {"n": 0}
+
+    def fake_ll(*a, **k):
+        calls["n"] += 1
+        return next(lls)
+
+    monkeypatch.setattr(parallel, "evaluate_ll", fake_ll)
+    sc, ctx, _ = _compile(em_ready=True, seed=17)
+    _, _, history = pruning.grow_prune_loop(
+        sc, data, ctx=ctx, checkpoint_dir=str(tmp_path / "loop"), **kwargs
+    )
+    assert len(history) == 3  # init + grow@0 + prune@0, then early stop
+    n_before = calls["n"]
+
+    sc2, ctx2, _ = _compile(em_ready=True, seed=17)
+    _, _, r_history = pruning.grow_prune_loop(
+        sc2, data, ctx=ctx2, checkpoint_dir=str(tmp_path / "loop"), resume=True,
+        **kwargs
+    )
+    assert calls["n"] == n_before, "resume must not train/evaluate anything"
+    assert [(s, u) for s, u, _ in r_history] == [(s, u) for s, u, _ in history]
