@@ -139,6 +139,20 @@ def save_bundle(
     Returns the manifest dict.
     """
     path = Path(path)
+    external = set(circuit.used_slots) - set(circuit.slots)
+    if external:
+        # operator-derived circuits (e.g. multiply(sc, sc)) evaluate through
+        # pointer slots whose target tensors belong to the SOURCE circuit —
+        # this circuit cannot re-draw them, so a bundle's init() would hand
+        # evaluate an incomplete store. Fail at save time, not in the warm
+        # process.
+        raise WarmStartError(
+            "save_bundle cannot bundle an operator-derived circuit: slots "
+            f"{sorted(external)} are owned by its source circuit(s). Bundle "
+            "the source circuit (and apply the operator in the warm process), "
+            "or export with export_circuit, which takes the store at call "
+            "time."
+        )
     path.mkdir(parents=True, exist_ok=True)
     restricted = circuit.restrict_store(store)
     const_slots, random_slots = _split_const_slots(circuit)

@@ -113,6 +113,23 @@ def test_missing_bundle_raises(tmp_path):
         load_bundle(tmp_path / "nope")
 
 
+def test_operator_derived_circuit_rejected_at_save(tmp_path):
+    """multiply(sc, sc) evaluates through pointer slots owned by the source
+    circuit; a bundle's init() could never rebuild its store — save must
+    fail loudly, not produce a broken artifact."""
+    sc = image_data(
+        (1, 4, 4), "quad-tree-4", input_layer="categorical",
+        num_input_units=2, sum_product_layer="cp", num_sum_units=2,
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True, seed=1)
+    cc = ctx.compile(sc)
+    cc_sq = ctx.multiply(cc, cc)
+    if not set(cc_sq.used_slots) - set(cc_sq.slots):
+        pytest.skip("compiler inlined the product parameters; nothing to gate")
+    with pytest.raises(WarmStartError, match="operator-derived"):
+        save_bundle(tmp_path / "sq", cc_sq, store=dict(ctx.parameters), batch=4)
+
+
 def test_fingerprint_mismatch_raises(bundle_dir, tmp_path):
     path, *_ = bundle_dir
     clone = tmp_path / "stale"
