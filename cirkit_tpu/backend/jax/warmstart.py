@@ -77,7 +77,11 @@ def _aot_serialize(fn: Callable, *args: Any) -> tuple[tuple, int]:
     program in a multi-device process (e.g. the virtual 8-CPU test mesh)."""
     from jax.experimental import serialize_executable as se
 
-    compiled = jax.jit(fn).lower(*args).compile()
+    # already-jitted callables (e.g. data_parallel_step programs) lower
+    # directly, preserving their donation annotations; re-wrapping them in
+    # an outer jit would inline the inner call and drop donation
+    jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
+    compiled = jitted.lower(*args).compile()
     try:
         num_devices = len(compiled._executable.xla_executable.local_devices())
     except AttributeError:

@@ -108,6 +108,43 @@ def test_extra_programs_exposed(bundle_dir):
     )
 
 
+def test_bundled_train_step_matches_direct(tmp_path):
+    """A full data-parallel training step — optimizer-state pytrees and all
+    — rides extra_programs: warm TRAINING start, not just serving."""
+    import optax
+
+    from cirkit_tpu.parallel.training import data_parallel_step, split_trainable
+
+    ctx, cc = _circuit(seed=21)
+    optimizer = optax.adam(0.05)
+    trainable, frozen = split_trainable(cc, dict(ctx.parameters))
+    trainable = {k: jnp.asarray(v) for k, v in trainable.items()}
+    opt_state = optimizer.init(trainable)
+    step = data_parallel_step(cc, optimizer)
+    x = jnp.asarray(
+        np.random.default_rng(5).integers(0, 256, (8, 16), dtype=np.int32)
+    )
+
+    path = tmp_path / "train_bundle"
+    save_bundle(
+        path, cc, store=dict(ctx.parameters), batch=8,
+        extra_programs={"train_step": (step, (trainable, frozen, opt_state, x))},
+    )
+    b = load_bundle(path)
+    # the step donates its parameter buffers: hand each call its own copies
+    fresh = lambda: (  # noqa: E731
+        {k: jnp.array(v) for k, v in trainable.items()},
+        optimizer.init({k: jnp.array(v) for k, v in trainable.items()}),
+    )
+    tr0, st0 = fresh()
+    tr_b, st_b, loss_b = b.train_step(tr0, frozen, st0, x)
+    tr1, st1 = fresh()
+    tr_d, st_d, loss_d = step(tr1, frozen, st1, x)
+    np.testing.assert_allclose(float(loss_b), float(loss_d), rtol=1e-7)
+    for k in tr_d:
+        np.testing.assert_array_equal(np.asarray(tr_b[k]), np.asarray(tr_d[k]))
+
+
 def test_missing_bundle_raises(tmp_path):
     with pytest.raises(WarmStartError, match="No warm-start bundle"):
         load_bundle(tmp_path / "nope")
