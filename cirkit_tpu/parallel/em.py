@@ -535,6 +535,12 @@ def fit_em(
             data = data.astype(np.int32)
         elif data.dtype == np.float64:
             data = data.astype(np.float32)
+    if checkpoint_path is not None:
+        from cirkit_tpu.utils.checkpoint import data_fingerprint
+
+        # ck_schedule: `schedule` is the step-size schedule above
+        ck_schedule = np.asarray([len(data), batch_size, int(shuffle)], np.int64)
+        ck_data_fp = data_fingerprint(data)
     if isinstance(missing, float) and np.isnan(missing):
         missing = "nan"  # accept the float spelling of NaN
     if missing == "nan":
@@ -570,9 +576,21 @@ def fit_em(
                 "epoch": np.int64(0),
                 "m_steps": np.int64(0),
                 "losses": np.zeros(0),
+                "schedule": ck_schedule,
+                "data_fp": ck_data_fp,
             },
         )
         if restored is not None:
+            if not np.array_equal(restored["schedule"], ck_schedule) or int(
+                restored["data_fp"]
+            ) != int(ck_data_fp):
+                raise ValueError(
+                    "Checkpoint was written for a different run: exact resume "
+                    "replays the original batch schedule, so data, batch_size "
+                    f"and shuffle must match (saved len/batch/shuffle="
+                    f"{restored['schedule'].tolist()}, this run="
+                    f"{ck_schedule.tolist()})"
+                )
             start_epoch = int(np.asarray(restored["epoch"]))
             m_steps = int(np.asarray(restored["m_steps"]))
             losses = [float(v) for v in np.asarray(restored["losses"]).ravel()]
@@ -642,6 +660,8 @@ def fit_em(
                     "epoch": np.int64(epoch + 1),
                     "m_steps": np.int64(m_steps),
                     "losses": np.asarray(losses, np.float64),
+                    "schedule": ck_schedule,
+                    "data_fp": ck_data_fp,
                 },
             )
 

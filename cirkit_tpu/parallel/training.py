@@ -327,6 +327,11 @@ def fit(
             data = data.astype(np.float32)
     if mesh is not None and batch_size % mesh.devices.size != 0:
         raise ValueError("The batch size must divide evenly across the mesh devices")
+    if checkpoint_path is not None:
+        from cirkit_tpu.utils.checkpoint import data_fingerprint
+
+        schedule = np.asarray([len(data), batch_size, int(shuffle)], np.int64)
+        data_fp = data_fingerprint(data)
 
     trainable, frozen = split_trainable(circuit, store)
     if mesh is not None:
@@ -350,9 +355,21 @@ def fit(
                 "opt_state": opt_state,
                 "step": np.int64(0),
                 "losses": np.zeros(0),
+                "schedule": schedule,
+                "data_fp": data_fp,
             },
         )
         if restored is not None:
+            if not np.array_equal(restored["schedule"], schedule) or int(
+                restored["data_fp"]
+            ) != int(data_fp):
+                raise ValueError(
+                    "Checkpoint was written for a different run: exact resume "
+                    "replays the original batch schedule, so data, batch_size "
+                    f"and shuffle must match (saved len/batch/shuffle="
+                    f"{restored['schedule'].tolist()}, this run="
+                    f"{schedule.tolist()})"
+                )
             start_step = int(np.asarray(restored["step"]))
             losses = [float(v) for v in np.asarray(restored["losses"]).ravel()]
             trainable = place_replicated(restored["trainable"], mesh)
@@ -477,6 +494,8 @@ def fit(
                     "opt_state": opt_state,
                     "step": np.int64(step_idx),
                     "losses": np.asarray(losses, np.float64),
+                    "schedule": schedule,
+                    "data_fp": data_fp,
                 },
             )
     losses.extend(float(l) for l in device_losses)

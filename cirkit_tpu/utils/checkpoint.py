@@ -152,6 +152,22 @@ def load_training_state(path: str | PathLike[str], like: Any) -> Any | None:
     return load_store(file, like=like)
 
 
+def data_fingerprint(data: np.ndarray) -> np.uint64:
+    """A cheap identity check for trainer resume: shape/dtype plus a CRC of
+    the first and last megabyte. Exact-resume semantics require replaying
+    the same batch schedule over the same data; this catches the honest
+    mistakes (different file, different preprocessing, truncated array)
+    without hashing multi-GB datasets."""
+    import zlib
+
+    data = np.ascontiguousarray(data)
+    raw = data.view(np.uint8).reshape(-1)
+    head = raw[: 1 << 20].tobytes()
+    tail = raw[-(1 << 20):].tobytes()
+    meta = f"{data.shape}{data.dtype}".encode()
+    return np.uint64(zlib.crc32(tail, zlib.crc32(head, zlib.crc32(meta))))
+
+
 def place_replicated(tree: Any, mesh: Any | None = None) -> Any:
     """Put every array leaf on device — replicated over ``mesh`` when given
     (the placement trainer checkpoints restore with)."""

@@ -96,6 +96,30 @@ def test_fit_checkpoint_every_zero_raises(tmp_path):
         )
 
 
+def test_fit_resume_schedule_mismatch_raises(tmp_path):
+    """Exact resume replays the batch schedule; different data or
+    batch_size must be rejected, not silently diverge."""
+    data = _data(64)
+    ck = tmp_path / "ck"
+    _, ctx, cc = _compile()
+    fit(
+        cc, data, store=dict(ctx.parameters), num_epochs=1, batch_size=16,
+        checkpoint_every=1, checkpoint_path=str(ck),
+    )
+    _, ctx2, cc2 = _compile()
+    with pytest.raises(ValueError, match="different run"):
+        fit(
+            cc2, data, store=dict(ctx2.parameters), num_epochs=1, batch_size=32,
+            checkpoint_path=str(ck), resume=True,
+        )
+    other = _data(64, seed=99)
+    with pytest.raises(ValueError, match="different run"):
+        fit(
+            cc2, other, store=dict(ctx2.parameters), num_epochs=1, batch_size=16,
+            checkpoint_path=str(ck), resume=True,
+        )
+
+
 def test_fit_resume_beyond_run_raises(tmp_path):
     data = _data(64)
     ck = tmp_path / "ck"
