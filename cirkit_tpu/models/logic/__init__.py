@@ -1,4 +1,4 @@
-"""Logic circuits: boolean circuit DAGs, smoothing, SDD loading, WMC."""
+"""Logic circuits: boolean circuit DAGs, smoothing, SDD/PSDD loading, WMC."""
 
 from cirkit_tpu.models.logic.graph import (
     BottomNode,
@@ -11,6 +11,7 @@ from cirkit_tpu.models.logic.graph import (
     NegatedLiteralNode,
     TopNode,
 )
+from cirkit_tpu.models.logic.psdd import PSDD
 from cirkit_tpu.models.logic.sdd import SDD
 
 __all__ = [
@@ -22,6 +23,7 @@ __all__ = [
     "LogicalCircuitNode",
     "LogicalInputNode",
     "NegatedLiteralNode",
+    "PSDD",
     "SDD",
     "TopNode",
 ]

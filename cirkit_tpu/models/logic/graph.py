@@ -240,6 +240,13 @@ class LogicalCircuit(RootedDiAcyclicGraph[LogicalCircuitNode]):
         self.__init__(nodes, in_nodes, list(self._outputs))
 
     # -- lowering -----------------------------------------------------------------
+    def _disjunction_weight(self, node: DisjunctionNode, shape) -> Parameter | None:
+        """Hook for per-node disjunction weights: ``None`` (the default)
+        defers to ``build_circuit``'s global ``weight_factory``; parameterized
+        formats (PSDD) override this with each decision node's trained
+        element distribution."""
+        return None
+
     def build_circuit(
         self,
         literal_input_factory: InputLayerFactory | None = None,
@@ -284,11 +291,15 @@ class LogicalCircuit(RootedDiAcyclicGraph[LogicalCircuitNode]):
                 layer = HadamardLayer(1, arity=len(self.node_inputs(node)))
                 in_layers[layer] = [node_to_layer[id(c)] for c in self.node_inputs(node)]
             elif isinstance(node, DisjunctionNode):
+                weight = self._disjunction_weight(
+                    node, (1, len(self.node_inputs(node)))
+                )
                 layer = SumLayer(
                     1,
                     1,
                     arity=len(self.node_inputs(node)),
-                    weight_factory=weight_factory,
+                    weight=weight,
+                    weight_factory=None if weight is not None else weight_factory,
                 )
                 in_layers[layer] = [node_to_layer[id(c)] for c in self.node_inputs(node)]
             else:
