@@ -840,7 +840,12 @@ def mutual_information(
     # Column-select and mask on HOST: a static-index gather on device is a
     # distinct program per `variables` tuple — seconds of compile each on
     # remote-compile backends (same scale trap as per-anchor device
-    # slicing above). The rows are tiny (k x D) f32 pulls.
+    # slicing above). The rows are tiny (k x D) f32 pulls — issued
+    # asynchronously first, so k transfers overlap into ~one round trip
+    # instead of k sequential ones (at 784 anchors that is seconds).
+    for r in rows:
+        if hasattr(r, "copy_to_host_async"):
+            r.copy_to_host_async()
     cols = np.asarray(variables)
     mat = np.stack([np.asarray(r, dtype=np.float64) for r in rows])[:, cols]
     mat[:, m0[cols]] = 0.0  # observed columns: conditioning makes them constants
