@@ -271,7 +271,13 @@ def _flow_importance(
             # zeroes the repeated rows a padded final batch carries
             return jnp.sum(cc.evaluate(st, xx, module_fn=fn) * ww[:, None, None])
 
-        return jax.grad(total_ll)(offs)
+        # reduce the batch axis INSIDE the program: per-entry eager sums
+        # would each cost a separate remote compile (~2-7 s apiece) plus a
+        # dispatch per batch, and the pulls shrink from (F,B,O) sums to
+        # (F,O) results
+        return jax.tree_util.tree_map(
+            lambda g: jnp.sum(g, axis=1), jax.grad(total_ll)(offs)
+        )
 
     run_jit = jax.jit(run)
     data = np.asarray(data)
@@ -301,8 +307,11 @@ def _flow_importance(
             for e, layer in entries
         }
         grads = run_jit(store, offs, jnp.asarray(xb), jnp.asarray(ww))
+        for g in grads.values():  # overlap the per-entry readbacks
+            if hasattr(g, "copy_to_host_async"):
+                g.copy_to_host_async()
         for name, g in grads.items():
-            acc[name] += np.asarray(jnp.sum(g, axis=1), np.float64)
+            acc[name] += np.asarray(g, np.float64)
     score: dict[Layer, np.ndarray] = {}
     for sl, (pi, f) in placement.items():
         name = f"__f{pi}"
