@@ -11,6 +11,7 @@ from cirkit_tpu.parallel.training import (
     default_mesh,
     evaluate_ll,
     fit,
+    Preempted,
     replicate_store,
     shard_batch,
     shard_opt_state_zero1,
@@ -23,6 +24,7 @@ __all__ = [
     "em_programs",
     "em_slots",
     "evaluate_ll",
+    "Preempted",
     "fit_em",
     "shard_store_tp",
     "tp_forward",

@@ -606,64 +606,81 @@ def fit_em(
         s = step_size if schedule is None else schedule(m_steps)
         return jnp.asarray(s, dtype=jnp.result_type(float))
 
-    for epoch in range(num_epochs):
-        if epoch < start_epoch:
+    def _save_ck(done_epochs: int) -> None:
+        from cirkit_tpu.utils.checkpoint import save_training_state
+
+        save_training_state(
+            checkpoint_path,
+            {
+                "em_params": em_params,
+                "gauss_params": gauss_params,
+                "epoch": np.int64(done_epochs),
+                "m_steps": np.int64(m_steps),
+                "losses": np.asarray(losses, np.float64),
+                "schedule": ck_schedule,
+                "data_fp": ck_data_fp,
+            },
+        )
+
+    from cirkit_tpu.parallel.training import Preempted, _PreemptionGuard
+
+    guard = _PreemptionGuard(checkpoint_every is not None)
+    guard.__enter__()
+    try:
+        for epoch in range(num_epochs):
+            if epoch < start_epoch:
+                if shuffle:
+                    # replay the key evolution so resumed epochs see the same
+                    # permutations the uninterrupted run would have
+                    key, _ = jax.random.split(key)
+                continue
             if shuffle:
-                # replay the key evolution so resumed epochs see the same
-                # permutations the uninterrupted run would have
-                key, _ = jax.random.split(key)
-            continue
-        if shuffle:
-            key, sub = jax.random.split(key)
-            perm = np.asarray(jax.random.permutation(sub, len(data)))
-        else:
-            perm = np.arange(len(data))
-        acc = _zero_acc()
-        acc_ll = jnp.zeros(())
-        for b in range(num_batches):
-            idx = perm[b * batch_size : (b + 1) * batch_size]
-            weights = np.ones(batch_size, np.float32)
-            if len(idx) < batch_size:
-                weights[len(idx) :] = 0.0
-                idx = np.concatenate([idx, np.zeros(batch_size - len(idx), idx.dtype)])
-            batch, w = jnp.asarray(data[idx]), jnp.asarray(weights)
-            miss = jnp.asarray(miss_all[idx]) if miss_all is not None else None
-            if mesh is not None:
-                from cirkit_tpu.parallel.training import shard_batch
+                key, sub = jax.random.split(key)
+                perm = np.asarray(jax.random.permutation(sub, len(data)))
+            else:
+                perm = np.arange(len(data))
+            acc = _zero_acc()
+            acc_ll = jnp.zeros(())
+            for b in range(num_batches):
+                idx = perm[b * batch_size : (b + 1) * batch_size]
+                weights = np.ones(batch_size, np.float32)
+                if len(idx) < batch_size:
+                    weights[len(idx) :] = 0.0
+                    idx = np.concatenate([idx, np.zeros(batch_size - len(idx), idx.dtype)])
+                batch, w = jnp.asarray(data[idx]), jnp.asarray(weights)
+                miss = jnp.asarray(miss_all[idx]) if miss_all is not None else None
+                if mesh is not None:
+                    from cirkit_tpu.parallel.training import shard_batch
 
-                batch, w = shard_batch(batch, mesh, axis), shard_batch(w, mesh, axis)
+                    batch, w = shard_batch(batch, mesh, axis), shard_batch(w, mesh, axis)
+                    if miss is not None:
+                        miss = shard_batch(miss, mesh, axis)
+                if update_every == "batch":
+                    acc = _zero_acc()
+                fs_args = (em_params, gauss_params, acc, acc_ll, batch, w)
                 if miss is not None:
-                    miss = shard_batch(miss, mesh, axis)
-            if update_every == "batch":
-                acc = _zero_acc()
-            fs_args = (em_params, gauss_params, acc, acc_ll, batch, w)
-            if miss is not None:
-                fs_args = fs_args + (miss,)
-            acc, acc_ll = flow_step(*fs_args)
-            if update_every == "batch":
-                em_params, gauss_params = em_update(
-                    em_params, gauss_params, acc, _step_size()
-                )
+                    fs_args = fs_args + (miss,)
+                acc, acc_ll = flow_step(*fs_args)
+                if update_every == "batch":
+                    em_params, gauss_params = em_update(
+                        em_params, gauss_params, acc, _step_size()
+                    )
+                    m_steps += 1
+            if update_every == "epoch":
+                em_params, gauss_params = em_update(em_params, gauss_params, acc, _step_size())
                 m_steps += 1
-        if update_every == "epoch":
-            em_params, gauss_params = em_update(em_params, gauss_params, acc, _step_size())
-            m_steps += 1
-        losses.append(-float(acc_ll) / len(data))
-        if checkpoint_every is not None and (epoch + 1) % checkpoint_every == 0:
-            from cirkit_tpu.utils.checkpoint import save_training_state
-
-            save_training_state(
-                checkpoint_path,
-                {
-                    "em_params": em_params,
-                    "gauss_params": gauss_params,
-                    "epoch": np.int64(epoch + 1),
-                    "m_steps": np.int64(m_steps),
-                    "losses": np.asarray(losses, np.float64),
-                    "schedule": ck_schedule,
-                    "data_fp": ck_data_fp,
-                },
-            )
+            losses.append(-float(acc_ll) / len(data))
+            if guard.flag is not None:
+                _save_ck(epoch + 1)
+                raise Preempted(
+                    f"fit_em() caught signal {guard.flag} after epoch {epoch + 1}; "
+                    f"checkpoint written to {checkpoint_path} — rerun with "
+                    "resume=True to continue"
+                )
+            if checkpoint_every is not None and (epoch + 1) % checkpoint_every == 0:
+                _save_ck(epoch + 1)
+    finally:
+        guard.__exit__()
 
     new_store = dict(store)
     new_store.update(em_params)

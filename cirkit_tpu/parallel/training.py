@@ -32,6 +32,52 @@ def default_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+class Preempted(RuntimeError):
+    """Raised by a checkpointing trainer after it caught SIGTERM/SIGINT and
+    wrote a final checkpoint: the run can be resumed with ``resume=True``.
+    Preemptible TPU slices signal eviction with SIGTERM — this is the
+    graceful-preemption half of SURVEY §5's failure-detection story."""
+
+
+class _PreemptionGuard:
+    """While active (and in the main thread), SIGTERM/SIGINT set a flag the
+    training loop polls instead of killing the process mid-step. Previous
+    handlers are restored on exit; a second signal (while flagged) falls
+    through to the previous handler so a stuck run can still be killed."""
+
+    def __init__(self, enabled: bool) -> None:
+        self.enabled = enabled
+        self.flag: Any = None
+        self._previous: list = []
+
+    def __enter__(self) -> "_PreemptionGuard":
+        if not self.enabled:
+            return self
+        import signal
+
+        def handler(signum, frame):
+            if self.flag is not None:  # second signal: don't swallow it
+                prev = dict(self._previous).get(signum)
+                if callable(prev):
+                    prev(signum, frame)
+                    return
+                raise KeyboardInterrupt
+            self.flag = signum
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._previous.append((sig, signal.signal(sig, handler)))
+            except ValueError:  # not the main thread: run unguarded
+                pass
+        return self
+
+    def __exit__(self, *exc) -> None:
+        import signal
+
+        for sig, prev in self._previous:
+            signal.signal(sig, prev)
+
+
 def replicate_store(store: Store, mesh: Mesh) -> Store:
     """Place every parameter replicated across the mesh.
 
@@ -461,43 +507,55 @@ def fit(
     pending = next(it, None)
     pending = to_device(pending) if pending is not None else None
     step_idx = start_step
-    while pending is not None:
-        epoch, batch, wdev, mdev = pending
-        nxt = next(it, None)
-        pending = to_device(nxt) if nxt is not None else None
-        args = (batch,)
-        if weighted:
-            args = args + (wdev,)
-        if mdev is not None:
-            args = args + (mdev,)
-        trainable, opt_state, loss = step(trainable, frozen, opt_state, *args)
-        if callback is not None:
-            loss = float(loss)
-            losses.append(loss)
-            callback(epoch, step_idx, loss)
-        else:
-            device_losses.append(loss)
-        step_idx += 1
-        if (
-            checkpoint_every is not None
-            and step_idx % checkpoint_every == 0
-            and pending is not None  # the final state lands in the return
-        ):
-            from cirkit_tpu.utils.checkpoint import save_training_state
 
-            losses.extend(float(l) for l in device_losses)
-            device_losses.clear()
-            save_training_state(
-                checkpoint_path,
-                {
-                    "trainable": trainable,
-                    "opt_state": opt_state,
-                    "step": np.int64(step_idx),
-                    "losses": np.asarray(losses, np.float64),
-                    "schedule": schedule,
-                    "data_fp": data_fp,
-                },
-            )
+    def save_ck():
+        from cirkit_tpu.utils.checkpoint import save_training_state
+
+        losses.extend(float(l) for l in device_losses)
+        device_losses.clear()
+        save_training_state(
+            checkpoint_path,
+            {
+                "trainable": trainable,
+                "opt_state": opt_state,
+                "step": np.int64(step_idx),
+                "losses": np.asarray(losses, np.float64),
+                "schedule": schedule,
+                "data_fp": data_fp,
+            },
+        )
+
+    with _PreemptionGuard(checkpoint_every is not None) as guard:
+        while pending is not None:
+            epoch, batch, wdev, mdev = pending
+            nxt = next(it, None)
+            pending = to_device(nxt) if nxt is not None else None
+            args = (batch,)
+            if weighted:
+                args = args + (wdev,)
+            if mdev is not None:
+                args = args + (mdev,)
+            trainable, opt_state, loss = step(trainable, frozen, opt_state, *args)
+            if callback is not None:
+                loss = float(loss)
+                losses.append(loss)
+                callback(epoch, step_idx, loss)
+            else:
+                device_losses.append(loss)
+            step_idx += 1
+            if guard.flag is not None:
+                save_ck()
+                raise Preempted(
+                    f"fit() caught signal {guard.flag} at step {step_idx}; "
+                    f"checkpoint written to {checkpoint_path} — rerun with "
+                    "resume=True to continue"
+                )
+            if (
+                checkpoint_every is not None
+                and step_idx % checkpoint_every == 0
+                and pending is not None  # the final state lands in the return
+            ):
+                save_ck()
     losses.extend(float(l) for l in device_losses)
 
     new_store = dict(store)

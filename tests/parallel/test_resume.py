@@ -166,6 +166,94 @@ def test_fit_em_resume_continues_epochs(tmp_path):
         )
 
 
+def test_fit_sigterm_checkpoints_and_resumes(tmp_path):
+    """Graceful preemption: SIGTERM during a checkpointing fit() writes a
+    final checkpoint and raises Preempted; the resumed run reproduces the
+    uninterrupted one (preemptible TPU slices signal eviction this way)."""
+    import os
+    import signal
+
+    from cirkit_tpu.parallel import Preempted
+
+    data = _data()
+    ck = tmp_path / "fit_ck"
+
+    _, ctx, cc = _compile()
+    full_store, full_losses = fit(
+        cc, data, store=dict(ctx.parameters), num_epochs=2, batch_size=32,
+        optimizer=optax.adam(0.05),
+    )
+
+    _, ctx2, cc2 = _compile()
+
+    def evictor(epoch, step, loss):
+        if step == 3:
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    with pytest.raises(Preempted, match="resume=True"):
+        fit(
+            cc2, data, store=dict(ctx2.parameters), num_epochs=2, batch_size=32,
+            optimizer=optax.adam(0.05), callback=evictor,
+            checkpoint_every=100, checkpoint_path=str(ck),
+        )
+    # the default handlers are back in place after the raise
+    assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
+
+    _, ctx3, cc3 = _compile()
+    store, losses = fit(
+        cc3, data, store=dict(ctx3.parameters), num_epochs=2, batch_size=32,
+        optimizer=optax.adam(0.05),
+        checkpoint_every=100, checkpoint_path=str(ck), resume=True,
+    )
+    np.testing.assert_allclose(losses, full_losses, rtol=1e-8)
+    for k in full_store:
+        np.testing.assert_allclose(
+            np.asarray(store[k]), np.asarray(full_store[k]), rtol=1e-8,
+            err_msg=k,
+        )
+
+
+def test_fit_em_sigterm_checkpoints_and_resumes(tmp_path):
+    import os
+    import signal
+
+    from cirkit_tpu.parallel import Preempted
+
+    data = _data(n=80, seed=3)
+    ck = tmp_path / "em_ck"
+
+    _, ctx, cc = _compile(em_ready=True, seed=5)
+    full_store, full_losses = fit_em(
+        cc, data, store=dict(ctx.parameters), num_epochs=3, batch_size=40,
+    )
+
+    # a step-size schedule that pulls the trigger at the second M-step
+    def evicting_schedule(t):
+        if t == 1:
+            os.kill(os.getpid(), signal.SIGTERM)
+        return 1.0
+
+    _, ctx2, cc2 = _compile(em_ready=True, seed=5)
+    with pytest.raises(Preempted, match="resume=True"):
+        fit_em(
+            cc2, data, store=dict(ctx2.parameters), num_epochs=3, batch_size=40,
+            step_size=evicting_schedule,
+            checkpoint_every=100, checkpoint_path=str(ck),
+        )
+
+    _, ctx3, cc3 = _compile(em_ready=True, seed=5)
+    store, losses = fit_em(
+        cc3, data, store=dict(ctx3.parameters), num_epochs=3, batch_size=40,
+        checkpoint_every=100, checkpoint_path=str(ck), resume=True,
+    )
+    np.testing.assert_allclose(losses, full_losses, rtol=1e-8)
+    for k in full_store:
+        np.testing.assert_allclose(
+            np.asarray(store[k]), np.asarray(full_store[k]), rtol=1e-8,
+            err_msg=k,
+        )
+
+
 @pytest.mark.slow
 def test_grow_prune_loop_resume_after_kill(tmp_path, monkeypatch):
     from cirkit_tpu.backend.jax import pruning
