@@ -193,6 +193,7 @@ def save_bundle(
 
     saved = []
     program_devices: dict[str, int] = {}
+    program_sha256: dict[str, str] = {}
     for name, (fn, args) in programs.items():
         if name == "init":
             # force the traced (device) initializer path: the host (numpy)
@@ -209,10 +210,13 @@ def save_bundle(
                     os.environ["CIRKIT_TPU_DEVICE_INIT"] = prev
         else:
             payload, ndev = _aot_serialize(fn, *args)
-        with open(path / f"{name}.jaxexec.pkl", "wb") as fh:
-            pickle.dump(payload, fh)
+        import hashlib
+
+        blob = pickle.dumps(payload)
+        (path / f"{name}.jaxexec.pkl").write_bytes(blob)
         saved.append(name)
         program_devices[name] = ndev
+        program_sha256[name] = hashlib.sha256(blob).hexdigest()
 
     manifest = {
         **_device_fingerprint(),
@@ -221,6 +225,7 @@ def save_bundle(
         "x_dtype": str(jnp.dtype(x_dtype)),
         "programs": saved,
         "program_devices": program_devices,
+        "program_sha256": program_sha256,
         "const_slots": const_slots,
         "random_slots": random_slots,
         "store_spec": {
@@ -284,11 +289,19 @@ def load_bundle(path: str | os.PathLike) -> WarmBundle:
                 f"{manifest.get(field)!r}, this process runs {fp[field]!r}; "
                 "rebuild cold and re-save."
             )
+    import hashlib
+
     devices = jax.devices()
     programs: dict[str, Callable] = {}
     for name in manifest["programs"]:
-        with open(path / f"{name}.jaxexec.pkl", "rb") as fh:
-            payload = pickle.load(fh)
+        blob = (path / f"{name}.jaxexec.pkl").read_bytes()
+        expected = manifest.get("program_sha256", {}).get(name)
+        if expected is not None and hashlib.sha256(blob).hexdigest() != expected:
+            raise WarmStartError(
+                f"Warm-start program {name!r} is corrupt (sha256 mismatch — "
+                "truncated write or modified file); rebuild cold and re-save."
+            )
+        payload = pickle.loads(blob)
         ndev = manifest.get("program_devices", {}).get(name, 1)
         if ndev > len(devices):
             raise WarmStartError(

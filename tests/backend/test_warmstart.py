@@ -167,6 +167,20 @@ def test_operator_derived_circuit_rejected_at_save(tmp_path):
         save_bundle(tmp_path / "sq", cc_sq, store=dict(ctx.parameters), batch=4)
 
 
+def test_corrupt_program_raises(bundle_dir, tmp_path):
+    """A truncated executable file fails the manifest's sha256 with a clear
+    error instead of a pickle exception deep in deserialization."""
+    path, *_ = bundle_dir
+    clone = tmp_path / "corrupt"
+    clone.mkdir()
+    for f in Path(path).iterdir():
+        (clone / f.name).write_bytes(f.read_bytes())
+    exe = clone / "evaluate.jaxexec.pkl"
+    exe.write_bytes(exe.read_bytes()[:-100])
+    with pytest.raises(WarmStartError, match="corrupt"):
+        load_bundle(clone)
+
+
 def test_fingerprint_mismatch_raises(bundle_dir, tmp_path):
     path, *_ = bundle_dir
     clone = tmp_path / "stale"
