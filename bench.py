@@ -542,6 +542,35 @@ def bench_warmstart(sum_product: str, num_units: int, batch: int) -> dict:
     }
 
 
+def bench_tunnel_health() -> dict:
+    """Control measurements of the remote-tunnel link itself, so degraded
+    windows are distinguishable from real regressions in the same JSON:
+    the synced round-trip of a trivial program (~1-2 ms healthy, ~25 ms
+    degraded) and the device->host bandwidth of a 32 MB pull (~7-24 MB/s
+    observed). Interpretation guide in docs/PERF.md."""
+    import jax
+    import jax.numpy as jnp
+
+    trivial = jax.jit(lambda a: a + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    float(jnp.sum(trivial(x)))  # compile
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.time()
+        out = trivial(x)
+        float(jnp.sum(out))
+        best = min(best, time.time() - t0)
+    big = jax.jit(lambda a: a * 2.0)(jnp.ones((8 << 20,), jnp.float32))
+    float(jnp.sum(big))  # materialize on device
+    t0 = time.time()
+    np.asarray(big)
+    pull_s = time.time() - t0
+    return {
+        "tunnel_rtt_ms": round(best * 1e3, 2),
+        "tunnel_pull_mb_s": round(32.0 / pull_s, 1),
+    }
+
+
 def main() -> None:
     import jax
 
@@ -566,6 +595,7 @@ def main() -> None:
         "time_to_first_batch_cold_s": round(build_s + compile_s, 1),
         "device": str(jax.devices()[0]),
     }
+    result.update(bench_tunnel_health())
     if os.environ.get("BENCH_SKIP_WARMSTART", "0") != "1":
         result.update(bench_warmstart(sum_product, num_units, batch))
     if os.environ.get("BENCH_SKIP_FAST", "0") != "1":
