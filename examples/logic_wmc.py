@@ -96,6 +96,28 @@ def main() -> None:
         f"(= log {np.exp(h_uniform):.0f} models), weighted {h_weighted:.6f} nats"
     )
 
+    # PSDDs — parameterized SDDs (UCLA / Juice.jl interop) — load as
+    # normalized distributions; sampling/MAP/entropy on them are exact
+    import math
+    import tempfile
+
+    from cirkit_tpu.models.logic import PSDD
+
+    psdd_text = (
+        "c p(x1) mixture over two Bernoulli branches\n"
+        "psdd 7\n"
+        "L 0 0 1\nL 1 0 -1\n"
+        f"T 2 1 2 {math.log(0.3)}\nT 3 1 2 {math.log(0.9)}\n"
+        f"T 4 2 3 {math.log(0.8)}\n"
+        f"D 5 3 2 0 2 {math.log(0.6)} 1 3 {math.log(0.4)}\n"
+        "D 6 4 1 5 4 0.0\n"
+    )
+    with tempfile.NamedTemporaryFile("w", suffix=".psdd", delete=False) as fh:
+        fh.write(psdd_text)
+    pcc = ctx.compile(PSDD.load(fh.name).build_circuit())
+    p = np.exp(np.asarray(pcc(worlds))[:, 0, 0])
+    print(f"PSDD distribution sums to {p.sum():.6f}; p(1,0,1) = {p[5]:.4f}")
+
 
 if __name__ == "__main__":
     main()
