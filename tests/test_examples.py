@@ -26,6 +26,7 @@ EXAMPLES = {
     "model_distillation": {"SIDE": "3", "UNITS": "4", "EPOCHS": "3"},
     "prune_finetune": {},
     "warm_serving": {"SIDE": "4", "UNITS": "4", "BATCH": "8"},
+    "serving_server": {"SIDE": "4", "UNITS": "4", "BATCH": "8"},
     "region_graphs_comparison": {
         "SIDE": "4", "UNITS": "4", "EPOCHS": "1", "BATCH": "128",
         "REGION_GRAPHS": "quad-tree-2", "LAYERS": "cp,tucker",
