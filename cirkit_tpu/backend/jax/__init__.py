@@ -15,6 +15,7 @@ from cirkit_tpu.backend.jax.pruning import (
     grow_circuit,
     grow_prune_loop,
     prune_circuit,
+    selection_score,
 )
 from cirkit_tpu.backend.jax.queries import (
     ExpectationQuery,
@@ -68,6 +69,7 @@ __all__ = [
     "load_exported",
     "grow_circuit",
     "grow_prune_loop",
+    "selection_score",
     "is_deterministic",
     "mutual_information",
     "prune_circuit",

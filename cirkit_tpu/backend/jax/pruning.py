@@ -772,6 +772,26 @@ def grow_circuit(
     return grown, report
 
 
+def selection_score(
+    mean_ll: float, num_params: int, n: int, criterion: str = "ll"
+) -> float:
+    """Model-selection score (maximize) used by :func:`grow_prune_loop`.
+
+    ``"ll"`` returns the mean log-likelihood unchanged; ``"aic"`` returns
+    ``n·mean_ll − k`` (AIC/−2) and ``"bic"`` returns
+    ``n·mean_ll − (k/2)·ln n`` (BIC/−2), so all three orders are
+    comparable maximize-is-better. ``k`` is
+    :attr:`Circuit.num_parameters` — raw learnable tensor entries."""
+    if criterion == "ll":
+        return mean_ll
+    total = mean_ll * n
+    if criterion == "aic":
+        return total - num_params
+    if criterion == "bic":
+        return total - 0.5 * num_params * math.log(n)
+    raise ValueError(f"Unknown criterion {criterion!r}; use 'll'|'bic'|'aic'")
+
+
 def grow_prune_loop(
     sc: Circuit,
     data,
@@ -789,6 +809,7 @@ def grow_prune_loop(
     ctx_factory=None,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    criterion: str = "ll",
 ):
     """The full grow/prune structure-learning loop (Dang et al., "Pruning
     and growing probabilistic circuits"), orchestrating this module's
@@ -802,6 +823,21 @@ def grow_prune_loop(
     in capacity (the default). Keeps the best (circuit, store) by
     held-out log-likelihood on ``val_data`` (``data`` itself if not
     given) and stops early when a full round fails to improve it.
+
+    ``criterion`` selects the model-selection score (maximized):
+
+    - ``"ll"`` (default) — mean held-out log-likelihood, Dang et al.'s
+      setup (use ``val_data`` to avoid favoring capacity).
+    - ``"bic"`` — total LL − (k/2)·ln n over the selection set, where
+      ``k = circuit.num_parameters`` and ``n = len(val_data or data)``:
+      the Bayesian information criterion (rescaled by −1/2 so bigger is
+      better). Penalizes capacity, so train-set-only searches
+      (no ``val_data``) stay honest.
+    - ``"aic"`` — total LL − k (Akaike, same rescaling); a lighter
+      capacity penalty than BIC for ``n > e²``.
+
+    BIC/AIC count raw learnable tensor entries (softmax rows are not
+    reduced by one dof) — constant-offset consistent across candidates.
 
     The input circuit must be ``fit_em``-eligible (plain sum weights and
     leaves — e.g. templates built with ``em_ready=True``); pruned/grown
@@ -832,10 +868,16 @@ def grow_prune_loop(
         def ctx_factory():
             return PipelineContext(ctx._backend, **ctx._backend_kwargs)
 
+    if criterion not in ("ll", "bic", "aic"):
+        raise ValueError(f"Unknown criterion {criterion!r}; use 'll'|'bic'|'aic'")
     val = data if val_data is None else val_data
+    n_val = len(val)
 
     def units_of(s: Circuit) -> int:
         return sum(sl.num_output_units for sl in s.topological_ordering())
+
+    def score_of(s: Circuit, mean_ll: float) -> float:
+        return selection_score(mean_ll, s.num_parameters, n_val, criterion)
 
     def train(s: Circuit, c):
         cc = c.compile(s)
@@ -844,7 +886,8 @@ def grow_prune_loop(
             batch_size=batch_size,
         )
         c.parameters.update(store)
-        return cc, store, float(evaluate_ll(cc, val, store=store))
+        ll = float(evaluate_ll(cc, val, store=store))
+        return cc, store, ll, score_of(s, ll)
 
     import json
     import logging
@@ -904,6 +947,8 @@ def grow_prune_loop(
                     "stages_done": stages_done,
                     "improved": improved,
                     "best_ll": best[2],
+                    "best_score": best[3],
+                    "criterion": criterion,
                     "history": history,
                 },
                 fh,
@@ -935,10 +980,16 @@ def grow_prune_loop(
         history = [tuple(row) for row in state["history"]]
         cur_sc = load_circuit(os.path.join(sdir, "cur_circuit.ckpt"))
         cur_store = load_store(os.path.join(sdir, "cur_store.npz"))
+        if state.get("criterion", "ll") != criterion:
+            raise ValueError(
+                f"resume criterion mismatch: checkpoint used "
+                f"{state.get('criterion', 'll')!r}, requested {criterion!r}"
+            )
         best = (
             load_circuit(os.path.join(sdir, "best_circuit.ckpt")),
             load_store(os.path.join(sdir, "best_store.npz")),
             float(state["best_ll"]),
+            float(state.get("best_score", state["best_ll"])),
         )
         cur_ctx = ctx_factory()
         cur_ctx.compile(cur_sc)  # slot names allocate deterministically
@@ -949,8 +1000,8 @@ def grow_prune_loop(
                 start_stages, best[2],
             )
     else:
-        cc, store, ll = train(sc, ctx)
-        best = (sc, dict(store), ll)
+        cc, store, ll, sc_score = train(sc, ctx)
+        best = (sc, dict(store), ll, sc_score)
         cur_store = store
         history = [("init", units_of(sc), ll)]
         cur_sc, cur_ctx = sc, ctx
@@ -990,7 +1041,7 @@ def grow_prune_loop(
                     seed=seed + r, data=data, batch_size=batch_size,
                 )
             nctx = ctx_factory()
-            _, nstore, nll = train(nxt, nctx)
+            _, nstore, nll, nscore = train(nxt, nctx)
             history.append((f"{stage}@{r}", units_of(nxt), nll))
             if verbose:  # pragma: no cover
                 log.info(
@@ -999,9 +1050,9 @@ def grow_prune_loop(
                 )
             cur_sc, cur_ctx = nxt, nctx
             cur_store = nstore
-            stage_improved = nll > best[2]
+            stage_improved = nscore > best[3]
             if stage_improved:
-                best = (nxt, dict(nstore), nll)
+                best = (nxt, dict(nstore), nll, nscore)
                 improved = True
             _checkpoint(idx, improved, best_is_cur=stage_improved)
         if not improved:

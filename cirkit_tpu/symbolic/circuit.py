@@ -158,6 +158,37 @@ class Circuit(DiAcyclicGraph[Layer]):
     def num_variables(self) -> int:
         return len(self.scope)
 
+    @property
+    def num_parameters(self) -> int:
+        """Total learnable scalar parameters, counted once per shared tensor.
+
+        Walks every layer's parameter graphs and sums ``prod(shape)`` over
+        the distinct learnable :class:`TensorParameter` leaves (``ref()``
+        sharing and pointer reuse dedupe by object identity). This is the
+        ``k`` used by BIC/AIC model selection in
+        :func:`cirkit_tpu.backend.jax.pruning.grow_prune_loop`; it counts
+        raw tensor entries, not normalization-constrained degrees of
+        freedom (a softmax row of width ``n`` counts ``n``, not ``n - 1``)
+        — consistent across candidates, which is all a selection criterion
+        needs."""
+        import math
+
+        from cirkit_tpu.symbolic.parameters import TensorParameter
+
+        seen: set[int] = set()
+        total = 0
+        for sl in self.layers:
+            for p in sl.params.values():
+                for node in p.nodes:
+                    if (
+                        isinstance(node, TensorParameter)
+                        and node.learnable
+                        and id(node) not in seen
+                    ):
+                        seen.add(id(node))
+                        total += math.prod(node.shape)
+        return total
+
     def layer_scope(self, sl: Layer) -> Scope:
         return self._scopes[sl]
 

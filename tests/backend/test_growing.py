@@ -185,3 +185,121 @@ def test_grow_prune_loop_improves_over_em_only():
     cc = ctx.compile(best_sc)
     got = evaluate_ll(cc, val, store=best_store)
     assert abs(got - max(lls)) < 1e-6
+
+def test_num_parameters_counts_learnable_tensors():
+    """Circuit.num_parameters: exact counts on hand-wired fixtures, shared
+    tensors counted once (ref()), constants excluded — the k of BIC/AIC."""
+    # hadamard: two (2,3) categorical prob tables + one (1,2) sum weight
+    sc = build_bivariate_categorical_pc(product="hadamard")
+    assert sc.num_parameters == 2 * (2 * 3) + 2
+    # kronecker widens only the sum weight: (1, 4)
+    sc = build_bivariate_categorical_pc(product="kronecker")
+    assert sc.num_parameters == 2 * (2 * 3) + 4
+    # softmax parameterization: same raw tensor count (dof convention)
+    sc = build_bivariate_categorical_pc(use_softmax=True)
+    assert sc.num_parameters == 2 * (2 * 3) + 2
+
+
+def test_num_parameters_dedupes_shared_and_skips_frozen():
+    from cirkit_tpu.symbolic import CategoricalLayer, Circuit, HadamardLayer, SumLayer
+    from cirkit_tpu.utils import Scope
+    from tests.fixtures import const_param
+
+    probs = np.full((2, 3), 1.0 / 3)
+    p0 = const_param(probs)
+    leaf0 = CategoricalLayer(Scope([0]), 2, num_categories=3, probs=p0)
+    # second leaf SHARES the same TensorParameter node via ref()
+    leaf1 = CategoricalLayer(Scope([1]), 2, num_categories=3, probs=p0.ref())
+    prod = HadamardLayer(2, arity=2)
+    out = SumLayer(2, 1, weight=const_param(np.full((1, 2), 0.5), learnable=False))
+    sc = Circuit([leaf0, leaf1, prod, out], {prod: [leaf0, leaf1], out: [prod]}, [out])
+    # shared table counts once; the frozen sum weight not at all
+    assert sc.num_parameters == 2 * 3
+
+def test_selection_score_math():
+    """BIC/AIC scores: exact formulas (maximize-is-better rescaling) and
+    the capacity-penalty ordering BIC > AIC for n > e^2."""
+    import math
+
+    from cirkit_tpu.backend.jax.pruning import selection_score
+
+    assert selection_score(-1.5, 1000, 200, "ll") == -1.5
+    np.testing.assert_allclose(
+        selection_score(-1.5, 1000, 200, "aic"), -1.5 * 200 - 1000
+    )
+    np.testing.assert_allclose(
+        selection_score(-1.5, 1000, 200, "bic"),
+        -1.5 * 200 - 0.5 * 1000 * math.log(200),
+    )
+    # for n=200 > e^2 the BIC penalty per parameter exceeds AIC's
+    assert selection_score(-1.5, 1000, 200, "bic") < selection_score(
+        -1.5, 1000, 200, "aic"
+    )
+    with pytest.raises(ValueError, match="criterion"):
+        selection_score(0.0, 1, 10, "mdl")
+
+
+def test_grow_prune_loop_bic_rejects_marginal_growth(monkeypatch):
+    """With an LL sequence that improves only epsilon per stage, plain 'll'
+    selection chases the growth while 'bic' keeps the smaller init model —
+    the capacity penalty is live in the loop's best-tracking."""
+    import cirkit_tpu.parallel as parallel
+    from cirkit_tpu.backend.jax import pruning
+    from cirkit_tpu.models import image_data
+
+    def compile_small(seed):
+        ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=True, seed=seed)
+        sc = image_data(
+            (1, 4, 4), "quad-tree-4", input_layer="categorical",
+            num_input_units=4, sum_product_layer="cp", num_sum_units=4,
+            em_ready=True,
+        )
+        return sc, ctx
+
+    data = np.random.default_rng(5).integers(0, 256, (48, 16), dtype=np.int64)
+    kwargs = dict(
+        rounds=1, grow_fraction=0.5, prune_fraction=0.0, noise=0.0,
+        em_epochs=1, batch_size=48, seed=0,
+    )
+
+    def run(criterion):
+        lls = iter(-10.0 + 1e-4 * np.arange(10.0))  # epsilon-improving
+        monkeypatch.setattr(parallel, "evaluate_ll", lambda *a, **k: next(lls))
+        sc, ctx = compile_small(seed=21)
+        best_sc, _, history = pruning.grow_prune_loop(
+            sc, data, ctx=ctx, criterion=criterion, **kwargs
+        )
+        return best_sc, history
+
+    best_ll, hist_ll = run("ll")
+    best_bic, hist_bic = run("bic")
+    units = lambda s: sum(sl.num_output_units for sl in s.topological_ordering())
+    assert [u for _, u, _ in hist_ll] == [u for _, u, _ in hist_bic]
+    assert units(best_ll) == hist_ll[-1][1]   # ll chased the grown model
+    assert units(best_bic) == hist_bic[0][1]  # bic kept the smaller init
+    assert units(best_bic) < units(best_ll)
+
+
+def test_grow_prune_loop_resume_criterion_mismatch_raises(tmp_path, monkeypatch):
+    import cirkit_tpu.parallel as parallel
+    from cirkit_tpu.backend.jax import pruning
+    from cirkit_tpu.models import image_data
+
+    monkeypatch.setattr(parallel, "evaluate_ll", lambda *a, **k: -1.0)
+    ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=True, seed=3)
+    sc = image_data(
+        (1, 4, 4), "quad-tree-4", input_layer="categorical",
+        num_input_units=4, sum_product_layer="cp", num_sum_units=4,
+        em_ready=True,
+    )
+    data = np.random.default_rng(4).integers(0, 256, (32, 16), dtype=np.int64)
+    kwargs = dict(rounds=1, grow_fraction=0.25, prune_fraction=0.0, noise=0.0,
+                  em_epochs=1, batch_size=32, seed=0,
+                  checkpoint_dir=str(tmp_path / "loop"))
+    pruning.grow_prune_loop(sc, data, ctx=ctx, criterion="bic", **kwargs)
+    with pytest.raises(ValueError, match="criterion mismatch"):
+        pruning.grow_prune_loop(
+            sc, data, ctx=PipelineContext(semiring="lse-sum", fold=True,
+                                          optimize=True, seed=3),
+            criterion="aic", resume=True, **kwargs,
+        )
