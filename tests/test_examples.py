@@ -23,6 +23,7 @@ EXAMPLES = {
     },
     "em_training": {"SIDE": "4", "UNITS": "4", "EPOCHS": "3", "BATCH": "128"},
     "structure_learning": {"VARS": "5", "SAMPLES": "600"},
+    "interop_formats": {"VARS": "5", "SAMPLES": "600"},
     "model_distillation": {"SIDE": "3", "UNITS": "4", "EPOCHS": "3"},
     "prune_finetune": {},
     "warm_serving": {"SIDE": "4", "UNITS": "4", "BATCH": "8"},
