@@ -43,6 +43,7 @@ Caveats, by design of the formats:
 from __future__ import annotations
 
 import math
+import os
 import re
 
 import numpy as np
@@ -85,9 +86,10 @@ def _const(value: np.ndarray, learnable: bool = False) -> Parameter:
 #   ("sum", child_ids, weights_1d)  linear-space weights
 
 
-def _scalar_graph(sc: Circuit, ctx) -> tuple[list[tuple], int]:
+def _scalar_graph(sc: Circuit, ctx, store=None) -> tuple[list[tuple], int]:
     """Unfold ``sc``'s units into scalar nodes (topological order, root
-    last), with parameter values read back through the compiled context.
+    last), with parameter values read back through the compiled context
+    (``store`` entries override the context's, like ``prune_circuit``).
     Returns ``(nodes, root_id)``."""
     from cirkit_tpu.backend.jax.pruning import _materialize
 
@@ -102,7 +104,10 @@ def _scalar_graph(sc: Circuit, ctx) -> tuple[list[tuple], int]:
             "Interop export needs a single scalar root "
             f"(got {len(sc.outputs)} output layer(s))"
         )
-    values = _materialize(sc, ctx, dict(ctx.parameters))
+    full = dict(ctx.parameters)
+    if store is not None:
+        full.update(store)
+    values = _materialize(sc, ctx, full)
 
     nodes: list[tuple] = []
     ids: dict[Layer, list[int]] = {}
@@ -163,7 +168,9 @@ def _scalar_graph(sc: Circuit, ctx) -> tuple[list[tuple], int]:
 # ---------------------------------------------------------------------------
 
 
-def _build_scalar_circuit(nodes: list[tuple], root: int, learnable: bool) -> Circuit:
+def _build_scalar_circuit(
+    nodes: list[tuple], root: int, learnable: bool, freeze_onehot: bool = False
+) -> Circuit:
     layers: dict[int, Layer] = {}
     in_layers: dict[Layer, list[Layer]] = {}
     alias: dict[int, int] = {}
@@ -178,12 +185,17 @@ def _build_scalar_circuit(nodes: list[tuple], root: int, learnable: bool) -> Cir
         if kind == "cat":
             _, var, probs = node
             probs = np.asarray(probs, np.float64)
+            # JPC literal indicators are structure, not parameters: they
+            # stay constant even under learnable=True (freeze_onehot;
+            # matches the PSDD loader). SPFlow one-hot rows are genuine
+            # parameters and follow the learnable flag.
             one_hot = probs.min() == 0.0 and probs.max() == 1.0 and probs.sum() == 1.0
             layers[i] = CategoricalLayer(
                 Scope([var]), 1, num_categories=probs.shape[0],
-                # indicators stay constant even under learnable=True (they
-                # are structure, not parameters — matches the PSDD loader)
-                probs=_const(probs[None], learnable=learnable and not one_hot),
+                probs=_const(
+                    probs[None],
+                    learnable=learnable and not (freeze_onehot and one_hot),
+                ),
             )
         elif kind == "gauss":
             _, var, mean, std = node
@@ -203,6 +215,11 @@ def _build_scalar_circuit(nodes: list[tuple], root: int, learnable: bool) -> Cir
         else:  # sum
             _, kids, w = node
             w = np.asarray(w, np.float64)
+            if np.any(w < 0.0):
+                raise ValueError(
+                    "Interop circuits are monotone: negative sum weights "
+                    f"{w[w < 0.0]} in the input"
+                )
             sl = SumLayer(
                 1, 1, arity=len(kids),
                 weight=_const(w[None], learnable=learnable),
@@ -251,9 +268,11 @@ def load_jpc(filename: str, *, learnable: bool = False) -> Circuit:
                     nodes.append(("cat", abs(lit) - 1, probs))
                 elif tag == "P":
                     n = int(args[2])
-                    kids = [by_id[int(a)] for a in args[3 : 3 + n]]
-                    if len(kids) != n:
-                        raise ValueError(f"expected {n} children, got {len(kids)}")
+                    if len(args) - 3 != n:
+                        raise ValueError(
+                            f"expected {n} children, got {len(args) - 3}"
+                        )
+                    kids = [by_id[int(a)] for a in args[3:]]
                     nodes.append(("prod", kids))
                 elif tag == "S":
                     n = int(args[2])
@@ -276,16 +295,17 @@ def load_jpc(filename: str, *, learnable: bool = False) -> Circuit:
                 ) from e
     if last is None:
         raise ValueError(f"{filename}: no JPC nodes found")
-    return _build_scalar_circuit(nodes, by_id[last], learnable)
+    return _build_scalar_circuit(nodes, by_id[last], learnable, freeze_onehot=True)
 
 
-def save_jpc(filename: str, sc: Circuit, ctx) -> None:
+def save_jpc(filename: str, sc: Circuit, ctx, *, store=None) -> None:
     """Write a compiled circuit over binary categorical leaves as a Juice
     ``.jpc`` file, with the trained parameter values read back through
-    ``ctx`` (which must have compiled ``sc``). One-hot leaf rows become
-    literals; other rows become weighted sums of the two literals. Raises
-    for non-binary leaves (the format has only binary literals)."""
-    nodes, root = _scalar_graph(sc, ctx)
+    ``ctx`` (which must have compiled ``sc``; ``store`` entries override
+    the context's parameters, like ``prune_circuit``). One-hot leaf rows
+    become literals; other rows become weighted sums of the two literals.
+    Raises for non-binary leaves (the format has only binary literals)."""
+    nodes, root = _scalar_graph(sc, ctx, store)
     lines: list[str] = []
     nid = 0
     literal_ids: dict[int, int] = {}  # signed literal -> jpc id
@@ -304,7 +324,9 @@ def save_jpc(filename: str, sc: Circuit, ctx) -> None:
         return got
 
     def logp(p: float) -> float:
-        return math.log(p) if p > 0.0 else -745.0  # exp(-745) underflows to 0
+        # exp(-800) rounds to exactly 0.0, so structural zeros round-trip
+        # (exp(-745) is still a 5e-324 subnormal)
+        return math.log(p) if p > 0.0 else -800.0
 
     for i, node in enumerate(nodes):
         kind = node[0]
@@ -391,7 +413,8 @@ def load_spflow(src: str, *, learnable: bool = False) -> Circuit:
 
     ``learnable=True`` makes sum weights and leaf distributions plain
     learnable slots (``fit_em``-eligible)."""
-    if "(" not in src:
+    # a path wins over the equation heuristic, so paths containing "(" work
+    if os.path.exists(src) or "(" not in src:
         with open(src, encoding="utf-8") as f:
             src = f.read()
     toks = _tokenize(src)
@@ -468,31 +491,49 @@ def load_spflow(src: str, *, learnable: bool = False) -> Circuit:
             )
         raise ValueError(f"SPFlow leaf type {name!r} is not supported")
 
-    def node() -> int:
-        if peek()[0] == "name":
-            return leaf()
-        expect("(")
-        if peek()[0] == "num":  # sum: (w*(..) + w*(..))
-            weights, kids = [], []
-            while True:
-                weights.append(number())
-                expect("*")
-                kids.append(node())
-                if peek()[1] != "+":
-                    break
-                expect("+")
-            expect(")")
-            return add(("sum", kids, np.asarray(weights, np.float64)))
-        kids = [node()]
-        while peek()[1] == "*":
-            expect("*")
-            kids.append(node())
-        expect(")")
-        if len(kids) == 1:  # redundant parentheses
-            return kids[0]
-        return add(("prod", kids))
+    def parse() -> int:
+        # iterative shift-reduce over the nesting (frames: sum/prod with
+        # their collected children) — no Python recursion, so arbitrarily
+        # deep equations (chain/HMM-shaped circuits) reload fine
+        stack: list[tuple] = []
+        result: int | None = None
+        while True:
+            if result is None:  # at the start of a node
+                if peek()[0] == "name":
+                    result = leaf()
+                    continue
+                expect("(")
+                if peek()[0] == "num":  # sum: (w*(..) + w*(..))
+                    w = number()
+                    expect("*")
+                    stack.append(("sum", [], [w]))
+                else:  # product: ((..) * (..))
+                    stack.append(("prod", [], None))
+                continue
+            if not stack:
+                return result
+            kind, kids, weights = stack[-1]
+            kids.append(result)
+            result = None
+            if kind == "sum":
+                if peek()[1] == "+":
+                    expect("+")
+                    weights.append(number())
+                    expect("*")
+                    continue
+                expect(")")
+                stack.pop()
+                result = add(("sum", kids, np.asarray(weights, np.float64)))
+            else:
+                if peek()[1] == "*":
+                    expect("*")
+                    continue
+                expect(")")
+                stack.pop()
+                # unary product = redundant parentheses
+                result = kids[0] if len(kids) == 1 else add(("prod", kids))
 
-    root = node()
+    root = parse()
     if pos != len(toks):
         raise ValueError(
             f"SPFlow equation: trailing tokens from {toks[pos][1]!r}"
@@ -500,12 +541,15 @@ def load_spflow(src: str, *, learnable: bool = False) -> Circuit:
     return _build_scalar_circuit(nodes, root, learnable)
 
 
-def save_spflow(sc: Circuit, ctx, *, filename: str | None = None) -> str:
+def save_spflow(
+    sc: Circuit, ctx, *, store=None, filename: str | None = None
+) -> str:
     """Emit a compiled circuit as an SPFlow text equation (and optionally
     write it to ``filename``), with trained parameter values read back
-    through ``ctx``. Shared sub-circuits are duplicated in the text (the
-    format is a tree). Returns the equation string."""
-    nodes, root = _scalar_graph(sc, ctx)
+    through ``ctx`` (``store`` entries override the context's). Shared
+    sub-circuits are duplicated in the text (the format is a tree).
+    Returns the equation string."""
+    nodes, root = _scalar_graph(sc, ctx, store)
     text: dict[int, str] = {}
     for i, nd in enumerate(nodes):
         kind = nd[0]

@@ -164,7 +164,9 @@ class Circuit(DiAcyclicGraph[Layer]):
 
         Walks every layer's parameter graphs and sums ``prod(shape)`` over
         the distinct learnable :class:`TensorParameter` leaves (``ref()``
-        sharing and pointer reuse dedupe by object identity). This is the
+        sharing and pointer reuse dedupe by object identity;
+        :class:`ReferenceParameter` pointers — operator-derived circuits —
+        count their dereferenced target once). This is the
         ``k`` used by BIC/AIC model selection in
         :func:`cirkit_tpu.backend.jax.pruning.grow_prune_loop`; it counts
         raw tensor entries, not normalization-constrained degrees of
@@ -173,13 +175,15 @@ class Circuit(DiAcyclicGraph[Layer]):
         needs."""
         import math
 
-        from cirkit_tpu.symbolic.parameters import TensorParameter
+        from cirkit_tpu.symbolic.parameters import ReferenceParameter, TensorParameter
 
         seen: set[int] = set()
         total = 0
         for sl in self.layers:
             for p in sl.params.values():
                 for node in p.nodes:
+                    if isinstance(node, ReferenceParameter):
+                        node = node.deref()
                     if (
                         isinstance(node, TensorParameter)
                         and node.learnable

@@ -187,3 +187,138 @@ def test_spflow_parse_errors():
         load_spflow("(Categorical(V0|p=[0.5, 0.5]) * Categorical(V1|p=[0.5, 0.5])) junk")
     with pytest.raises(ValueError, match="expected"):
         load_spflow("(0.5*Categorical(V0|p=[0.5, 0.5]) + )")
+
+
+def test_spflow_deep_nesting_reloads():
+    """Chain-shaped (HMM-like) circuits nest the equation ~linearly in
+    sequence length; the iterative parser must not hit Python's recursion
+    limit (regression: the recursive-descent version crashed ~600 deep)."""
+    eq = "Bernoulli(V0|p=0.5)"
+    for _ in range(1500):
+        eq = f"(0.5*{eq} + 0.5*Bernoulli(V0|p=0.4))"
+    sc = load_spflow(eq)
+    got = _dist(sc, np.array([[1]]))[0]
+    # the fixpoint of p -> 0.5 p + 0.2 is 0.4 + 0.1 * 0.5^1500
+    np.testing.assert_allclose(got, 0.4, rtol=1e-9)
+
+
+def test_save_store_override_exports_trained_values(tmp_path):
+    """save_jpc/save_spflow(store=...) export the given trained store even
+    when ctx.parameters was never updated (the prune_circuit convention)."""
+    from cirkit_tpu.parallel import evaluate_ll, fit_em
+
+    sc = build_multivariate_categorical_pc(
+        num_variables=3, num_units=2, num_categories=2,
+        rng=np.random.default_rng(31),
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 2, (200, 3)).astype(np.int32)
+    store, _ = fit_em(cc, data, store=dict(ctx.parameters), num_epochs=4,
+                      batch_size=100)
+    ll_trained = float(evaluate_ll(cc, data, store=store))
+    ll_init = float(evaluate_ll(cc, data, store=dict(ctx.parameters)))
+    assert abs(ll_trained - ll_init) > 1e-3  # training moved the params
+
+    path = tmp_path / "trained.jpc"
+    save_jpc(str(path), sc, ctx, store=store)  # ctx.parameters NOT updated
+    back = load_jpc(str(path))
+    bctx = PipelineContext(semiring="lse-sum", fold=True)
+    bll = float(evaluate_ll(bctx.compile(back), data, store=bctx.parameters))
+    np.testing.assert_allclose(bll, ll_trained, rtol=1e-9)
+
+    eq = save_spflow(sc, ctx, store=store)
+    back = load_spflow(eq)
+    bctx = PipelineContext(semiring="lse-sum", fold=True)
+    bll = float(evaluate_ll(bctx.compile(back), data, store=bctx.parameters))
+    np.testing.assert_allclose(bll, ll_trained, rtol=1e-9)
+
+
+def test_jpc_corrupt_product_child_count_raises(tmp_path):
+    path = tmp_path / "bad.jpc"
+    path.write_text("jpc 3\nL 0 0 1\nL 1 0 2\nP 2 0 1 0 1\n")
+    with pytest.raises(ValueError, match="children"):
+        load_jpc(str(path))
+
+
+def test_load_negative_sum_weights_raise():
+    with pytest.raises(ValueError, match="monotone"):
+        load_spflow("(1.5*Bernoulli(V0|p=0.5) + -0.5*Bernoulli(V0|p=0.4))")
+
+
+def test_spflow_onehot_leaf_stays_learnable_but_jpc_literal_frozen(tmp_path):
+    from cirkit_tpu.symbolic.parameters import TensorParameter
+
+    def leaf_flags(sc):
+        from cirkit_tpu.symbolic.layers import CategoricalLayer
+
+        out = []
+        for sl in sc.layers:
+            if isinstance(sl, CategoricalLayer):
+                (node,) = [n for n in sl.params["probs"].nodes
+                           if isinstance(n, TensorParameter)]
+                out.append(node.learnable)
+        return out
+
+    # SPFlow: a vertex-valued p is a genuine parameter -> learnable
+    sc = load_spflow("(0.5*Categorical(V0|p=[0.0, 1.0]) + "
+                     "0.5*Categorical(V0|p=[0.3, 0.7]))", learnable=True)
+    assert all(leaf_flags(sc))
+    # JPC: literal indicators are structure -> frozen
+    path = tmp_path / "lit.jpc"
+    path.write_text("jpc 3\nL 0 0 1\nL 1 0 -1\nS 2 0 2 0 -0.5 1 -0.9\n")
+    sc = load_jpc(str(path), learnable=True)
+    assert not any(leaf_flags(sc))
+
+
+def test_num_parameters_through_operator_references():
+    """Operator-derived circuits hold ReferenceParameters; num_parameters
+    must count the dereferenced targets (once) instead of reporting 0."""
+    from cirkit_tpu.symbolic import functional
+
+    sc = build_bivariate_categorical_pc(num_categories=2)
+    prod = functional.multiply(sc, sc)
+    assert sc.num_parameters > 0
+    # both operands reference the SAME tensors -> deduped to sc's count
+    assert prod.num_parameters == sc.num_parameters
+
+
+def test_spflow_path_with_parenthesis(tmp_path):
+    path = tmp_path / "model (copy).spn"
+    path.write_text(SPFLOW_EQ)
+    sc = load_spflow(str(path))
+    got = _dist(sc, np.array([[0, 0]]))[0]
+    np.testing.assert_allclose(got, 0.6 * 0.2 * 0.75 + 0.4 * 0.7 * 0.1, rtol=1e-6)
+
+
+def test_jpc_zero_weight_round_trips_exact(tmp_path):
+    """Structural zeros survive the log round trip exactly (the -800
+    sentinel underflows to 0.0; -745 would reload as a 5e-324 subnormal)."""
+    from tests.fixtures import const_param
+    from cirkit_tpu.symbolic import CategoricalLayer, Circuit, HadamardLayer, SumLayer
+    from cirkit_tpu.utils import Scope
+
+    leaves = [
+        CategoricalLayer(Scope([v]), 2, num_categories=2,
+                         probs=const_param(np.array([[0.3, 0.7], [0.8, 0.2]])))
+        for v in range(2)
+    ]
+    prod = HadamardLayer(2, arity=2)
+    out = SumLayer(2, 1, weight=const_param(np.array([[0.0, 1.0]])))
+    sc = Circuit(leaves + [prod, out], {prod: leaves, out: [prod]}, [out])
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    ctx.compile(sc)
+    path = tmp_path / "zero.jpc"
+    save_jpc(str(path), sc, ctx)
+    back = load_jpc(str(path))
+    from cirkit_tpu.symbolic.parameters import TensorParameter
+
+    weights = [
+        n.initializer.value
+        for sl in back.layers if isinstance(sl, SumLayer)
+        for n in sl.params["weight"].nodes if isinstance(n, TensorParameter)
+    ]
+    assert any(np.any(w == 0.0) for w in weights)
+    worlds = enumerate_worlds(2, 2)
+    np.testing.assert_allclose(_dist(back, worlds), _dist(sc, worlds), rtol=1e-12)
