@@ -7,7 +7,13 @@ from cirkit_tpu.models.data_modalities import (
     image_data,
     tabular_data,
 )
-from cirkit_tpu.models.interop import load_jpc, load_spflow, save_jpc, save_spflow
+from cirkit_tpu.models.interop import (
+    load_jpc,
+    load_spflow,
+    load_uai,
+    save_jpc,
+    save_spflow,
+)
 from cirkit_tpu.models.pgms import fully_factorized, hmm
 from cirkit_tpu.models.structure_learning import learn_spn
 from cirkit_tpu.models.tensor_factorizations import cp, tensor_train, tucker

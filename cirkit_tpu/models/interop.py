@@ -1,9 +1,11 @@
-"""Interop with other probabilistic-circuit ecosystems: Juice ``.jpc``
-files and SPFlow text equations.
+"""Interop with other probabilistic-model ecosystems: Juice ``.jpc``
+files, SPFlow text equations, and UAI-format graphical models.
 
 Beyond the reference (whose only external format is ``.sdd`` logic files,
 ref ``cirkit/templates/logic/sdd.py:19``; we additionally load ``.psdd``).
-Both directions are supported for both formats:
+``load_uai`` additionally COMPILES UAI-format Markov/Bayes networks into
+smooth decomposable circuits by bucket elimination (see its docstring).
+Both directions are supported for both circuit formats:
 
 - **Juice** (ProbabilisticCircuits.jl) ``.jpc``: a line-per-node text
   format over *binary* variables — ``L`` literal leaves, ``P`` products,
@@ -61,7 +63,7 @@ from cirkit_tpu.symbolic.layers import (
 from cirkit_tpu.symbolic.parameters import Parameter, TensorParameter
 from cirkit_tpu.utils.scope import Scope
 
-__all__ = ["load_jpc", "save_jpc", "load_spflow", "save_spflow"]
+__all__ = ["load_jpc", "load_spflow", "load_uai", "save_jpc", "save_spflow"]
 
 
 def _const(value: np.ndarray, learnable: bool = False) -> Parameter:
@@ -572,3 +574,169 @@ def save_spflow(
         with open(filename, "w", encoding="utf-8") as f:
             f.write(eq + "\n")
     return eq
+
+
+# ---------------------------------------------------------------------------
+# UAI competition format: Markov / Bayes networks, compiled by bucket
+# elimination into smooth + decomposable circuits
+# ---------------------------------------------------------------------------
+
+
+def load_uai(
+    filename: str,
+    *,
+    elimination_order: list[int] | None = None,
+    max_table_entries: int = 1 << 22,
+) -> Circuit:
+    """Load a UAI-format network (MARKOV or BAYES preamble) and COMPILE it
+    into a smooth, decomposable symbolic circuit via bucket (variable)
+    elimination over the network polynomial — Darwiche's classic
+    compilation, so every downstream query is the exact inference engine:
+    ``evaluate`` is the unnormalized factor product, ``IntegrateQuery``
+    the partition function / evidence marginals, ``MAPQuery`` the
+    max-product bound, sampling is exact after normalizing by Z. An
+    extension beyond both the reference and the interop formats above
+    (which carry circuits, not graphical models).
+
+    Format (whitespace-separated tokens)::
+
+        MARKOV|BAYES
+        <num-vars>  <card_1> ... <card_n>
+        <num-factors>
+        <k  v_1 ... v_k>   per factor (0-based variable scopes)
+        <num-entries  e_1 ... >  per factor (row-major, LAST scope
+                                  variable fastest — the UAI convention)
+
+    Compilation structure: each variable's indicators form a singleton
+    "lambda" potential placed in its bucket; multiplying bucket potentials
+    entrywise and summing a variable out becomes one weighted sum node per
+    surviving assignment (factor values fold into sum weights, so pure
+    table constants never become nodes). Eliminated-variable sets are
+    disjoint across potentials, which yields decomposability; within one
+    elimination every child mentions the same variable set, which yields
+    smoothness. ``elimination_order`` overrides the default greedy
+    min-degree order; ``max_table_entries`` guards against treewidth
+    blow-ups (raise it deliberately for dense networks)."""
+    with open(filename, encoding="utf-8") as f:
+        toks = f.read().split()
+    pos = 0
+
+    def take(k: int = 1) -> list[str]:
+        nonlocal pos
+        if pos + k > len(toks):
+            raise ValueError(f"{filename}: truncated UAI file")
+        out = toks[pos : pos + k]
+        pos += k
+        return out
+
+    net_type = take()[0].upper()
+    if net_type not in ("MARKOV", "BAYES"):
+        raise ValueError(f"{filename}: unknown network type {net_type!r}")
+    n = int(take()[0])
+    cards = [int(t) for t in take(n)]
+    m = int(take()[0])
+    scopes: list[tuple[int, ...]] = []
+    for _ in range(m):
+        k = int(take()[0])
+        scope = tuple(int(t) for t in take(k))
+        if any(not 0 <= v < n for v in scope):
+            raise ValueError(f"{filename}: factor scope {scope} out of range")
+        scopes.append(scope)
+    tables = []
+    for scope in scopes:
+        cnt = int(take()[0])
+        want = int(np.prod([cards[v] for v in scope])) if scope else 1
+        if cnt != want:
+            raise ValueError(
+                f"{filename}: factor over {scope} declares {cnt} entries, "
+                f"scope implies {want}"
+            )
+        vals = np.array([float(t) for t in take(cnt)], np.float64)
+        if np.any(vals < 0.0):
+            raise ValueError(f"{filename}: negative factor entries")
+        tables.append(vals.reshape([cards[v] for v in scope]))
+
+    nodes: list[tuple] = []
+
+    def add(node: tuple) -> int:
+        nodes.append(node)
+        return len(nodes) - 1
+
+    # potentials: (scope tuple, coef ndarray, ids object-ndarray of
+    # tuples-of-node-ids); the lambda potential of v carries v's indicators
+    pots: list[tuple[tuple[int, ...], np.ndarray, np.ndarray]] = []
+    for scope, table in zip(scopes, tables):
+        ids = np.empty(table.shape, dtype=object)
+        ids.fill(())
+        pots.append((scope, table, ids))
+    for v in range(n):
+        lam_ids = np.empty((cards[v],), dtype=object)
+        for s in range(cards[v]):
+            row = np.zeros(cards[v])
+            row[s] = 1.0
+            lam_ids[s] = (add(("cat", v, row)),)
+        pots.append(((v,), np.ones(cards[v]), lam_ids))
+
+    if elimination_order is None:
+        # greedy min-degree on the interaction graph
+        adj: dict[int, set[int]] = {v: set() for v in range(n)}
+        for scope in scopes:
+            for a in scope:
+                adj[a].update(u for u in scope if u != a)
+        remaining = set(range(n))
+        elimination_order = []
+        while remaining:
+            v = min(remaining, key=lambda u: len(adj[u] & remaining))
+            elimination_order.append(v)
+            nbrs = adj[v] & remaining
+            for a in nbrs:
+                adj[a].update(nbrs - {a})
+            remaining.discard(v)
+    elif sorted(elimination_order) != list(range(n)):
+        raise ValueError("elimination_order must be a permutation of all variables")
+
+    for v in elimination_order:
+        bucket = [p for p in pots if v in p[0]]
+        pots = [p for p in pots if v not in p[0]]
+        merged = tuple(
+            sorted({u for scope, _, _ in bucket for u in scope} - {v})
+        )
+        shape = [cards[u] for u in merged]
+        if int(np.prod(shape + [cards[v]])) > max_table_entries:
+            raise ValueError(
+                f"Eliminating variable {v} builds a table of "
+                f"{int(np.prod(shape + [cards[v]]))} entries "
+                f"(> max_table_entries={max_table_entries}); pass a better "
+                "elimination_order or raise the limit"
+            )
+        out_coef = np.ones(shape)
+        out_ids = np.empty(shape, dtype=object)
+        for a in np.ndindex(*shape):
+            pos_of = dict(zip(merged, a))
+            children, weights = [], []
+            for s in range(cards[v]):
+                pos_of[v] = s
+                coef = 1.0
+                ids: tuple[int, ...] = ()
+                for scope, ctab, itab in bucket:
+                    idx = tuple(pos_of[u] for u in scope)
+                    coef *= float(ctab[idx])
+                    ids += itab[idx]
+                node = ids[0] if len(ids) == 1 else add(("prod", list(ids)))
+                children.append(node)
+                weights.append(coef)
+            out_ids[a] = (add(("sum", children, np.asarray(weights))),)
+        pots.append((merged, out_coef, out_ids))
+
+    # all variables eliminated: every survivor is a scalar potential
+    coef = 1.0
+    ids = ()
+    for _scope, ctab, itab in pots:
+        coef *= float(ctab.reshape(-1)[0])
+        ids += itab.reshape(-1)[0]
+    if not ids:
+        raise ValueError(f"{filename}: the network has no variables")
+    root = ids[0] if len(ids) == 1 else add(("prod", list(ids)))
+    if coef != 1.0:
+        root = add(("sum", [root], np.asarray([coef])))
+    return _build_scalar_circuit(nodes, root, learnable=False, freeze_onehot=True)

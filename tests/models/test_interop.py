@@ -322,3 +322,144 @@ def test_jpc_zero_weight_round_trips_exact(tmp_path):
     assert any(np.any(w == 0.0) for w in weights)
     worlds = enumerate_worlds(2, 2)
     np.testing.assert_allclose(_dist(back, worlds), _dist(sc, worlds), rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# UAI networks
+# ---------------------------------------------------------------------------
+
+
+def _uai_text(net_type, cards, scopes, tables):
+    parts = [net_type, str(len(cards)), " ".join(map(str, cards)), str(len(scopes))]
+    parts += [f"{len(s)} " + " ".join(map(str, s)) for s in scopes]
+    for t in tables:
+        flat = np.asarray(t).reshape(-1)
+        parts.append(str(flat.size))
+        parts.append(" ".join(repr(float(x)) for x in flat))
+    return "\n".join(parts) + "\n"
+
+
+def _brute_force(cards, scopes, tables):
+    """Unnormalized factor product over every world, UAI entry order."""
+    worlds = np.array(list(np.ndindex(*cards)), dtype=np.int64)
+    vals = np.ones(len(worlds))
+    for scope, table in zip(scopes, tables):
+        table = np.asarray(table).reshape([cards[v] for v in scope])
+        for i, w in enumerate(worlds):
+            vals[i] *= table[tuple(w[v] for v in scope)]
+    return worlds, vals
+
+
+def _uai_case(seed, n, max_card=3, m=None):
+    rng = np.random.default_rng(seed)
+    cards = list(rng.integers(2, max_card + 1, size=n))
+    m = m if m is not None else n
+    scopes = []
+    for _ in range(m):
+        k = int(rng.integers(1, min(3, n) + 1))
+        scopes.append(tuple(rng.choice(n, size=k, replace=False)))
+    tables = [
+        rng.uniform(0.05, 2.0, size=[cards[v] for v in scope])
+        for scope in scopes
+    ]
+    return cards, scopes, tables
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_load_uai_matches_brute_force(tmp_path, seed):
+    """The VE-compiled circuit IS the network polynomial: pointwise values
+    equal the factor product and integration equals Z, on random MARKOV
+    networks with mixed cardinalities."""
+    from cirkit_tpu.backend.jax.queries import IntegrateQuery
+    from cirkit_tpu.models import load_uai
+
+    cards, scopes, tables = _uai_case(seed, n=5)
+    path = tmp_path / "net.uai"
+    path.write_text(_uai_text("MARKOV", cards, scopes, tables))
+    sc = load_uai(str(path))
+    assert sc.is_smooth and sc.is_decomposable
+
+    worlds, want = _brute_force(cards, scopes, tables)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    got = np.exp(
+        np.asarray(cc.evaluate(ctx.parameters, jnp.asarray(worlds)))[:, 0, 0]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    q = IntegrateQuery(cc)
+    z = float(np.exp(np.asarray(q(
+        jnp.asarray(worlds[:1]), integrate_vars=np.ones(len(cards), bool),
+        store=ctx.parameters)))[0, 0, 0])
+    np.testing.assert_allclose(z, want.sum(), rtol=1e-6)
+
+
+def test_load_uai_bayes_normalized(tmp_path):
+    """A BAYES network's CPT product has Z == 1; posterior marginals from
+    IntegrateQuery match enumeration."""
+    from cirkit_tpu.backend.jax.queries import IntegrateQuery
+    from cirkit_tpu.models import load_uai
+    from cirkit_tpu.utils import Scope
+
+    # v0 -> v1 -> v2 chain, binary
+    rng = np.random.default_rng(9)
+    p0 = rng.dirichlet([1, 1])
+    p10 = np.stack([rng.dirichlet([1, 1]) for _ in range(2)])  # (v0, v1)
+    p21 = np.stack([rng.dirichlet([1, 1]) for _ in range(2)])  # (v1, v2)
+    path = tmp_path / "net.uai"
+    path.write_text(_uai_text(
+        "BAYES", [2, 2, 2], [(0,), (0, 1), (1, 2)], [p0, p10, p21]
+    ))
+    sc = load_uai(str(path))
+    worlds, want = _brute_force([2, 2, 2], [(0,), (0, 1), (1, 2)], [p0, p10, p21])
+    np.testing.assert_allclose(want.sum(), 1.0, rtol=1e-12)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    np.testing.assert_allclose(
+        _dist(sc, worlds), want, rtol=1e-6
+    )
+    # p(v2=1 | v0=0): integrate out v1 at evidence (v0=0, v2=1)
+    q = IntegrateQuery(cc)
+    ev = jnp.asarray(np.array([[0, 0, 1]], dtype=np.int64))
+    num = float(np.exp(np.asarray(q(
+        ev, integrate_vars=Scope([1]), store=ctx.parameters))[0, 0, 0]))
+    den = float(np.exp(np.asarray(q(
+        ev, integrate_vars=Scope([1, 2]), store=ctx.parameters))[0, 0, 0]))
+    mask = (worlds[:, 0] == 0)
+    np.testing.assert_allclose(
+        num / den,
+        want[mask & (worlds[:, 2] == 1)].sum() / want[mask].sum(),
+        rtol=1e-6,
+    )
+
+
+def test_load_uai_custom_order_and_free_variable(tmp_path):
+    """A variable in no factor contributes card(v) to Z; a user-supplied
+    elimination order gives the same distribution."""
+    from cirkit_tpu.models import load_uai
+
+    cards, scopes, tables = [2, 3, 2], [(0, 2)], [np.full((2, 2), 0.5)]
+    path = tmp_path / "net.uai"
+    path.write_text(_uai_text("MARKOV", cards, scopes, tables))
+    worlds = np.array(list(np.ndindex(2, 3, 2)), dtype=np.int64)
+    for order in (None, [2, 0, 1], [1, 2, 0]):
+        sc = load_uai(str(path), elimination_order=order)
+        got = _dist(sc, worlds)
+        np.testing.assert_allclose(got, 0.5, rtol=1e-9)
+
+
+def test_load_uai_errors(tmp_path):
+    from cirkit_tpu.models import load_uai
+
+    path = tmp_path / "bad.uai"
+    path.write_text("FACTORGRAPH\n1\n2\n0\n")
+    with pytest.raises(ValueError, match="network type"):
+        load_uai(str(path))
+    path.write_text(_uai_text("MARKOV", [2, 2], [(0, 1)], [np.ones((2, 2))])
+                    .replace("4", "3", 1))
+    with pytest.raises(ValueError, match="entries"):
+        load_uai(str(path))
+    path.write_text(_uai_text("MARKOV", [2, 2], [(0, 1)], [np.ones((2, 2))]))
+    with pytest.raises(ValueError, match="max_table_entries"):
+        load_uai(str(path), max_table_entries=2)
+    with pytest.raises(ValueError, match="permutation"):
+        load_uai(str(path), elimination_order=[0])
