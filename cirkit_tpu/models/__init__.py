@@ -11,6 +11,7 @@ from cirkit_tpu.models.interop import (
     load_jpc,
     load_spflow,
     load_uai,
+    load_uai_evidence,
     save_jpc,
     save_spflow,
 )

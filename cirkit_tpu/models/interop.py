@@ -63,7 +63,14 @@ from cirkit_tpu.symbolic.layers import (
 from cirkit_tpu.symbolic.parameters import Parameter, TensorParameter
 from cirkit_tpu.utils.scope import Scope
 
-__all__ = ["load_jpc", "load_spflow", "load_uai", "save_jpc", "save_spflow"]
+__all__ = [
+    "load_jpc",
+    "load_spflow",
+    "load_uai",
+    "load_uai_evidence",
+    "save_jpc",
+    "save_spflow",
+]
 
 
 def _const(value: np.ndarray, learnable: bool = False) -> Parameter:
@@ -740,3 +747,34 @@ def load_uai(
     if coef != 1.0:
         root = add(("sum", [root], np.asarray([coef])))
     return _build_scalar_circuit(nodes, root, learnable=False, freeze_onehot=True)
+
+
+def load_uai_evidence(filename: str, num_variables: int) -> tuple[np.ndarray, np.ndarray]:
+    """Load a UAI ``.evid`` evidence file: one line of whitespace-separated
+    tokens ``k v_1 x_1 ... v_k x_k`` (k observed variable/value pairs;
+    files with a leading sample count of 1 are accepted too). Returns
+    ``(x, observed)`` — a ``(1, num_variables)`` int32 assignment row
+    (unobserved entries 0) and a ``(num_variables,)`` boolean mask —
+    ready for the queries: pass ``integrate_vars=~observed`` to
+    ``IntegrateQuery`` for the evidence marginal, or
+    ``evidence_mask=observed`` to ``MAPQuery`` for MPE completion."""
+    with open(filename, encoding="utf-8") as f:
+        toks = [int(t) for t in f.read().split()]
+    if not toks:
+        raise ValueError(f"{filename}: empty evidence file")
+    if len(toks) >= 2 and toks[0] == 1 and len(toks) == 2 * toks[1] + 2:
+        toks = toks[1:]  # leading number-of-evidence-samples line
+    k, pairs = toks[0], toks[1:]
+    if len(pairs) != 2 * k:
+        raise ValueError(
+            f"{filename}: expected {k} (variable, value) pairs, "
+            f"got {len(pairs) / 2:g}"
+        )
+    x = np.zeros((1, num_variables), dtype=np.int32)
+    observed = np.zeros(num_variables, dtype=bool)
+    for v, s in zip(pairs[0::2], pairs[1::2]):
+        if not 0 <= v < num_variables:
+            raise ValueError(f"{filename}: evidence variable {v} out of range")
+        x[0, v] = s
+        observed[v] = True
+    return x, observed

@@ -1,13 +1,15 @@
-"""Move trained circuits between ecosystems: Juice ``.jpc`` and SPFlow.
+"""Move models between ecosystems: Juice ``.jpc``, SPFlow, and UAI.
 
 A circuit is learned and EM-trained here, exported to Juice's
 (ProbabilisticCircuits.jl) ``.jpc`` file format and to an SPFlow text
 equation, reloaded from both artifacts in fresh contexts, and shown to
 be the SAME distribution (identical test log-likelihood). The reloaded
 JPC is then EM fine-tuned on fresh data — ``learnable=True`` imports are
-first-class trainable circuits, not frozen snapshots. An extension: the
-reference loads only unparameterized ``.sdd`` logic files and exports
-nothing.
+first-class trainable circuits, not frozen snapshots. Finally a
+UAI-format Markov network is COMPILED into a circuit by bucket
+elimination, making ``IntegrateQuery`` its exact inference engine. An
+extension: the reference loads only unparameterized ``.sdd`` logic files
+and exports nothing.
 
 Run: python examples/interop_formats.py
 """
@@ -21,6 +23,7 @@ from cirkit_tpu.models import (
     learn_spn,
     load_jpc,
     load_spflow,
+    load_uai,
     save_jpc,
     save_spflow,
 )
@@ -78,6 +81,34 @@ def main():
                        batch_size=256)
     tll = float(evaluate_ll(tcc, test, store=tstore))
     print(f"jpc + EM fine-tune: test LL {tll:.4f}")
+
+    # ---- UAI: compile a Markov network into an exact inference engine
+    from cirkit_tpu.backend.jax.queries import IntegrateQuery
+
+    uai_path = os.path.join(out_dir, "chain.uai")
+    with open(uai_path, "w") as f:  # a 4-variable binary chain MRF
+        f.write("MARKOV\n4\n2 2 2 2\n3\n"
+                "2 0 1\n2 1 2\n2 2 3\n"
+                "4\n2.0 1.0 1.0 2.0\n"   # attractive couplings
+                "4\n2.0 1.0 1.0 2.0\n"
+                "4\n2.0 1.0 1.0 2.0\n")
+    mrf = load_uai(uai_path)
+    mctx = PipelineContext(semiring="lse-sum", fold=True)
+    mcc = mctx.compile(mrf)
+    q = IntegrateQuery(mcc)
+    ones = np.ones((1, 4), dtype=np.int32)
+    z = float(np.exp(np.asarray(q(
+        ones, integrate_vars=np.ones(4, bool), store=mctx.parameters))[0, 0, 0]))
+    # p(x3=1 | x0=1) through two marginalization masks
+    num = float(np.exp(np.asarray(q(
+        ones, integrate_vars=np.array([0, 1, 1, 0], bool),
+        store=mctx.parameters))[0, 0, 0]))
+    den = float(np.exp(np.asarray(q(
+        ones, integrate_vars=np.array([0, 1, 1, 1], bool),
+        store=mctx.parameters))[0, 0, 0]))
+    print(f"uai chain MRF:      Z {z:.1f}, p(x3=1 | x0=1) = {num / den:.4f} "
+          "(attractive couplings pull it above 0.5)")
+    assert num / den > 0.5
 
 
 if __name__ == "__main__":

@@ -463,3 +463,38 @@ def test_load_uai_errors(tmp_path):
         load_uai(str(path), max_table_entries=2)
     with pytest.raises(ValueError, match="permutation"):
         load_uai(str(path), elimination_order=[0])
+
+
+def test_load_uai_evidence(tmp_path):
+    """.evid files (with and without the leading sample-count line) drive
+    IntegrateQuery to the exact evidence marginal."""
+    from cirkit_tpu.backend.jax.queries import IntegrateQuery
+    from cirkit_tpu.models import load_uai, load_uai_evidence
+
+    cards, scopes, tables = _uai_case(4, n=4)
+    net = tmp_path / "net.uai"
+    net.write_text(_uai_text("MARKOV", cards, scopes, tables))
+    sc = load_uai(str(net))
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+
+    for text in ("2 0 1 3 0\n", "1\n2 0 1 3 0\n"):
+        ev = tmp_path / "e.evid"
+        ev.write_text(text)
+        x, observed = load_uai_evidence(str(ev), 4)
+        assert list(observed) == [True, False, False, True]
+        assert x[0, 0] == 1 and x[0, 3] == 0
+        got = float(np.exp(np.asarray(IntegrateQuery(cc)(
+            jnp.asarray(x), integrate_vars=~observed,
+            store=ctx.parameters))[0, 0, 0]))
+        worlds, vals = _brute_force(cards, scopes, tables)
+        want = vals[(worlds[:, 0] == 1) & (worlds[:, 3] == 0)].sum()
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    ev = tmp_path / "bad.evid"
+    ev.write_text("3 0 1\n")
+    with pytest.raises(ValueError, match="pairs"):
+        load_uai_evidence(str(ev), 4)
+    ev.write_text("1 9 1\n")
+    with pytest.raises(ValueError, match="out of range"):
+        load_uai_evidence(str(ev), 4)
