@@ -593,7 +593,7 @@ def load_uai(
     filename: str,
     *,
     elimination_order: list[int] | None = None,
-    max_table_entries: int = 1 << 22,
+    max_table_entries: int = 1 << 16,
 ) -> Circuit:
     """Load a UAI-format network (MARKOV or BAYES preamble) and COMPILE it
     into a smooth, decomposable symbolic circuit via bucket (variable)
@@ -623,7 +623,9 @@ def load_uai(
     elimination every child mentions the same variable set, which yields
     smoothness. ``elimination_order`` overrides the default greedy
     min-degree order; ``max_table_entries`` guards against treewidth
-    blow-ups (raise it deliberately for dense networks)."""
+    blow-ups — the default (64k) reflects what the per-assignment host
+    loop and the scalar-layer builder handle in seconds; raise it
+    deliberately for dense networks you are willing to wait on."""
     with open(filename, encoding="utf-8") as f:
         toks = f.read().split()
     pos = 0
@@ -641,6 +643,8 @@ def load_uai(
         raise ValueError(f"{filename}: unknown network type {net_type!r}")
     n = int(take()[0])
     cards = [int(t) for t in take(n)]
+    if any(c < 1 for c in cards):
+        raise ValueError(f"{filename}: variable cardinalities must be >= 1")
     m = int(take()[0])
     scopes: list[tuple[int, ...]] = []
     for _ in range(m):
@@ -648,6 +652,11 @@ def load_uai(
         scope = tuple(int(t) for t in take(k))
         if any(not 0 <= v < n for v in scope):
             raise ValueError(f"{filename}: factor scope {scope} out of range")
+        if len(set(scope)) != len(scope):
+            raise ValueError(
+                f"{filename}: factor scope {scope} repeats a variable "
+                "(forbidden by the UAI format)"
+            )
         scopes.append(scope)
     tables = []
     for scope in scopes:
@@ -662,6 +671,11 @@ def load_uai(
         if np.any(vals < 0.0):
             raise ValueError(f"{filename}: negative factor entries")
         tables.append(vals.reshape([cards[v] for v in scope]))
+    if pos != len(toks):
+        raise ValueError(
+            f"{filename}: {len(toks) - pos} trailing token(s) after the "
+            f"declared {m} factor table(s) — factor count understated?"
+        )
 
     nodes: list[tuple] = []
 
@@ -749,7 +763,9 @@ def load_uai(
     return _build_scalar_circuit(nodes, root, learnable=False, freeze_onehot=True)
 
 
-def load_uai_evidence(filename: str, num_variables: int) -> tuple[np.ndarray, np.ndarray]:
+def load_uai_evidence(
+    filename: str, num_variables: int, *, cards: list[int] | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     """Load a UAI ``.evid`` evidence file: one line of whitespace-separated
     tokens ``k v_1 x_1 ... v_k x_k`` (k observed variable/value pairs;
     files with a leading sample count of 1 are accepted too). Returns
@@ -757,7 +773,12 @@ def load_uai_evidence(filename: str, num_variables: int) -> tuple[np.ndarray, np
     (unobserved entries 0) and a ``(num_variables,)`` boolean mask —
     ready for the queries: pass ``integrate_vars=~observed`` to
     ``IntegrateQuery`` for the evidence marginal, or
-    ``evidence_mask=observed`` to ``MAPQuery`` for MPE completion."""
+    ``evidence_mask=observed`` to ``MAPQuery`` for MPE completion.
+
+    Pass the network's ``cards`` to validate states against variable
+    cardinalities (an evidence file for a different network otherwise
+    produces silently wrong marginals — categorical indexing clamps);
+    negative states always raise."""
     with open(filename, encoding="utf-8") as f:
         toks = [int(t) for t in f.read().split()]
     if not toks:
@@ -775,6 +796,11 @@ def load_uai_evidence(filename: str, num_variables: int) -> tuple[np.ndarray, np
     for v, s in zip(pairs[0::2], pairs[1::2]):
         if not 0 <= v < num_variables:
             raise ValueError(f"{filename}: evidence variable {v} out of range")
+        if s < 0 or (cards is not None and s >= cards[v]):
+            raise ValueError(
+                f"{filename}: evidence state {s} out of range for "
+                f"variable {v}"
+            )
         x[0, v] = s
         observed[v] = True
     return x, observed

@@ -498,3 +498,29 @@ def test_load_uai_evidence(tmp_path):
     ev.write_text("1 9 1\n")
     with pytest.raises(ValueError, match="out of range"):
         load_uai_evidence(str(ev), 4)
+
+
+def test_load_uai_input_validation(tmp_path):
+    from cirkit_tpu.models import load_uai, load_uai_evidence
+
+    path = tmp_path / "bad.uai"
+    # trailing tokens: factor count understated
+    path.write_text("MARKOV\n2\n2 2\n1\n2 0 1\n4\n1 1 1 1\n4\n1 1 1 1\n")
+    with pytest.raises(ValueError, match="trailing"):
+        load_uai(str(path))
+    # zero cardinality
+    path.write_text("MARKOV\n1\n0\n0\n")
+    with pytest.raises(ValueError, match="cardinalities"):
+        load_uai(str(path))
+    # duplicated scope variable
+    path.write_text("MARKOV\n2\n2 2\n1\n2 0 0\n4\n1 1 1 1\n")
+    with pytest.raises(ValueError, match="repeats"):
+        load_uai(str(path))
+    # evidence state validation
+    ev = tmp_path / "e.evid"
+    ev.write_text("1 0 5\n")
+    with pytest.raises(ValueError, match="state"):
+        load_uai_evidence(str(ev), 2, cards=[2, 2])
+    ev.write_text("1 0 -1\n")
+    with pytest.raises(ValueError, match="state"):
+        load_uai_evidence(str(ev), 2)
