@@ -239,6 +239,7 @@ def test_selection_score_math():
         selection_score(0.0, 1, 10, "mdl")
 
 
+@pytest.mark.slow
 def test_grow_prune_loop_bic_rejects_marginal_growth(monkeypatch):
     """With an LL sequence that improves only epsilon per stage, plain 'll'
     selection chases the growth while 'bic' keeps the smaller init model —
@@ -280,6 +281,7 @@ def test_grow_prune_loop_bic_rejects_marginal_growth(monkeypatch):
     assert units(best_bic) < units(best_ll)
 
 
+@pytest.mark.slow
 def test_grow_prune_loop_resume_criterion_mismatch_raises(tmp_path, monkeypatch):
     import cirkit_tpu.parallel as parallel
     from cirkit_tpu.backend.jax import pruning
