@@ -451,6 +451,7 @@ def fit_em(
     mesh: "jax.sharding.Mesh | None" = None,
     axis: str = "data",
     missing: str | float | int | None = None,
+    sample_weight: "np.ndarray | jnp.ndarray | None" = None,
     checkpoint_every: int | None = None,
     checkpoint_path: str | None = None,
     resume: bool = False,
@@ -487,6 +488,13 @@ def fit_em(
     sample and the E-step runs on the marginal likelihood — exact
     missing-at-random EM, monotone, no imputation (semantics per leaf
     family in :func:`em_programs`).
+
+    ``sample_weight`` (length ``len(data)``, nonnegative) runs **weighted
+    EM**: the E-step responsibilities scale by each sample's weight (the
+    flows are gradients of ``sum_i w_i log p(x_i)``) and the closed-form
+    M-step renormalizes, so an integer-weighted run is exactly EM on the
+    correspondingly replicated dataset. Losses become weight-normalized
+    mean NLLs.
 
     With a ``mesh``, the batch shards over the ``axis`` and parameters/flow
     accumulators replicate: the flows are gradients, so XLA inserts the
@@ -535,12 +543,24 @@ def fit_em(
             data = data.astype(np.int32)
         elif data.dtype == np.float64:
             data = data.astype(np.float32)
+    if sample_weight is not None:
+        sample_weight = np.asarray(sample_weight, np.float32).ravel()
+        if sample_weight.shape[0] != len(data):
+            raise ValueError(
+                f"sample_weight has {sample_weight.shape[0]} entries for "
+                f"{len(data)} samples"
+            )
+        if np.any(sample_weight < 0) or not np.all(np.isfinite(sample_weight)):
+            raise ValueError("sample_weight entries must be finite and >= 0")
     if checkpoint_path is not None:
         from cirkit_tpu.utils.checkpoint import data_fingerprint
 
         # ck_schedule: `schedule` is the step-size schedule above
         ck_schedule = np.asarray([len(data), batch_size, int(shuffle)], np.int64)
         ck_data_fp = data_fingerprint(data)
+        if sample_weight is not None:
+            # resume must replay the same weighted objective
+            ck_data_fp = ck_data_fp ^ data_fingerprint(sample_weight)
     if isinstance(missing, float) and np.isnan(missing):
         missing = "nan"  # accept the float spelling of NaN
     if missing == "nan":
@@ -562,6 +582,10 @@ def fit_em(
     store, _zero_acc = state["store"], state["zero_acc"]
 
     num_batches = -(-len(data) // batch_size)
+    _total_weight = (
+        float(len(data)) if sample_weight is None
+        else max(float(np.sum(sample_weight, dtype=np.float64)), 1e-30)
+    )
     losses: list[float] = []
     m_steps = 0
     start_epoch = 0
@@ -643,9 +667,13 @@ def fit_em(
             acc_ll = jnp.zeros(())
             for b in range(num_batches):
                 idx = perm[b * batch_size : (b + 1) * batch_size]
-                weights = np.ones(batch_size, np.float32)
-                if len(idx) < batch_size:
+                if sample_weight is None:
+                    weights = np.ones(batch_size, np.float32)
                     weights[len(idx) :] = 0.0
+                else:
+                    weights = np.zeros(batch_size, np.float32)
+                    weights[: len(idx)] = sample_weight[idx]
+                if len(idx) < batch_size:
                     idx = np.concatenate([idx, np.zeros(batch_size - len(idx), idx.dtype)])
                 batch, w = jnp.asarray(data[idx]), jnp.asarray(weights)
                 miss = jnp.asarray(miss_all[idx]) if miss_all is not None else None
@@ -669,7 +697,7 @@ def fit_em(
             if update_every == "epoch":
                 em_params, gauss_params = em_update(em_params, gauss_params, acc, _step_size())
                 m_steps += 1
-            losses.append(-float(acc_ll) / len(data))
+            losses.append(-float(acc_ll) / _total_weight)
             if guard.flag is not None:
                 _save_ck(epoch + 1)
                 raise Preempted(

@@ -321,6 +321,7 @@ def fit(
     shuffle: bool = True,
     callback: Callable[[int, int, float], Any] | None = None,
     missing: str | float | int | None = None,
+    sample_weight: np.ndarray | jnp.ndarray | None = None,
     checkpoint_every: int | None = None,
     checkpoint_path: str | None = None,
     resume: bool = False,
@@ -341,6 +342,13 @@ def fit(
     missingness pattern is a per-batch runtime mask, so one compiled step
     serves every pattern. Losses are then mean *marginal* NLLs (their
     scale shrinks with the number of observed entries).
+
+    ``sample_weight`` (length ``len(data)``, nonnegative) optimizes the
+    **weighted** likelihood ``sum_i w_i log p(x_i)``: each step's loss is
+    the weight-normalized NLL ``sum w ll / sum w`` over its batch, so an
+    integer-weighted run matches training on the correspondingly
+    replicated dataset. Weighted datasets are the substrate for boosting,
+    importance-sampled corpora and deduplicated data with counts.
 
     ``checkpoint_every=N`` writes an atomic training checkpoint (params +
     optimizer state + step counter + losses) to ``checkpoint_path`` every N
@@ -373,11 +381,23 @@ def fit(
             data = data.astype(np.float32)
     if mesh is not None and batch_size % mesh.devices.size != 0:
         raise ValueError("The batch size must divide evenly across the mesh devices")
+    if sample_weight is not None:
+        sample_weight = np.asarray(sample_weight, np.float32).ravel()
+        if sample_weight.shape[0] != len(data):
+            raise ValueError(
+                f"sample_weight has {sample_weight.shape[0]} entries for "
+                f"{len(data)} samples"
+            )
+        if np.any(sample_weight < 0) or not np.all(np.isfinite(sample_weight)):
+            raise ValueError("sample_weight entries must be finite and >= 0")
     if checkpoint_path is not None:
         from cirkit_tpu.utils.checkpoint import data_fingerprint
 
         schedule = np.asarray([len(data), batch_size, int(shuffle)], np.int64)
         data_fp = data_fingerprint(data)
+        if sample_weight is not None:
+            # resume must replay the same weighted objective
+            data_fp = data_fp ^ data_fingerprint(sample_weight)
 
     trainable, frozen = split_trainable(circuit, store)
     if mesh is not None:
@@ -423,7 +443,7 @@ def fit(
     # A dataset smaller than one batch is itself a "partial batch": pad and
     # weight it like a trailing one instead of silently training zero steps.
     remainder = len(data) % batch_size
-    weighted = remainder != 0
+    weighted = remainder != 0 or sample_weight is not None
     if isinstance(missing, float) and np.isnan(missing):
         missing = "nan"  # accept the float spelling of NaN
     if missing == "nan":
@@ -464,11 +484,11 @@ def fit(
                     continue
                 seen += 1
                 idx = perm[b * batch_size : (b + 1) * batch_size]
-                weights = ones
+                weights = ones if sample_weight is None else sample_weight[idx]
                 if len(idx) < batch_size:
                     # zero-pad the final partial batch; pad rows carry weight 0
                     weights = np.concatenate(
-                        [np.ones(len(idx), np.float32),
+                        [weights[: len(idx)],
                          np.zeros(batch_size - len(idx), np.float32)]
                     )
                     idx = np.concatenate(

@@ -772,3 +772,40 @@ def test_fit_em_keeps_frozen_leaf_and_sum_slots_fixed():
     assert not frozen_changed, frozen_changed
     # the learnable root weight DID train
     assert any(k_ in learnable for k_ in changed)
+
+
+def test_fit_em_sample_weight_matches_replicated_dataset():
+    """Weighted EM == EM on the replicated dataset: the E-step flows are
+    gradients of sum_i w_i log p(x_i), so integer weights reproduce
+    replication exactly (full-batch, step_size=1)."""
+    rng = np.random.default_rng(21)
+    data = rng.integers(0, 256, size=(6, 16))
+    weights = np.array([3, 1, 2, 1, 1, 2], np.float32)
+    replicated = np.repeat(data, weights.astype(int), axis=0)  # 10 rows
+
+    def run(d, sw):
+        ctx = PipelineContext(semiring="lse-sum", fold=True, seed=9)
+        cc = _em_ready_image_circuit(ctx)
+        return fit_em(
+            cc, d, store=dict(ctx.parameters), num_epochs=3,
+            batch_size=len(d), sample_weight=sw,
+        )
+
+    store_r, losses_r = run(replicated, None)
+    store_w, losses_w = run(data, weights)
+    np.testing.assert_allclose(losses_w, losses_r, rtol=1e-9)
+    for k in store_r:
+        np.testing.assert_allclose(
+            np.asarray(store_w[k]), np.asarray(store_r[k]),
+            rtol=1e-8, atol=1e-12, err_msg=k,
+        )
+
+
+def test_fit_em_sample_weight_validation():
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = _em_ready_image_circuit(ctx)
+    data = np.zeros((8, 16), np.int32)
+    with pytest.raises(ValueError, match="entries for"):
+        fit_em(cc, data, sample_weight=np.ones(3))
+    with pytest.raises(ValueError, match="finite and >= 0"):
+        fit_em(cc, data, sample_weight=np.full(8, np.nan))

@@ -205,3 +205,40 @@ def test_zero1_sharded_optimizer_matches_replicated():
         and leaf.sharding.spec == P("data")
     ]
     assert sharded_leaves, "expected at least one ZeRO-sharded optimizer leaf"
+
+
+def test_fit_sample_weight_matches_replicated_dataset():
+    """Integer sample weights must train exactly like the correspondingly
+    replicated dataset: the weighted loss is sum w ll / sum w, so with the
+    same init and full-batch steps the two runs coincide."""
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 256, size=(6, 16))
+    weights = np.array([2, 1, 3, 1, 2, 1], np.float32)
+    replicated = np.repeat(data, weights.astype(int), axis=0)  # 10 rows
+
+    def run(d, sw, bs):
+        ctx = PipelineContext(semiring="lse-sum", fold=True, seed=7)
+        cc = _small_image_circuit(ctx)
+        return fit(
+            cc, d, store=dict(ctx.parameters), num_epochs=3, batch_size=bs,
+            optimizer=optax.sgd(0.05), key=jax.random.PRNGKey(0),
+            shuffle=False, sample_weight=sw,
+        )
+
+    store_r, losses_r = run(replicated, None, 10)
+    store_w, losses_w = run(data, weights, 6)
+    np.testing.assert_allclose(losses_w, losses_r, rtol=1e-9)
+    for k in store_r:
+        np.testing.assert_allclose(
+            np.asarray(store_w[k]), np.asarray(store_r[k]), rtol=1e-9, err_msg=k
+        )
+
+
+def test_fit_sample_weight_validation():
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = _small_image_circuit(ctx)
+    data = np.zeros((8, 16), np.int32)
+    with pytest.raises(ValueError, match="entries for"):
+        fit(cc, data, batch_size=8, sample_weight=np.ones(5))
+    with pytest.raises(ValueError, match="finite and >= 0"):
+        fit(cc, data, batch_size=8, sample_weight=-np.ones(8))
