@@ -117,7 +117,7 @@ def _pad_rows(pad: int | None, x, *masks):
     for m in masks:
         if (
             isinstance(m, (jnp.ndarray, np.ndarray))
-            and np.ndim(m) == 2
+            and np.ndim(m) >= 2
             and np.shape(m)[0] == b
         ):
             padded.append(ext(m))

@@ -64,6 +64,76 @@ def masked_evaluate(
     return cc.evaluate(store, x, module_fn=layer_fn)
 
 
+def soft_leaf_select(layer: JaxLayer, store: Store, out, soft_mask, logw):
+    """Virtual (soft) evidence select for an input layer: where
+    ``soft_mask`` is True at the layer's variable, the leaf contributes
+    ``log sum_s w(s) f(s)`` — Pearl's virtual-evidence message, i.e. the
+    leaf contracted against per-state observation weights ``w`` instead of
+    evaluated at a hard state. ``soft_mask`` is (B, D) boolean; ``logw`` is
+    (B, D, S) LOG-weights over each soft variable's states (a shorter S
+    pads with -inf = zero weight; longer truncates). Computed as a
+    max-shifted exp-weighted contraction over the leaf's normalized state
+    table times its integral, so it is exact under both the lse-sum and
+    sum-product semirings. Continuous leaves have no finite state table
+    and pass through — callers validate that soft variables are
+    finite-support. An extension: the reference has no virtual-evidence
+    surface (``backend/torch/queries.py:19`` has integrate/sample only)."""
+    if not isinstance(layer, JaxInputLayer) or layer.num_variables == 0:
+        return out
+    if layer.num_variables > 1:
+        raise NotImplementedError(
+            "Soft evidence on multivariate input layers is not supported"
+        )
+    if _leaf_support_size(layer) is None:
+        return out  # continuous leaf: the query wrapper validates these away
+    from cirkit_tpu.backend.jax.semiring import LSESumSemiring
+    from cirkit_tpu.backend.jax.utils import safelog
+
+    sm = jnp.transpose(soft_mask[:, layer.scope_idx[:, 0]], (1, 0))[:, :, None]
+    sd = layer.state_distribution(store)  # (F, K, S) normalized
+    iz = layer.integrate(store)  # (F, K) carrier: the factor's total mass
+    lw = jnp.transpose(logw[:, layer.scope_idx[:, 0], :], (1, 0, 2))  # (F, B, S')
+    s = sd.shape[2]
+    if lw.shape[2] < s:
+        lw = jnp.pad(
+            lw, ((0, 0), (0, 0), (0, s - lw.shape[2])), constant_values=-jnp.inf
+        )
+    elif lw.shape[2] > s:
+        lw = lw[:, :, :s]
+    # log sum_s exp(lw_s) p(s), max-shifted; the -1e30 floor guards all--inf
+    # rows (zero-weight everywhere) from producing NaN through the shift —
+    # NOT finfo.min, which bf16 operand conversion on TPU overflows to -inf
+    m = jnp.maximum(jnp.max(lw, axis=2), -1e30)  # (F, B)
+    wexp = jnp.exp(lw - m[:, :, None])
+    val = jnp.einsum("fbs,fks->fbk", wexp, sd, precision=jax.lax.Precision.HIGHEST)
+    logv = safelog(val) + m[:, :, None]
+    sem = layer.semiring
+    weighted = sem.mul(sem.map_from(logv, LSESumSemiring), iz[:, None, :])
+    return jax.tree_util.tree_map(lambda w, o: jnp.where(sm, w, o), weighted, out)
+
+
+def soft_evaluate(
+    cc: JaxCircuit,
+    store: Store,
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    soft_mask: jnp.ndarray,
+    logw: jnp.ndarray,
+) -> jnp.ndarray:
+    """(B, O, K) log-likelihoods with the ``mask``-ed (True) variables
+    marginalized out AND the ``soft_mask``-ed variables observed as
+    *virtual evidence* with per-state log-weights ``logw`` (B, D, S) —
+    the trace-time composable behind ``IntegrateQuery(..., soft_vars=,
+    soft_weights=)``. A variable under both masks is marginalized (the
+    query wrapper validates the masks disjoint)."""
+
+    def layer_fn(layer: JaxLayer, s, xin):
+        out = soft_leaf_select(layer, s, layer(s, xin), soft_mask, logw)
+        return masked_leaf_select(layer, s, out, mask)
+
+    return cc.evaluate(store, x, module_fn=layer_fn)
+
+
 class IntegrateQuery(Query):
     """Per-sample marginalization without recompiling: input-layer steps
     select between the layer's output and its integral with a (B, D) boolean
@@ -81,44 +151,99 @@ class IntegrateQuery(Query):
         self,
         x: jnp.ndarray,
         *,
-        integrate_vars: jnp.ndarray | np.ndarray | Scope | Sequence[Scope],
+        integrate_vars: jnp.ndarray | np.ndarray | Scope | Sequence[Scope] | None = None,
         store: Store | None = None,
         pad_batch_to: int | None = None,
+        soft_vars: jnp.ndarray | np.ndarray | Scope | Sequence[Scope] | None = None,
+        soft_weights: jnp.ndarray | np.ndarray | None = None,
     ) -> jnp.ndarray:
         """Evaluate marginals: ``integrate_vars`` is a (B, D) or (D,) boolean
         mask (True = marginalized), a Scope, or a sequence of Scopes of
         length 1 or B. ``pad_batch_to`` rounds ragged serving batches up to
         a multiple so one compiled program serves every size (array or
-        broadcastable specs only)."""
+        broadcastable specs only).
+
+        ``soft_vars``/``soft_weights`` add **virtual (soft) evidence**
+        (Pearl 1988): each soft variable contributes ``sum_s w(s) p(x=s)``
+        instead of a hard observation — the likelihood of an unreliable
+        sensor reading with per-state weights. ``soft_vars`` selects the
+        variables (same specs as ``integrate_vars``) and ``soft_weights``
+        is a (B, D, S) or (D, S) array of nonnegative linear-space weights
+        over each soft variable's states (rows for non-soft variables are
+        ignored). Uniform weights reduce to marginalization and a one-hot
+        row to hard evidence — both pinned by tests. Soft variables must
+        be finite-support (categorical/binomial/embedding leaves) and
+        disjoint from ``integrate_vars``; entries of ``x`` under soft
+        variables are ignored. Both masks are runtime arguments — one
+        compiled program serves every pattern."""
         cc = self._circuit
-        x, integrate_vars, _b = _pad_rows(pad_batch_to, x, integrate_vars)
-        if isinstance(integrate_vars, (jnp.ndarray, np.ndarray)):
-            mask = jnp.asarray(integrate_vars)
-            if mask.dtype != jnp.bool_:
-                raise ValueError(f"Expected a boolean mask, found dtype {mask.dtype}")
-            if mask.ndim == 1:
-                mask = mask[None]
-            num_vars = max(cc.scope) + 1
-            if mask.shape[1] != num_vars:
-                raise ValueError(
-                    f"The circuit scope has {num_vars} variables, but the mask "
-                    f"covers {mask.shape[1]}"
-                )
-        else:
-            mask = jnp.asarray(IntegrateQuery.scopes_to_mask(cc, integrate_vars))
-        if mask.shape[0] not in (1, x.shape[0]):
+        if (soft_vars is None) != (soft_weights is None):
+            raise ValueError("soft_vars and soft_weights must be passed together")
+        if integrate_vars is None and soft_vars is None:
             raise ValueError(
-                "The number of integration scopes must be 1 (broadcast) or "
-                f"match the batch size: found {mask.shape[0]} != {x.shape[0]}"
+                "Pass integrate_vars (marginalization) and/or "
+                "soft_vars + soft_weights (virtual evidence)"
             )
-        if mask.shape[0] == 1:
-            mask = jnp.broadcast_to(mask, (x.shape[0], mask.shape[1]))
+        if soft_vars is None:
+            x, integrate_vars, _b = _pad_rows(pad_batch_to, x, integrate_vars)
+        else:
+            # normalize the weights to (B, D, S) host-side BEFORE padding so
+            # the row padder treats them like any per-row mask ((D, S) specs
+            # broadcast; a (D, S) array with D == B would otherwise be
+            # ambiguous to the padder)
+            soft_weights = np.asarray(soft_weights, dtype=np.float32)
+            if soft_weights.ndim == 2:
+                soft_weights = np.broadcast_to(
+                    soft_weights[None], (np.shape(x)[0], *soft_weights.shape)
+                )
+            x, integrate_vars, soft_vars, soft_weights, _b = _pad_rows(
+                pad_batch_to, x, integrate_vars, soft_vars, soft_weights
+            )
+        num_vars = max(cc.scope) + 1
+        if integrate_vars is None:
+            mask = jnp.zeros((x.shape[0], num_vars), dtype=jnp.bool_)
+        else:
+            mask = self._as_mask(integrate_vars, x.shape[0])
 
         if store is None:
             store = getattr(cc, "default_store", None)
             if store is None:
                 raise ValueError("No parameter store bound; pass store=...")
         store = cc.restrict_store(store)
+
+        if soft_vars is not None:
+            soft_mask = self._as_mask(soft_vars, x.shape[0])
+            both = np.asarray(mask) & np.asarray(soft_mask)
+            if both.any():
+                raise ValueError(
+                    "A variable cannot be both marginalized and soft-observed: "
+                    f"overlap at variables {sorted(set(np.nonzero(both)[1].tolist()))}"
+                )
+            supports = _variable_supports(cc)
+            used = np.asarray(soft_mask).any(axis=0)
+            bad = [int(v) for v in np.nonzero(used)[0] if supports[v] <= 0]
+            if bad:
+                raise ValueError(
+                    "Soft evidence requires finite-support leaves; variables "
+                    f"{bad} are continuous or have no input layer"
+                )
+            w = np.asarray(soft_weights, dtype=np.float32)
+            if w.ndim != 3 or w.shape[0] != x.shape[0] or w.shape[1] != num_vars:
+                raise ValueError(
+                    f"soft_weights must be (B, D, S) or (D, S) with B={x.shape[0]}, "
+                    f"D={num_vars}; found {w.shape}"
+                )
+            if np.isnan(w).any() or (w < 0).any():
+                raise ValueError("soft_weights must be nonnegative (linear space)")
+            with np.errstate(divide="ignore"):
+                logw = jnp.asarray(np.log(w))
+            fn = getattr(cc, "_soft_integrate_jit", None)
+            if fn is None:
+                fn = jax.jit(
+                    lambda st, xx, mk, sm, lw: soft_evaluate(cc, st, xx, mk, sm, lw)
+                )
+                cc._soft_integrate_jit = fn
+            return _slice_rows(fn(store, jnp.asarray(x), mask, soft_mask, logw), _b)
 
         # The jitted variant is cached on the circuit, not the query object:
         # constructing a fresh IntegrateQuery(cc) must not pay a retrace
@@ -130,6 +255,33 @@ class IntegrateQuery(Query):
             )
             cc._integrate_jit = fn
         return _slice_rows(fn(store, jnp.asarray(x), mask), _b)
+
+    def _as_mask(self, spec, batch: int) -> jnp.ndarray:
+        """Normalize a variable spec (mask / Scope / Scope list) to a
+        (B, D) boolean mask broadcast to the batch."""
+        cc = self._circuit
+        if isinstance(spec, (jnp.ndarray, np.ndarray)):
+            mask = jnp.asarray(spec)
+            if mask.dtype != jnp.bool_:
+                raise ValueError(f"Expected a boolean mask, found dtype {mask.dtype}")
+            if mask.ndim == 1:
+                mask = mask[None]
+            num_vars = max(cc.scope) + 1
+            if mask.shape[1] != num_vars:
+                raise ValueError(
+                    f"The circuit scope has {num_vars} variables, but the mask "
+                    f"covers {mask.shape[1]}"
+                )
+        else:
+            mask = jnp.asarray(IntegrateQuery.scopes_to_mask(cc, spec))
+        if mask.shape[0] not in (1, batch):
+            raise ValueError(
+                "The number of integration scopes must be 1 (broadcast) or "
+                f"match the batch size: found {mask.shape[0]} != {batch}"
+            )
+        if mask.shape[0] == 1:
+            mask = jnp.broadcast_to(mask, (batch, mask.shape[1]))
+        return mask
 
     @staticmethod
     def scopes_to_mask(
