@@ -18,6 +18,7 @@ from cirkit_tpu.pipeline import (  # noqa: E402,F401
     conjugate,
     differentiate,
     integrate,
+    mixture,
     multiply,
 )
 
@@ -28,6 +29,7 @@ __all__ = [
     "conjugate",
     "differentiate",
     "integrate",
+    "mixture",
     "multiply",
     "models",
     "ops",

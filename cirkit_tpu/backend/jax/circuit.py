@@ -186,6 +186,7 @@ class JaxCircuit:
         # -- collect the parameter store specification -------------------------
         self._slots: dict[str, JaxTensorSlot] = {}
         used: set[str] = set()
+        ptr_learnable: set[str] = set()
         for layer in self.layers:
             for node in _iter_param_nodes(layer):
                 if isinstance(node, JaxTensorSlot):
@@ -193,7 +194,14 @@ class JaxCircuit:
                     used.add(node.slot)
                 elif hasattr(node, "slot"):
                     used.add(node.slot)
+                    if getattr(node, "learnable", False):
+                        ptr_learnable.add(node.slot)
         self._used_slots: tuple[str, ...] = tuple(sorted(used))
+        # learnable slots this circuit only POINTS at (parameter sharing with
+        # operand circuits): fit()/fit_em() on a derived circuit trains them
+        self._shared_learnable: frozenset[str] = frozenset(
+            ptr_learnable - set(self._slots)
+        )
 
         self._jit_cache: dict[Any, Callable] = {}
         self._init_jit: Callable | None = None
@@ -206,7 +214,10 @@ class JaxCircuit:
 
     @property
     def learnable_slots(self) -> frozenset[str]:
-        return frozenset(s for s, n in self._slots.items() if n.learnable)
+        return (
+            frozenset(s for s, n in self._slots.items() if n.learnable)
+            | self._shared_learnable
+        )
 
     def initialize(self, key: jax.Array | None = None) -> dict[str, jnp.ndarray]:
         """Build a freshly-initialized parameter store (a flat pytree).

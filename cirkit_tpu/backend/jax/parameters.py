@@ -212,11 +212,18 @@ class JaxPointerSlot(JaxParameterInput):
         *,
         fold_idx: np.ndarray | None,
         num_folds: int = 1,
+        learnable: bool = False,
     ):
         super().__init__(num_folds=num_folds)
         self.slot = slot
         self._shape = tuple(shape)
         self.fold_idx = None if fold_idx is None else np.asarray(fold_idx, dtype=np.int32)
+        # whether the POINTED-TO tensor slot is learnable: lets derived
+        # circuits (operator results, ensembles) report shared parameters in
+        # learnable_slots, so fit()/fit_em() on them trains the shared store
+        # entries — parameter-sharing parity with the reference, where
+        # operator outputs reuse the operands' nn.Parameters
+        self.learnable = bool(learnable)
 
     @property
     def shape(self) -> Shape:
@@ -237,7 +244,13 @@ class JaxPointerSlot(JaxParameterInput):
                 for n in group
             ]
         )
-        return JaxPointerSlot(self.slot, self._shape, fold_idx=idx, num_folds=len(idx))
+        return JaxPointerSlot(
+            self.slot,
+            self._shape,
+            fold_idx=idx,
+            num_folds=len(idx),
+            learnable=any(getattr(n, "learnable", False) for n in group),
+        )
 
     def __call__(self, store: Store, *ins: jnp.ndarray) -> jnp.ndarray:
         x = store[self.slot]

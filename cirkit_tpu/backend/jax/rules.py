@@ -170,7 +170,9 @@ def compile_tensor_parameter(
     if state.has_parameter(p):
         # The same symbolic tensor already has a slot: share it via a pointer.
         slot, positions = state.lookup(p)
-        return jp.JaxPointerSlot(slot, p.shape, fold_idx=np.asarray(positions))
+        return jp.JaxPointerSlot(
+            slot, p.shape, fold_idx=np.asarray(positions), learnable=p.learnable
+        )
     init_fn = compiler.compile_initializer(p)
     slot = state.alloc_slot()
     node = jp.JaxTensorSlot(
@@ -189,7 +191,12 @@ def compile_reference_parameter(
     compiler: "JaxCompiler", p: syp.ReferenceParameter
 ) -> jp.JaxParameterNode:
     slot, positions = compiler.state.lookup(p.deref())
-    return jp.JaxPointerSlot(slot, p.shape, fold_idx=np.asarray(positions))
+    return jp.JaxPointerSlot(
+        slot,
+        p.shape,
+        fold_idx=np.asarray(positions),
+        learnable=getattr(p.deref(), "learnable", False),
+    )
 
 
 def _unary(cls):

@@ -166,6 +166,17 @@ class PipelineContext(AbstractContextManager):
         sc = self._symbolic_operand(cc)
         return self.compile(SF.integrate(sc, scope=scope, registry=self._op_registry))
 
+    def mixture(self, *cc, weights=None, weight_factory=None):
+        scs = [self._symbolic_operand(c, f"The {i}-th") for i, c in enumerate(cc)]
+        return self.compile(
+            SF.mixture(
+                scs,
+                weights=weights,
+                weight_factory=weight_factory,
+                registry=self._op_registry,
+            )
+        )
+
     def multiply(self, cc1, cc2):
         sc1 = self._symbolic_operand(cc1, "The first")
         sc2 = self._symbolic_operand(cc2, "The second")
@@ -208,6 +219,12 @@ def multiply(cc1, cc2, ctx: PipelineContext | None = None):
     if ctx is None:
         ctx = _PIPELINE_CONTEXT.get()
     return ctx.multiply(cc1, cc2)
+
+
+def mixture(*cc, weights=None, weight_factory=None, ctx: PipelineContext | None = None):
+    if ctx is None:
+        ctx = _PIPELINE_CONTEXT.get()
+    return ctx.mixture(*cc, weights=weights, weight_factory=weight_factory)
 
 
 def differentiate(cc, ctx: PipelineContext | None = None, *, order: int = 1):

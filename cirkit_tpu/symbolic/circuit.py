@@ -50,6 +50,7 @@ class CircuitOperator(IntEnum):
     DIFFERENTIATION = auto()
     MULTIPLICATION = auto()
     CONJUGATION = auto()
+    MIXTURE = auto()
 
 
 @dataclass(frozen=True)

@@ -32,7 +32,16 @@ from cirkit_tpu.symbolic.layers import (
     ProductLayer,
     SumLayer,
 )
-from cirkit_tpu.symbolic.parameters import ConstantParameter, Parameter
+from cirkit_tpu.symbolic.initializers import NormalInitializer
+from cirkit_tpu.symbolic.parameters import (
+    ConstantParameter,
+    MixingWeightParameter,
+    Parameter,
+    ParameterFactory,
+    SoftmaxParameter,
+    TensorParameter,
+    mixing_weight_factory,
+)
 from cirkit_tpu.symbolic.registry import OPERATOR_REGISTRY, OperatorRegistry
 from cirkit_tpu.utils.scope import Scope
 
@@ -62,6 +71,103 @@ def concatenate(
         in_blocks,
         output_blocks,
         operation=CircuitOperation(CircuitOperator.CONCATENATE, tuple(scs)),
+    )
+
+
+def mixture(
+    scs: Sequence[Circuit],
+    *,
+    weights: Sequence[Number] | np.ndarray | None = None,
+    weight_factory: ParameterFactory | None = None,
+    registry: OperatorRegistry | None = None,
+) -> Circuit:
+    """A mixture (weighted model average) of same-scope circuits: copies
+    every operand and adds one mixing :class:`SumLayer` over their roots.
+    The ensemble combinator — train k circuits independently (different
+    templates, seeds, or bagged data), then serve one circuit whose density
+    is ``sum_i w_i p_i(x)``; every query (marginals, MAP, sampling,
+    expectations) applies to the ensemble directly. An extension: the
+    reference has no circuit-combination surface beyond concatenate
+    (ref ``symbolic/functional.py:31``, outputs stacked, never mixed).
+
+    Requirements: at least two circuits over identical scopes, each with a
+    single output layer, all roots with the same number of output units K
+    (K=1 for densities; K>1 mixes unit-wise through a block-diagonal
+    Einsum-Networks-style mixing weight).
+
+    ``weights``: fixed nonnegative mixture coefficients (length-n, stored
+    as a frozen :class:`ConstantParameter`; the mixture is normalized when
+    the operands are normalized and the weights sum to 1). Default:
+    learnable softmax coefficients, so :func:`cirkit_tpu.parallel.fit`
+    can tune the blend (``weight_factory`` overrides the (K, n)
+    coefficient parameterization; build with
+    ``Parameterization(activation="none", initialization="dirichlet")``
+    factories for EM-eligibility)."""
+    scs = list(scs)
+    if len(scs) < 2:
+        raise ValueError(f"A mixture needs at least two circuits, found {len(scs)}")
+    scope = scs[0].scope
+    for i, sc in enumerate(scs):
+        if sc.scope != scope:
+            raise ValueError(
+                f"All mixture components must share one scope; circuit {i} "
+                f"has {sc.scope} != {scope}"
+            )
+        if len(sc.outputs) != 1:
+            raise ValueError(
+                f"Each mixture component must have a single output layer; "
+                f"circuit {i} has {len(sc.outputs)}"
+            )
+    k = scs[0].outputs[0].num_output_units
+    for i, sc in enumerate(scs):
+        if sc.outputs[0].num_output_units != k:
+            raise ValueError(
+                "All mixture components must have the same number of root "
+                f"units; circuit {i} has {sc.outputs[0].num_output_units} != {k}"
+            )
+    n = len(scs)
+
+    blocks: list[CircuitBlock] = []
+    in_blocks: dict[CircuitBlock, list[CircuitBlock]] = {}
+    root_blocks: list[CircuitBlock] = []
+    for sc in scs:
+        block_of: dict[Layer, CircuitBlock] = {}
+        for sl in sc.topological_ordering():
+            b = CircuitBlock.from_layer(sl.copyref())
+            blocks.append(b)
+            in_blocks[b] = [block_of[sli] for sli in sc.layer_inputs(sl)]
+            block_of[sl] = b
+        root_blocks.append(block_of[sc.outputs[0]])
+
+    if weights is not None:
+        w = np.asarray(weights, dtype=np.float64)
+        if w.shape != (n,):
+            raise ValueError(f"weights must have shape ({n},), found {w.shape}")
+        if np.any(w < 0) or not np.all(np.isfinite(w)):
+            raise ValueError("Mixture weights must be finite and nonnegative")
+        coeff = Parameter.from_input(
+            ConstantParameter(k, n, value=np.broadcast_to(w, (k, n)).copy())
+        )
+        weight = Parameter.from_unary(MixingWeightParameter((k, n)), coeff)
+    else:
+        def _softmax_coeffs(cshape):
+            return Parameter.from_unary(
+                SoftmaxParameter(cshape),
+                TensorParameter(*cshape, initializer=NormalInitializer()),
+            )
+
+        pf = weight_factory if weight_factory is not None else _softmax_coeffs
+        weight = mixing_weight_factory((k, n * k), param_factory=pf)
+
+    mix = SumLayer(k, k, arity=n, weight=weight)
+    mb = CircuitBlock.from_layer(mix)
+    blocks.append(mb)
+    in_blocks[mb] = root_blocks
+    return Circuit.from_operation(
+        blocks,
+        in_blocks,
+        [mb],
+        operation=CircuitOperation(CircuitOperator.MIXTURE, tuple(scs)),
     )
 
 

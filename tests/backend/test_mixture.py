@@ -1,0 +1,182 @@
+"""The mixture operator: ensembles of independently built circuits served
+as one circuit. Pinned against per-operand evaluation (p_mix = sum w_i p_i)
+and exhaustive enumeration; queries run on the ensemble directly. An
+extension — the reference combines circuits only by concatenation
+(ref ``symbolic/functional.py:31``)."""
+
+import numpy as np
+import pytest
+
+import cirkit_tpu
+from cirkit_tpu.backend.jax.queries import IntegrateQuery, MAPQuery
+from cirkit_tpu.pipeline import PipelineContext
+from cirkit_tpu.symbolic import functional as SF
+from cirkit_tpu.utils import Scope
+
+from tests.fixtures import build_multivariate_categorical_pc
+from tests.reference_eval import enumerate_worlds, eval_circuit
+
+
+def _components(n=2, seed=50):
+    return [
+        build_multivariate_categorical_pc(
+            num_variables=3, rng=np.random.default_rng(seed + i)
+        )
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("fold", [False, True])
+def test_fixed_weight_mixture_matches_per_operand_eval(fold):
+    scs = _components(3)
+    w = np.array([0.5, 0.2, 0.3])
+    mix = SF.mixture(scs, weights=w)
+    worlds = enumerate_worlds(3, 2)
+    want = sum(wi * eval_circuit(sc, worlds)[:, 0, 0] for wi, sc in zip(w, scs))
+
+    ctx = PipelineContext(semiring="lse-sum", fold=fold)
+    cc = ctx.compile(mix)
+    got = np.exp(np.asarray(cc(ctx.parameters, worlds))[:, 0, 0])
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+    # partition function: Z_mix = sum_i w_i Z_i (operands are unnormalized)
+    z = np.asarray(
+        IntegrateQuery(cc)(
+            worlds[:1], integrate_vars=Scope(range(3)), store=ctx.parameters
+        )
+    )[0, 0, 0]
+    z_want = sum(
+        wi * eval_circuit(sc, worlds)[:, 0, 0].sum() for wi, sc in zip(w, scs)
+    )
+    np.testing.assert_allclose(np.exp(z), z_want, rtol=1e-9)
+
+
+def test_default_softmax_mixture_is_normalized_and_trainable():
+    import optax
+
+    from cirkit_tpu.parallel import fit
+
+    scs = _components(2, seed=60)
+    ctx = PipelineContext(semiring="lse-sum", fold=True, seed=3)
+    cc = ctx.compile(SF.mixture(scs))
+    worlds = enumerate_worlds(3, 2)
+    # Z of the compiled mixture == brute-force sum of its own outputs
+    # (the softmax coefficients are convex but the operands unnormalized)
+    z = np.asarray(
+        IntegrateQuery(cc)(
+            worlds[:1], integrate_vars=Scope(range(3)), store=ctx.parameters
+        )
+    )[0, 0, 0]
+    z_want = np.exp(np.asarray(cc(ctx.parameters, worlds))[:, 0, 0]).sum()
+    np.testing.assert_allclose(np.exp(z), z_want, rtol=1e-6)
+
+    data = np.concatenate([worlds] * 8)
+    store, losses = fit(
+        cc, data, store=dict(ctx.parameters), num_epochs=20, batch_size=64,
+        optimizer=optax.adam(5e-2), shuffle=False,
+    )
+    assert losses[-1] < losses[0]
+
+
+def test_mixture_queries_run_on_the_ensemble():
+    scs = _components(2, seed=70)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    w = np.array([0.6, 0.4])
+    cc = ctx.compile(SF.mixture(scs, weights=w))
+    worlds = enumerate_worlds(3, 2)
+
+    # per-sample marginals distribute over the mixture:
+    # integrate(p_mix) = sum_i w_i integrate(p_i)
+    got = np.exp(
+        np.asarray(
+            IntegrateQuery(cc)(
+                worlds, integrate_vars=Scope([1]), store=ctx.parameters
+            )
+        )[:, 0, 0]
+    )
+    full = [eval_circuit(sc, worlds)[:, 0, 0].reshape(2, 2, 2) for sc in scs]
+    want = sum(wi * f.sum(axis=1) for wi, f in zip(w, full))[
+        worlds[:, 0], worlds[:, 2]
+    ]
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+    # MAP runs on the ensemble (max-product parse; exact on this small case
+    # means its score upper-bounds every world's mixture density)
+    import jax
+
+    mask = np.zeros((1, 3), dtype=bool)  # nothing observed
+    val, states = MAPQuery(cc)(
+        np.zeros((1, 3), np.int32), evidence_mask=mask, store=ctx.parameters
+    )
+    probs = sum(wi * f.reshape(-1) for wi, f in zip(w, full))
+    assert float(np.asarray(val).reshape(-1)[0]) >= np.log(probs.max()) - 1e-9
+
+    # sampling draws valid ensemble states
+    from cirkit_tpu.backend.jax.queries import SamplingQuery
+
+    samples, _ = SamplingQuery(cc)(16, key=jax.random.PRNGKey(0), store=ctx.parameters)
+    arr = np.asarray(samples)
+    assert arr.shape[-1] == 3 and arr.min() >= 0 and arr.max() <= 1
+
+
+def test_pipeline_mixture_wrapper_accepts_compiled_operands():
+    scs = _components(2, seed=80)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc1, cc2 = ctx.compile(scs[0]), ctx.compile(scs[1])
+    mixed = ctx.mixture(cc1, cc2, weights=np.array([0.25, 0.75]))
+    worlds = enumerate_worlds(3, 2)
+    want = 0.25 * eval_circuit(scs[0], worlds)[:, 0, 0] + 0.75 * eval_circuit(
+        scs[1], worlds
+    )[:, 0, 0]
+    got = np.exp(np.asarray(mixed(ctx.parameters, worlds))[:, 0, 0])
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+    # module-level wrapper too
+    with ctx:
+        mixed2 = cirkit_tpu.mixture(cc1, cc2, weights=np.array([0.25, 0.75]))
+    got2 = np.exp(np.asarray(mixed2(ctx.parameters, worlds))[:, 0, 0])
+    np.testing.assert_allclose(got2, want, rtol=1e-9)
+
+
+def test_mixture_validation_errors():
+    scs = _components(2)
+    with pytest.raises(ValueError, match="at least two"):
+        SF.mixture(scs[:1])
+    other = build_multivariate_categorical_pc(
+        num_variables=4, rng=np.random.default_rng(90)
+    )
+    with pytest.raises(ValueError, match="share one scope"):
+        SF.mixture([scs[0], other])
+    with pytest.raises(ValueError, match=r"shape \(2,\)"):
+        SF.mixture(scs, weights=np.array([0.5, 0.3, 0.2]))
+    with pytest.raises(ValueError, match="nonnegative"):
+        SF.mixture(scs, weights=np.array([-0.5, 1.5]))
+
+
+def test_mixture_trains_shared_component_parameters():
+    """Learnability flows through pointer slots: fit() on the ensemble
+    fine-tunes the components' shared store entries, not just the blend
+    (parameter-sharing parity with the reference's operator outputs)."""
+    import optax
+
+    from cirkit_tpu.parallel import fit
+    from cirkit_tpu.parallel.training import split_trainable
+
+    scs = _components(2, seed=95)
+    ctx = PipelineContext(semiring="lse-sum", fold=True, seed=5)
+    cc1, cc2 = ctx.compile(scs[0]), ctx.compile(scs[1])
+    mixed = ctx.mixture(cc1, cc2)
+    trainable, _ = split_trainable(mixed, ctx.parameters)
+    shared = set(trainable) & set(cc1.used_slots)
+    assert shared, "expected the ensemble to train the components' slots"
+
+    worlds = enumerate_worlds(3, 2)
+    store, _ = fit(
+        mixed, np.concatenate([worlds] * 4), store=dict(ctx.parameters),
+        num_epochs=2, batch_size=16, optimizer=optax.adam(5e-2),
+        shuffle=False,
+    )
+    moved = [
+        k for k in shared
+        if not np.allclose(np.asarray(store[k]), np.asarray(ctx.parameters[k]))
+    ]
+    assert moved, "shared component parameters did not move under fit()"

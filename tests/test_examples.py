@@ -22,6 +22,7 @@ EXAMPLES = {
         "SIDE": "4", "UNITS": "4", "STEPS": "10", "BATCH": "64", "LAMBDAS": "0.5",
     },
     "em_training": {"SIDE": "4", "UNITS": "4", "EPOCHS": "3", "BATCH": "128"},
+    "ensemble_mixture": {"SIDE": "4", "UNITS": "4", "EPOCHS": "1"},
     "structure_learning": {"VARS": "5", "SAMPLES": "600"},
     "interop_formats": {"VARS": "5", "SAMPLES": "600"},
     "model_distillation": {"SIDE": "3", "UNITS": "4", "EPOCHS": "3"},
