@@ -59,9 +59,20 @@ from cirkit_tpu.backend.jax.parameters import (
     JaxMatMulParameter,
     JaxMixingWeightParameter,
     JaxParameter,
+    JaxPointerSlot,
     JaxTensorSlot,
     Store,
 )
+
+# Store reads inside a weight graph: a slot's own tensor, or a POINTER to a
+# slot allocated elsewhere (parameter sharing — operator-derived circuits
+# such as `mixture` ensembles, and `ref()`-tied weights). Flows computed as
+# ``theta * dLL/dtheta`` on the *underlying store entry* are exact through
+# any pointer gather (the gather is 0/1-linear, and autodiff accumulates
+# the per-use partials), so EM on a derived circuit trains the shared
+# parameters — the tied-multinomial M-step (normalize the SUMMED expected
+# counts across uses).
+_SLOT_READS = (JaxTensorSlot, JaxPointerSlot)
 
 
 def _flow_slot(param: JaxParameter) -> str | None:
@@ -69,11 +80,11 @@ def _flow_slot(param: JaxParameter) -> str | None:
     flow identity ``flows = theta * dLL/dtheta``: a bare slot read, or a
     slot feeding a MixingWeight 0/1 placement."""
     nodes = list(param.topological_ordering())
-    if len(nodes) == 1 and isinstance(nodes[0], JaxTensorSlot):
+    if len(nodes) == 1 and isinstance(nodes[0], _SLOT_READS):
         return nodes[0].slot
     if (
         len(nodes) == 2
-        and isinstance(nodes[0], JaxTensorSlot)
+        and isinstance(nodes[0], _SLOT_READS)
         and isinstance(nodes[1], JaxMixingWeightParameter)
     ):
         return nodes[0].slot
@@ -100,13 +111,48 @@ def _flow_slots(param: JaxParameter) -> list[str]:
     latent chain.
     """
     nodes = list(param.topological_ordering())
-    slots = [n for n in nodes if isinstance(n, JaxTensorSlot)]
-    ops = [n for n in nodes if not isinstance(n, JaxTensorSlot)]
+    slots = [n for n in nodes if isinstance(n, _SLOT_READS)]
+    ops = [n for n in nodes if not isinstance(n, _SLOT_READS)]
     if not slots or len({n.slot for n in slots}) != len(slots):
         return []
     if all(isinstance(n, _FLOW_LINEAR_OPS) for n in ops):
         return [n.slot for n in slots]
     return []
+
+
+def _slot_read_counts(circuit: JaxCircuit) -> dict[str, int]:
+    """How many weight-graph reads each store slot has across the circuit
+    (tensor slots + pointers)."""
+    counts: dict[str, int] = {}
+    for layer in circuit.layers:
+        for p in layer.params.values():
+            for n in p.topological_ordering():
+                if isinstance(n, _SLOT_READS):
+                    counts[n.slot] = counts.get(n.slot, 0) + 1
+    return counts
+
+
+def _leaf_slot(param: JaxParameter, read_counts: dict[str, int]) -> str | None:
+    """The slot behind a Gaussian/Binomial leaf parameter when the
+    closed-form per-layer M-step can address it: a bare read whose layer
+    folds align 1:1 with the slot folds (a tensor slot, or a pointer with
+    an identity fold map) and which no other layer reads — the per-layer
+    offset counts S0 pair ELEMENTWISE with the slot-fold gradients, so a
+    permuted or shared read would misalign/double-count them (unlike the
+    sum/categorical path, whose normalized-flow update is gather-exact)."""
+    nodes = list(param.topological_ordering())
+    if len(nodes) != 1:
+        return None
+    n = nodes[0]
+    if isinstance(n, JaxPointerSlot):
+        idx = n.fold_idx
+        if idx is not None and not np.array_equal(idx, np.arange(len(idx))):
+            return None
+    elif not isinstance(n, JaxTensorSlot):
+        return None
+    if read_counts.get(n.slot, 0) > 1:
+        return None
+    return n.slot
 
 
 def em_slots(circuit: JaxCircuit) -> dict[str, str]:
@@ -121,9 +167,10 @@ def em_slots(circuit: JaxCircuit) -> dict[str, str]:
     for layer in circuit.layers:
         if isinstance(layer, (JaxSumLayer, JaxCPTLayer, JaxTuckerLayer, JaxTensorDotLayer)):
             layer_slots = [
-                s.slot
+                n.slot
                 for p in layer.params.values()
-                for s in p.tensor_slots()
+                for n in p.topological_ordering()
+                if isinstance(n, _SLOT_READS)
             ]
             if not any(s in learnable for s in layer_slots):
                 continue  # entirely frozen (ConstantParameter): fixed by intent
@@ -157,12 +204,13 @@ def gaussian_em_layers(
     slots, as ``(layer_index, layer, mean_slot, stddev_slot)``; others
     (reparameterized or frozen ``ConstantParameter``) stay fixed."""
     learnable = circuit.learnable_slots
+    counts = _slot_read_counts(circuit)
     out = []
     for i, layer in enumerate(circuit.layers):
         if not isinstance(layer, JaxGaussianLayer) or layer.log_partition is not None:
             continue
-        mean_slot = _flow_slot(layer.mean)
-        std_slot = _flow_slot(layer.stddev)
+        mean_slot = _leaf_slot(layer.mean, counts)
+        std_slot = _leaf_slot(layer.stddev, counts)
         if (
             mean_slot in learnable
             and std_slot in learnable
@@ -178,16 +226,17 @@ def binomial_em_layers(
     ``logits`` slot, as ``(layer_index, layer, slot, kind)`` with kind
     "probs"/"logits"; frozen (``ConstantParameter``) slots stay fixed."""
     learnable = circuit.learnable_slots
+    counts = _slot_read_counts(circuit)
     out = []
     for i, layer in enumerate(circuit.layers):
         if not isinstance(layer, JaxBinomialLayer):
             continue
         if layer.probs is not None:
-            slot = _flow_slot(layer.probs)
+            slot = _leaf_slot(layer.probs, counts)
             if slot in learnable:
                 out.append((i, layer, slot, "probs"))
         else:
-            slot = _flow_slot(layer.logits)
+            slot = _leaf_slot(layer.logits, counts)
             if slot in learnable:
                 out.append((i, layer, slot, "logits"))
     return out
@@ -242,9 +291,10 @@ def em_programs(
         constants, e.g. a distilled tree's indicator leaves) — then the
         leaf staying fixed is by construction, not a silent no-op."""
         return any(
-            slot.slot in learnable
+            n.slot in learnable
             for p in layer.params.values()
-            for slot in p.tensor_slots()
+            for n in p.topological_ordering()
+            if isinstance(n, _SLOT_READS)
         )
 
     has_leaves = any(

@@ -166,13 +166,14 @@ class PipelineContext(AbstractContextManager):
         sc = self._symbolic_operand(cc)
         return self.compile(SF.integrate(sc, scope=scope, registry=self._op_registry))
 
-    def mixture(self, *cc, weights=None, weight_factory=None):
+    def mixture(self, *cc, weights=None, weight_factory=None, em_ready=False):
         scs = [self._symbolic_operand(c, f"The {i}-th") for i, c in enumerate(cc)]
         return self.compile(
             SF.mixture(
                 scs,
                 weights=weights,
                 weight_factory=weight_factory,
+                em_ready=em_ready,
                 registry=self._op_registry,
             )
         )
@@ -221,10 +222,18 @@ def multiply(cc1, cc2, ctx: PipelineContext | None = None):
     return ctx.multiply(cc1, cc2)
 
 
-def mixture(*cc, weights=None, weight_factory=None, ctx: PipelineContext | None = None):
+def mixture(
+    *cc,
+    weights=None,
+    weight_factory=None,
+    em_ready=False,
+    ctx: PipelineContext | None = None,
+):
     if ctx is None:
         ctx = _PIPELINE_CONTEXT.get()
-    return ctx.mixture(*cc, weights=weights, weight_factory=weight_factory)
+    return ctx.mixture(
+        *cc, weights=weights, weight_factory=weight_factory, em_ready=em_ready
+    )
 
 
 def differentiate(cc, ctx: PipelineContext | None = None, *, order: int = 1):

@@ -32,7 +32,7 @@ from cirkit_tpu.symbolic.layers import (
     ProductLayer,
     SumLayer,
 )
-from cirkit_tpu.symbolic.initializers import NormalInitializer
+from cirkit_tpu.symbolic.initializers import DirichletInitializer, NormalInitializer
 from cirkit_tpu.symbolic.parameters import (
     ConstantParameter,
     MixingWeightParameter,
@@ -79,6 +79,7 @@ def mixture(
     *,
     weights: Sequence[Number] | np.ndarray | None = None,
     weight_factory: ParameterFactory | None = None,
+    em_ready: bool = False,
     registry: OperatorRegistry | None = None,
 ) -> Circuit:
     """A mixture (weighted model average) of same-scope circuits: copies
@@ -99,10 +100,12 @@ def mixture(
     as a frozen :class:`ConstantParameter`; the mixture is normalized when
     the operands are normalized and the weights sum to 1). Default:
     learnable softmax coefficients, so :func:`cirkit_tpu.parallel.fit`
-    can tune the blend (``weight_factory`` overrides the (K, n)
-    coefficient parameterization; build with
-    ``Parameterization(activation="none", initialization="dirichlet")``
-    factories for EM-eligibility)."""
+    can tune the blend. ``weight_factory`` overrides the (K, n)
+    coefficient parameterization; ``em_ready=True`` swaps the softmax
+    default for plain Dirichlet-initialized coefficients so
+    :func:`cirkit_tpu.parallel.fit_em` can train the blend (the classic
+    EM-over-mixture-weights setting — components built with
+    ``em_ready=True`` templates then train jointly)."""
     scs = list(scs)
     if len(scs) < 2:
         raise ValueError(f"A mixture needs at least two circuits, found {len(scs)}")
@@ -156,7 +159,17 @@ def mixture(
                 TensorParameter(*cshape, initializer=NormalInitializer()),
             )
 
-        pf = weight_factory if weight_factory is not None else _softmax_coeffs
+        def _plain_dirichlet_coeffs(cshape):
+            return Parameter.from_input(
+                TensorParameter(*cshape, initializer=DirichletInitializer())
+            )
+
+        if weight_factory is not None:
+            pf = weight_factory
+        elif em_ready:
+            pf = _plain_dirichlet_coeffs
+        else:
+            pf = _softmax_coeffs
         weight = mixing_weight_factory((k, n * k), param_factory=pf)
 
     mix = SumLayer(k, k, arity=n, weight=weight)

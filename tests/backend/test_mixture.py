@@ -152,6 +152,111 @@ def test_mixture_validation_errors():
         SF.mixture(scs, weights=np.array([-0.5, 1.5]))
 
 
+def test_em_ready_mixture_matches_textbook_weight_update():
+    """EM on the ensemble blend: with frozen components, one full-batch EM
+    step from weights w must land on the textbook mixture-weight update
+    w_i' = mean_b [ w_i p_i(x_b) / p_mix(x_b) ] (responsibility averages),
+    computed here by exhaustive enumeration."""
+    from cirkit_tpu.parallel.em import fit_em
+
+    scs = _components(3, seed=100)
+    ctx = PipelineContext(semiring="lse-sum", fold=True, seed=7)
+    cc = ctx.compile(SF.mixture(scs, em_ready=True))
+    blend_slot = [s for s in cc.learnable_slots if s in cc._slots]
+    assert len(blend_slot) == 1, "expected exactly one learnable blend slot"
+    (blend_slot,) = blend_slot
+
+    worlds = enumerate_worlds(3, 2)
+    data = np.concatenate([worlds, worlds[:3]])  # non-uniform empirical dist
+    w0 = np.asarray(ctx.parameters[blend_slot]).reshape(-1).astype(np.float64)
+    comp = np.stack([eval_circuit(sc, data)[:, 0, 0] for sc in scs])  # (n, B)
+    resp = (w0[:, None] * comp) / (w0[:, None] * comp).sum(0, keepdims=True)
+    want = resp.mean(axis=1)
+
+    store, losses = fit_em(
+        cc, data, store=dict(ctx.parameters), num_epochs=1,
+        batch_size=len(data), pseudocount=0.0,
+    )
+    got = np.asarray(store[blend_slot]).reshape(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    assert len(losses) == 1
+
+
+def test_em_ready_mixture_joint_em_is_monotone():
+    """Joint EM through the ensemble: em_ready components (plain dirichlet
+    leaves + sums) AND the blend train together; full-batch NLL is
+    non-increasing every epoch."""
+    from cirkit_tpu.models import tabular_data
+    from cirkit_tpu.parallel.em import fit_em
+
+    rng = np.random.default_rng(4)
+    data = rng.integers(0, 2, size=(256, 3))
+    ctx = PipelineContext(semiring="lse-sum", fold=True, seed=9)
+    comps = [
+        ctx.compile(
+            tabular_data(
+                "random-binary-tree",
+                num_features=3,
+                input_layers={"name": "categorical", "args": {"num_categories": 2}},
+                num_input_units=2 + i,
+                sum_product_layer="cp",
+                num_sum_units=2 + i,
+                em_ready=True,
+            )
+        )
+        for i in range(2)
+    ]
+    mixed = ctx.mixture(*comps, em_ready=True)
+    store, losses = fit_em(
+        mixed, data, store=dict(ctx.parameters), num_epochs=5, batch_size=256
+    )
+    assert all(b <= a + 1e-7 for a, b in zip(losses, losses[1:])), losses
+    # the components' own slots moved (joint EM, not blend-only)
+    moved = [
+        k for k in set(comps[0].learnable_slots)
+        if not np.allclose(np.asarray(store[k]), np.asarray(ctx.parameters[k]))
+    ]
+    assert moved
+
+
+def test_em_ready_gaussian_mixture_trains_leaves():
+    """The Gaussian closed-form M-step reaches leaves behind identity-fold
+    pointer slots (ensemble components): monotone NLL, leaf params move."""
+    from cirkit_tpu.models import tabular_data
+    from cirkit_tpu.parallel.em import fit_em, gaussian_em_layers
+
+    rng = np.random.default_rng(0)
+    data = np.concatenate(
+        [rng.normal(-2, 0.5, (200, 2)), rng.normal(3, 1.0, (200, 2))]
+    )
+    ctx = PipelineContext(semiring="lse-sum", fold=True, seed=2)
+    comps = [
+        ctx.compile(
+            tabular_data(
+                "random-binary-tree",
+                num_features=2,
+                input_layers={"name": "gaussian", "args": {}},
+                num_input_units=2,
+                sum_product_layer="cp",
+                num_sum_units=2,
+                em_ready=True,
+            )
+        )
+        for _ in range(2)
+    ]
+    mixed = ctx.mixture(*comps, em_ready=True)
+    assert len(gaussian_em_layers(mixed)) == 2
+    store, losses = fit_em(
+        mixed, data, store=dict(ctx.parameters), num_epochs=6, batch_size=400
+    )
+    assert all(b <= a + 1e-7 for a, b in zip(losses, losses[1:])), losses
+    moved = [
+        k for k in comps[0].learnable_slots
+        if not np.allclose(np.asarray(store[k]), np.asarray(ctx.parameters[k]))
+    ]
+    assert moved
+
+
 def test_mixture_trains_shared_component_parameters():
     """Learnability flows through pointer slots: fit() on the ensemble
     fine-tunes the components' shared store entries, not just the blend
