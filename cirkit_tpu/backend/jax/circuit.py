@@ -219,6 +219,13 @@ class JaxCircuit:
             | self._shared_learnable
         )
 
+    @property
+    def shared_learnable_slots(self) -> frozenset[str]:
+        """Learnable slots this circuit only POINTS at — parameters shared
+        with operand circuits (mixture components, operator sources).
+        ``fit(..., freeze="shared")`` keeps exactly these fixed."""
+        return self._shared_learnable
+
     def initialize(self, key: jax.Array | None = None) -> dict[str, jnp.ndarray]:
         """Build a freshly-initialized parameter store (a flat pytree).
 

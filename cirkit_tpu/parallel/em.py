@@ -122,32 +122,43 @@ def _flow_slots(param: JaxParameter) -> list[str]:
 
 def _slot_read_counts(circuit: JaxCircuit) -> dict[str, int]:
     """How many weight-graph reads each store slot has across the circuit
-    (tensor slots + pointers)."""
+    (tensor slots + pointers), including wrapped sub-module layers
+    (evidence-derived circuits wrap leaves)."""
+    from cirkit_tpu.backend.jax.circuit import _iter_param_nodes
+
     counts: dict[str, int] = {}
     for layer in circuit.layers:
-        for p in layer.params.values():
-            for n in p.topological_ordering():
-                if isinstance(n, _SLOT_READS):
-                    counts[n.slot] = counts.get(n.slot, 0) + 1
+        for n in _iter_param_nodes(layer):
+            if isinstance(n, _SLOT_READS):
+                counts[n.slot] = counts.get(n.slot, 0) + 1
     return counts
 
 
-def _leaf_slot(param: JaxParameter, read_counts: dict[str, int]) -> str | None:
+def _leaf_slot(
+    param: JaxParameter,
+    read_counts: dict[str, int],
+    store: Store | None = None,
+) -> str | None:
     """The slot behind a Gaussian/Binomial leaf parameter when the
     closed-form per-layer M-step can address it: a bare read whose layer
     folds align 1:1 with the slot folds (a tensor slot, or a pointer with
-    an identity fold map) and which no other layer reads — the per-layer
+    a FULL identity fold map — with a ``store``, a prefix-identity subset
+    read is also rejected) and which no other layer reads — the per-layer
     offset counts S0 pair ELEMENTWISE with the slot-fold gradients, so a
-    permuted or shared read would misalign/double-count them (unlike the
-    sum/categorical path, whose normalized-flow update is gather-exact)."""
+    permuted, partial, or shared read would misalign/double-count them
+    (unlike the sum/categorical path, whose normalized-flow update is
+    gather-exact)."""
     nodes = list(param.topological_ordering())
     if len(nodes) != 1:
         return None
     n = nodes[0]
     if isinstance(n, JaxPointerSlot):
         idx = n.fold_idx
-        if idx is not None and not np.array_equal(idx, np.arange(len(idx))):
-            return None
+        if idx is not None:
+            if not np.array_equal(idx, np.arange(len(idx))):
+                return None
+            if store is not None and np.shape(store[n.slot])[0] != len(idx):
+                return None
     elif not isinstance(n, JaxTensorSlot):
         return None
     if read_counts.get(n.slot, 0) > 1:
@@ -164,6 +175,7 @@ def em_slots(circuit: JaxCircuit) -> dict[str, str]:
     ``learnable_slots`` contract."""
     learnable = circuit.learnable_slots
     slots: dict[str, str] = {}
+    shared_fixed = 0
     for layer in circuit.layers:
         if isinstance(layer, (JaxSumLayer, JaxCPTLayer, JaxTuckerLayer, JaxTensorDotLayer)):
             layer_slots = [
@@ -176,6 +188,16 @@ def em_slots(circuit: JaxCircuit) -> dict[str, str]:
                 continue  # entirely frozen (ConstantParameter): fixed by intent
             found = _flow_slots(layer.weight)
             if not found:
+                weight_nodes = list(layer.weight.topological_ordering())
+                if not any(isinstance(n, JaxTensorSlot) for n in weight_nodes):
+                    # every read is a POINTER into an operand circuit
+                    # (mixture/operator parameter sharing) and the graph is
+                    # reparameterized (e.g. softmax weights trained by
+                    # fit()): the flow identity does not hold, so the shared
+                    # layer stays FIXED — blend-EM over trained components,
+                    # not an error the user can fix without retraining
+                    shared_fixed += 1
+                    continue
                 raise ValueError(
                     f"EM requires plain weight tensors, but a {type(layer).__name__} "
                     "weight is reparameterized; build the circuit with "
@@ -188,6 +210,14 @@ def em_slots(circuit: JaxCircuit) -> dict[str, str]:
             slot = _flow_slot(layer.probs)
             if slot is not None and slot in learnable:
                 slots[slot] = "categorical"
+    if shared_fixed:
+        warnings.warn(
+            f"fit_em: {shared_fixed} sum-style layer(s) share REPARAMETERIZED "
+            "weights with an operand circuit (pointer reads, e.g. softmax "
+            "weights trained by fit()) — they stay fixed under EM; only "
+            "plain (em_ready) parameters train",
+            stacklevel=3,
+        )
     if (
         not slots
         and not gaussian_em_layers(circuit)
@@ -199,18 +229,20 @@ def em_slots(circuit: JaxCircuit) -> dict[str, str]:
 
 def gaussian_em_layers(
     circuit: JaxCircuit,
+    store: Store | None = None,
 ) -> list[tuple[int, "JaxGaussianLayer", str, str]]:
     """Gaussian input layers whose mean AND stddev are plain *learnable*
     slots, as ``(layer_index, layer, mean_slot, stddev_slot)``; others
-    (reparameterized or frozen ``ConstantParameter``) stay fixed."""
+    (reparameterized or frozen ``ConstantParameter``) stay fixed. Passing
+    a ``store`` also rejects partial (prefix-identity) pointer reads."""
     learnable = circuit.learnable_slots
     counts = _slot_read_counts(circuit)
     out = []
     for i, layer in enumerate(circuit.layers):
         if not isinstance(layer, JaxGaussianLayer) or layer.log_partition is not None:
             continue
-        mean_slot = _leaf_slot(layer.mean, counts)
-        std_slot = _leaf_slot(layer.stddev, counts)
+        mean_slot = _leaf_slot(layer.mean, counts, store)
+        std_slot = _leaf_slot(layer.stddev, counts, store)
         if (
             mean_slot in learnable
             and std_slot in learnable
@@ -221,10 +253,13 @@ def gaussian_em_layers(
 
 def binomial_em_layers(
     circuit: JaxCircuit,
+    store: Store | None = None,
 ) -> list[tuple[int, "JaxBinomialLayer", str, str]]:
     """Binomial input layers with a plain *learnable* ``probs`` or
     ``logits`` slot, as ``(layer_index, layer, slot, kind)`` with kind
-    "probs"/"logits"; frozen (``ConstantParameter``) slots stay fixed."""
+    "probs"/"logits"; frozen (``ConstantParameter``) slots stay fixed.
+    Passing a ``store`` also rejects partial (prefix-identity) pointer
+    reads."""
     learnable = circuit.learnable_slots
     counts = _slot_read_counts(circuit)
     out = []
@@ -232,11 +267,11 @@ def binomial_em_layers(
         if not isinstance(layer, JaxBinomialLayer):
             continue
         if layer.probs is not None:
-            slot = _leaf_slot(layer.probs, counts)
+            slot = _leaf_slot(layer.probs, counts, store)
             if slot in learnable:
                 out.append((i, layer, slot, "probs"))
         else:
-            slot = _leaf_slot(layer.logits, counts)
+            slot = _leaf_slot(layer.logits, counts, store)
             if slot in learnable:
                 out.append((i, layer, slot, "logits"))
     return out
@@ -281,8 +316,8 @@ def em_programs(
     """
     store = dict(circuit.restrict_store(store))
     slots = em_slots(circuit)
-    gauss = gaussian_em_layers(circuit)
-    binom = binomial_em_layers(circuit)
+    gauss = gaussian_em_layers(circuit, store)
+    binom = binomial_em_layers(circuit, store)
     leaf_types = (JaxCategoricalLayer, JaxGaussianLayer, JaxBinomialLayer)
     learnable = circuit.learnable_slots
 

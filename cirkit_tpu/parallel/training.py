@@ -10,7 +10,7 @@ is needed.
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Iterable
 from typing import Any
 
 import jax
@@ -298,9 +298,26 @@ def evaluate_ll(
     return float(total) / len(data)
 
 
-def split_trainable(circuit: JaxCircuit, store: Store) -> tuple[Store, Store]:
-    """Split a store into (trainable, frozen) according to the circuit spec."""
-    learnable = circuit.learnable_slots
+def split_trainable(
+    circuit: JaxCircuit,
+    store: Store,
+    freeze: "str | Iterable[str] | None" = None,
+) -> tuple[Store, Store]:
+    """Split a store into (trainable, frozen) according to the circuit spec.
+
+    ``freeze`` keeps extra slots fixed: an iterable of slot names, or the
+    string ``"shared"`` for every learnable slot the circuit only POINTS
+    at (parameter sharing with operand circuits) — e.g. blend-only
+    stacking on a ``mixture`` ensemble without touching the trained
+    components."""
+    learnable = set(circuit.learnable_slots)
+    if freeze is not None:
+        if isinstance(freeze, str):
+            if freeze != "shared":
+                raise ValueError(f"freeze must be 'shared' or slot names, got {freeze!r}")
+            learnable -= circuit.shared_learnable_slots
+        else:
+            learnable -= set(freeze)
     used = set(circuit.used_slots)
     trainable = {k: v for k, v in store.items() if k in learnable and k in used}
     frozen = {k: v for k, v in store.items() if k in used and k not in learnable}
@@ -322,11 +339,18 @@ def fit(
     callback: Callable[[int, int, float], Any] | None = None,
     missing: str | float | int | None = None,
     sample_weight: np.ndarray | jnp.ndarray | None = None,
+    freeze: str | Iterable[str] | None = None,
     checkpoint_every: int | None = None,
     checkpoint_path: str | None = None,
     resume: bool = False,
 ) -> tuple[Store, list[float]]:
     """Maximum-likelihood training of a compiled circuit.
+
+    ``freeze`` keeps extra learnable slots fixed: slot names, or
+    ``"shared"`` for every slot the circuit only points at through an
+    operand circuit — blend-only **stacking** on a ``mixture`` ensemble
+    (the components stay exactly as trained; omit it to fine-tune them
+    jointly).
 
     A convenience the reference leaves to user-land torch loops
     (SURVEY.md §3.5); here it also shards the batch over a device mesh.
@@ -399,7 +423,7 @@ def fit(
             # resume must replay the same weighted objective
             data_fp = data_fp ^ data_fingerprint(sample_weight)
 
-    trainable, frozen = split_trainable(circuit, store)
+    trainable, frozen = split_trainable(circuit, store, freeze)
     if mesh is not None:
         trainable = replicate_store(trainable, mesh)
         frozen = replicate_store(frozen, mesh)

@@ -50,14 +50,19 @@ def _ambient_registry(registry: OperatorRegistry | None) -> OperatorRegistry:
     return OPERATOR_REGISTRY.get() if registry is None else registry
 
 
-def concatenate(
-    scs: Sequence[Circuit], *, registry: OperatorRegistry | None = None
-) -> Circuit:
-    """Concatenate circuits: a circuit whose outputs are all operand outputs.
-    No structural property is required."""
+def _copy_blocks(
+    scs: Sequence[Circuit],
+) -> tuple[
+    list[CircuitBlock],
+    dict[CircuitBlock, list[CircuitBlock]],
+    list[list[CircuitBlock]],
+]:
+    """Copy every operand's layers as parameter-SHARING blocks (copyref —
+    the new circuit references the operands' parameters, it does not
+    re-allocate them): ``(blocks, in_blocks, per-operand output blocks)``."""
     blocks: list[CircuitBlock] = []
     in_blocks: dict[CircuitBlock, list[CircuitBlock]] = {}
-    output_blocks: list[CircuitBlock] = []
+    outputs: list[list[CircuitBlock]] = []
     for sc in scs:
         block_of: dict[Layer, CircuitBlock] = {}
         for sl in sc.topological_ordering():
@@ -65,11 +70,20 @@ def concatenate(
             blocks.append(b)
             in_blocks[b] = [block_of[sli] for sli in sc.layer_inputs(sl)]
             block_of[sl] = b
-        output_blocks.extend(block_of[sl] for sl in sc.outputs)
+        outputs.append([block_of[sl] for sl in sc.outputs])
+    return blocks, in_blocks, outputs
+
+
+def concatenate(
+    scs: Sequence[Circuit], *, registry: OperatorRegistry | None = None
+) -> Circuit:
+    """Concatenate circuits: a circuit whose outputs are all operand outputs.
+    No structural property is required."""
+    blocks, in_blocks, outputs = _copy_blocks(scs)
     return Circuit.from_operation(
         blocks,
         in_blocks,
-        output_blocks,
+        [b for out in outputs for b in out],
         operation=CircuitOperation(CircuitOperator.CONCATENATE, tuple(scs)),
     )
 
@@ -100,7 +114,9 @@ def mixture(
     as a frozen :class:`ConstantParameter`; the mixture is normalized when
     the operands are normalized and the weights sum to 1). Default:
     learnable softmax coefficients, so :func:`cirkit_tpu.parallel.fit`
-    can tune the blend. ``weight_factory`` overrides the (K, n)
+    can tune the blend — pass ``fit(..., freeze="shared")`` to train the
+    blend ALONE (stacking; components stay as trained), or omit it to
+    fine-tune the components jointly through the shared pointer slots. ``weight_factory`` overrides the (K, n)
     coefficient parameterization; ``em_ready=True`` swaps the softmax
     default for plain Dirichlet-initialized coefficients so
     :func:`cirkit_tpu.parallel.fit_em` can train the blend (the classic
@@ -130,17 +146,8 @@ def mixture(
             )
     n = len(scs)
 
-    blocks: list[CircuitBlock] = []
-    in_blocks: dict[CircuitBlock, list[CircuitBlock]] = {}
-    root_blocks: list[CircuitBlock] = []
-    for sc in scs:
-        block_of: dict[Layer, CircuitBlock] = {}
-        for sl in sc.topological_ordering():
-            b = CircuitBlock.from_layer(sl.copyref())
-            blocks.append(b)
-            in_blocks[b] = [block_of[sli] for sli in sc.layer_inputs(sl)]
-            block_of[sl] = b
-        root_blocks.append(block_of[sc.outputs[0]])
+    blocks, in_blocks, outputs = _copy_blocks(scs)
+    root_blocks = [out[0] for out in outputs]
 
     if weights is not None:
         w = np.asarray(weights, dtype=np.float64)

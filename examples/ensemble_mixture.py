@@ -67,10 +67,12 @@ def main() -> None:
         components.append(cc)
 
     # -- 2.+3. blend on held-out data (stacking) ---------------------------
+    # freeze="shared" trains ONLY the blend coefficients: the components
+    # stay exactly as trained above (drop it to fine-tune them jointly)
     mixed = ctx.mixture(*components)
     store, _ = fit(mixed, valid, store=dict(ctx.parameters), num_epochs=8,
                    batch_size=256, optimizer=optax.adam(5e-2),
-                   key=jax.random.PRNGKey(9))
+                   key=jax.random.PRNGKey(9), freeze="shared")
     ll_mix = evaluate_ll(mixed, valid, store=store)
     print(f"ensemble        : valid LL/sample {ll_mix:8.2f} "
           "(>= best component up to optimization noise)")

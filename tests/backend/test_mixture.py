@@ -26,17 +26,25 @@ def _components(n=2, seed=50):
     ]
 
 
-@pytest.mark.parametrize("fold", [False, True])
-def test_fixed_weight_mixture_matches_per_operand_eval(fold):
+# fold x semiring x optimize grid (CLAUDE.md test convention; optimize
+# exercises SumCollapse fusion over the blend's MixingWeight + pointer reads)
+GRID = [(f, s) for f in (False, True) for s in ("sum-product", "lse-sum")]
+GRID_OPT = [(f, s, o) for f, s in GRID for o in ((False, True) if f else (False,))]
+
+
+@pytest.mark.parametrize("fold,semiring,optimize", GRID_OPT)
+def test_fixed_weight_mixture_matches_per_operand_eval(fold, semiring, optimize):
     scs = _components(3)
     w = np.array([0.5, 0.2, 0.3])
     mix = SF.mixture(scs, weights=w)
     worlds = enumerate_worlds(3, 2)
     want = sum(wi * eval_circuit(sc, worlds)[:, 0, 0] for wi, sc in zip(w, scs))
 
-    ctx = PipelineContext(semiring="lse-sum", fold=fold)
+    ctx = PipelineContext(semiring=semiring, fold=fold, optimize=optimize)
     cc = ctx.compile(mix)
-    got = np.exp(np.asarray(cc(ctx.parameters, worlds))[:, 0, 0])
+    got = np.asarray(cc(ctx.parameters, worlds))[:, 0, 0]
+    if semiring == "lse-sum":
+        got = np.exp(got)
     np.testing.assert_allclose(got, want, rtol=1e-9)
 
     # partition function: Z_mix = sum_i w_i Z_i (operands are unnormalized)
@@ -48,7 +56,9 @@ def test_fixed_weight_mixture_matches_per_operand_eval(fold):
     z_want = sum(
         wi * eval_circuit(sc, worlds)[:, 0, 0].sum() for wi, sc in zip(w, scs)
     )
-    np.testing.assert_allclose(np.exp(z), z_want, rtol=1e-9)
+    np.testing.assert_allclose(
+        np.exp(z) if semiring == "lse-sum" else z, z_want, rtol=1e-9
+    )
 
 
 def test_default_softmax_mixture_is_normalized_and_trainable():
@@ -217,6 +227,75 @@ def test_em_ready_mixture_joint_em_is_monotone():
         if not np.allclose(np.asarray(store[k]), np.asarray(ctx.parameters[k]))
     ]
     assert moved
+
+
+def test_em_on_softmax_components_trains_blend_only_with_warning():
+    """fit_em on an em_ready mixture of DEFAULT (softmax-weight, i.e.
+    fit()-trained) components must not raise: the shared reparameterized
+    layers stay fixed (with a warning) and the plain blend trains."""
+    from cirkit_tpu.models import tabular_data
+    from cirkit_tpu.parallel.em import fit_em
+
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 2, size=(128, 3))
+    ctx = PipelineContext(semiring="lse-sum", fold=True, seed=8)
+    comps = [
+        ctx.compile(
+            tabular_data(
+                "random-binary-tree",
+                num_features=3,
+                input_layers={"name": "categorical", "args": {"num_categories": 2}},
+                num_input_units=2,
+                sum_product_layer="cp",
+                num_sum_units=2,
+            )
+        )
+        for _ in range(2)
+    ]
+    mixed = ctx.mixture(*comps, em_ready=True)
+    with pytest.warns(UserWarning, match="REPARAMETERIZED"):
+        store, losses = fit_em(
+            mixed, data, store=dict(ctx.parameters), num_epochs=3, batch_size=128
+        )
+    assert all(b <= a + 1e-7 for a, b in zip(losses, losses[1:])), losses
+    # components untouched, blend moved
+    comp_slots = set(comps[0].used_slots) | set(comps[1].used_slots)
+    for k in comp_slots:
+        np.testing.assert_array_equal(
+            np.asarray(store[k]), np.asarray(ctx.parameters[k])
+        )
+    (blend,) = [s for s in mixed.learnable_slots if s in mixed._slots]
+    assert not np.allclose(np.asarray(store[blend]), np.asarray(ctx.parameters[blend]))
+
+
+def test_fit_freeze_shared_trains_blend_only():
+    """fit(..., freeze='shared') = stacking: the blend trains, the
+    components' shared slots stay bitwise identical."""
+    import optax
+
+    from cirkit_tpu.parallel import fit
+
+    scs = _components(2, seed=85)
+    ctx = PipelineContext(semiring="lse-sum", fold=True, seed=6)
+    cc1, cc2 = ctx.compile(scs[0]), ctx.compile(scs[1])
+    mixed = ctx.mixture(cc1, cc2)
+    assert mixed.shared_learnable_slots
+    worlds = enumerate_worlds(3, 2)
+    store, losses = fit(
+        mixed, np.concatenate([worlds] * 8), store=dict(ctx.parameters),
+        num_epochs=5, batch_size=32, optimizer=optax.adam(5e-2),
+        shuffle=False, freeze="shared",
+    )
+    assert losses[-1] < losses[0]
+    for k in mixed.shared_learnable_slots:
+        np.testing.assert_array_equal(
+            np.asarray(store[k]), np.asarray(ctx.parameters[k])
+        )
+    with pytest.raises(ValueError, match="freeze"):
+        fit(
+            mixed, worlds, store=dict(ctx.parameters), num_epochs=1,
+            batch_size=8, optimizer=optax.adam(1e-2), freeze="everything",
+        )
 
 
 def test_em_ready_gaussian_mixture_trains_leaves():
