@@ -147,6 +147,30 @@ def test_pipeline_mixture_wrapper_accepts_compiled_operands():
     np.testing.assert_allclose(got2, want, rtol=1e-9)
 
 
+def test_mixture_persists_and_counts_parameters(tmp_path):
+    """Symbolic persistence + BIC accounting interact with the operator:
+    save_circuit/load_circuit round-trips a mixture (recompile matches the
+    oracle) and num_parameters sums the components' distinct tensors
+    (copyref shares, never re-allocates)."""
+    from cirkit_tpu.utils.checkpoint import load_circuit, save_circuit
+
+    scs = _components(2, seed=50)
+    mix = SF.mixture(scs, weights=np.array([0.4, 0.6]))
+    assert mix.num_parameters == sum(sc.num_parameters for sc in scs)
+
+    p = tmp_path / "mix.ckt"
+    save_circuit(p, mix)
+    mix2 = load_circuit(p)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(mix2)
+    worlds = enumerate_worlds(3, 2)
+    got = np.exp(np.asarray(cc(ctx.parameters, worlds))[:, 0, 0])
+    want = 0.4 * eval_circuit(scs[0], worlds)[:, 0, 0] + 0.6 * eval_circuit(
+        scs[1], worlds
+    )[:, 0, 0]
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
 def test_mixture_validation_errors():
     scs = _components(2)
     with pytest.raises(ValueError, match="at least two"):
