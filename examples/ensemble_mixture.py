@@ -95,6 +95,23 @@ def main() -> None:
     samples, _ = SamplingQuery(mixed)(4, key=jax.random.PRNGKey(3), store=store)
     print("ensemble samples shape:", np.asarray(samples).shape)
 
+    # -- 5. boosted density estimation (Rosset & Segal 2002) ----------------
+    # stagewise: each stage trains on inverse-density weights, an exact
+    # line search blends it in; the result is again ONE mixture circuit
+    from cirkit_tpu.models import boost_mixture
+
+    bctx = PipelineContext(semiring="lse-sum", fold=True, seed=2)
+    res = boost_mixture(
+        lambda t: image_data((1, side, side), "quad-tree-2",
+                             input_layer="categorical", num_input_units=units,
+                             sum_product_layer="cp", num_sum_units=units),
+        train, ctx=bctx, num_stages=3, num_epochs=max(2, epochs),
+        batch_size=256, valid_data=valid, key=jax.random.PRNGKey(11),
+    )
+    print(f"boosting: {len(res.components)} stages, weights "
+          f"{np.round(res.weights, 3)}, valid LL "
+          f"{res.stage_lls[0]:8.2f} -> {res.stage_lls[-1]:8.2f}")
+
 
 if __name__ == "__main__":
     main()
