@@ -7,7 +7,7 @@ from cirkit_tpu.models.data_modalities import (
     image_data,
     tabular_data,
 )
-from cirkit_tpu.models.ensembles import BoostResult, boost_mixture
+from cirkit_tpu.models.ensembles import BoostResult, bag_mixture, boost_mixture
 from cirkit_tpu.models.interop import (
     load_jpc,
     load_spflow,

@@ -30,7 +30,7 @@ import numpy as np
 from cirkit_tpu.symbolic.circuit import Circuit
 from cirkit_tpu.utils.scope import Scope
 
-__all__ = ["BoostResult", "boost_mixture"]
+__all__ = ["BoostResult", "bag_mixture", "boost_mixture"]
 
 
 @dataclass
@@ -73,6 +73,153 @@ def _per_sample_ll(cc, store, data: np.ndarray, batch_size: int) -> np.ndarray:
         ).reshape(-1)[0]
     )
     return ll - log_z
+
+
+def _train_component(
+    cc,
+    ctx,
+    data: np.ndarray,
+    sample_weight,
+    stage_key,
+    *,
+    method: str,
+    optimizer,
+    num_epochs: int,
+    batch_size: int,
+    kwargs: dict,
+) -> None:
+    """Train one ensemble component in-place on ``ctx.parameters``."""
+    if method == "adam":
+        import optax
+
+        from cirkit_tpu.parallel import fit
+
+        fit(
+            cc,
+            data,
+            store=ctx.parameters,
+            num_epochs=num_epochs,
+            batch_size=min(batch_size, len(data)),
+            optimizer=optimizer if optimizer is not None else optax.adam(1e-2),
+            sample_weight=sample_weight,
+            key=stage_key,
+            **kwargs,
+        )
+    else:
+        from cirkit_tpu.parallel import fit_em
+
+        fit_em(
+            cc,
+            data,
+            store=ctx.parameters,
+            num_epochs=num_epochs,
+            batch_size=min(batch_size, len(data)),
+            sample_weight=sample_weight,
+            **kwargs,
+        )
+    ctx.update_parameters(cc.default_store)
+
+
+def _component_log_z(cc, store, data: np.ndarray) -> float:
+    from cirkit_tpu.backend.jax.queries import IntegrateQuery
+
+    return float(
+        np.asarray(
+            IntegrateQuery(cc)(
+                data[:1], integrate_vars=Scope(cc.scope), store=store
+            )
+        ).reshape(-1)[0]
+    )
+
+
+def bag_mixture(
+    component_factory: Callable[[int], Circuit],
+    data: np.ndarray,
+    *,
+    ctx=None,
+    num_components: int = 4,
+    method: str = "adam",
+    optimizer=None,
+    num_epochs: int = 10,
+    batch_size: int = 256,
+    train_kwargs: dict | None = None,
+    eval_batch_size: int = 1024,
+    key: jax.Array | None = None,
+) -> BoostResult:
+    """Bagged density estimation: bootstrap-trained components, one circuit.
+
+    Each component trains on a bootstrap resample of ``data`` realized as
+    **multinomial sample weights** (the multiplicity of each row in the
+    resample) — no data copies, every stage reuses the same static batch
+    shapes and compiled programs. The result is a uniform mixture over the
+    trained components, each divided by its partition function, served as
+    ONE circuit via :func:`cirkit_tpu.symbolic.functional.mixture` — so the
+    bagged model answers every query (marginals, MAP, sampling,
+    expectations) directly. Bagging reduces the variance of the density
+    estimate across structure/seed draws (Breiman, 1996, applied to
+    density estimation).
+
+    ``component_factory(t)`` returns a fresh symbolic circuit for member
+    ``t`` (same scope; vary structure/seed for diversity). ``stage_lls``
+    records each member's train-set mean log-likelihood. No reference
+    counterpart (ref combines circuits only by concatenation,
+    ``symbolic/functional.py:31``).
+    """
+    from cirkit_tpu.pipeline import PipelineContext
+
+    if num_components < 1:
+        raise ValueError(f"num_components must be >= 1, found {num_components}")
+    if method not in ("adam", "em"):
+        raise ValueError(f"method must be 'adam' or 'em', found {method!r}")
+    if ctx is None:
+        ctx = PipelineContext(semiring="lse-sum", fold=True)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    data = np.asarray(data)
+    kwargs = dict(train_kwargs or {})
+    n = len(data)
+    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+
+    components: list = []
+    stage_lls: list[float] = []
+    for t in range(num_components):
+        counts = rng.multinomial(n, np.full(n, 1.0 / n)).astype(np.float64)
+        key, stage_key = jax.random.split(key)
+        cc = ctx.compile(component_factory(t))
+        _train_component(
+            cc,
+            ctx,
+            data,
+            counts,
+            stage_key,
+            method=method,
+            optimizer=optimizer,
+            num_epochs=num_epochs,
+            batch_size=batch_size,
+            kwargs=kwargs,
+        )
+        stage_lls.append(
+            float(
+                _per_sample_ll(cc, ctx.parameters, data, eval_batch_size).mean()
+            )
+        )
+        components.append(cc)
+
+    weights = np.full(len(components), 1.0 / len(components))
+    if len(components) == 1:
+        mixed = components[0]
+    else:
+        log_zs = np.asarray(
+            [_component_log_z(cc, ctx.parameters, data) for cc in components]
+        )
+        mixed = ctx.mixture(*components, weights=weights / np.exp(log_zs))
+    return BoostResult(
+        circuit=mixed,
+        store=dict(ctx.parameters),
+        components=components,
+        weights=weights,
+        stage_lls=stage_lls,
+    )
 
 
 def boost_mixture(
@@ -135,35 +282,18 @@ def boost_mixture(
     kwargs = dict(train_kwargs or {})
 
     def _train(cc, sample_weight, stage_key):
-        if method == "adam":
-            import optax
-
-            from cirkit_tpu.parallel import fit
-
-            fit(
-                cc,
-                data,
-                store=ctx.parameters,
-                num_epochs=num_epochs,
-                batch_size=min(batch_size, len(data)),
-                optimizer=optimizer if optimizer is not None else optax.adam(1e-2),
-                sample_weight=sample_weight,
-                key=stage_key,
-                **kwargs,
-            )
-        else:
-            from cirkit_tpu.parallel import fit_em
-
-            fit_em(
-                cc,
-                data,
-                store=ctx.parameters,
-                num_epochs=num_epochs,
-                batch_size=min(batch_size, len(data)),
-                sample_weight=sample_weight,
-                **kwargs,
-            )
-        ctx.update_parameters(cc.default_store)
+        _train_component(
+            cc,
+            ctx,
+            data,
+            sample_weight,
+            stage_key,
+            method=method,
+            optimizer=optimizer,
+            num_epochs=num_epochs,
+            batch_size=batch_size,
+            kwargs=kwargs,
+        )
 
     components: list = []
     log_zs: list[float] = []
@@ -224,18 +354,8 @@ def boost_mixture(
     # serve the blend as ONE circuit: mixture weights divide by each
     # component's partition function, so the compiled ensemble's raw
     # output IS the normalized stagewise density
-    from cirkit_tpu.backend.jax.queries import IntegrateQuery
-
     for cc in components:
-        log_zs.append(
-            float(
-                np.asarray(
-                    IntegrateQuery(cc)(
-                        data[:1], integrate_vars=Scope(cc.scope), store=ctx.parameters
-                    )
-                ).reshape(-1)[0]
-            )
-        )
+        log_zs.append(_component_log_z(cc, ctx.parameters, data))
     if len(components) == 1:
         mixed = components[0]
     else:

@@ -112,6 +112,23 @@ def main() -> None:
           f"{np.round(res.weights, 3)}, valid LL "
           f"{res.stage_lls[0]:8.2f} -> {res.stage_lls[-1]:8.2f}")
 
+    # -- 6. bagged density estimation (bootstrap members, uniform blend) ----
+    # bootstrap resamples ride multinomial sample weights: no data copies,
+    # every member reuses the same compiled programs
+    from cirkit_tpu.models import bag_mixture
+
+    gctx = PipelineContext(semiring="lse-sum", fold=True, seed=4)
+    bag = bag_mixture(
+        lambda t: image_data((1, side, side), "quad-tree-2",
+                             input_layer="categorical", num_input_units=units,
+                             sum_product_layer="cp", num_sum_units=units),
+        train, ctx=gctx, num_components=3, num_epochs=max(2, epochs),
+        batch_size=256, key=jax.random.PRNGKey(12),
+    )
+    bll = np.asarray(bag.circuit(bag.store, valid[:256])).reshape(-1)
+    print(f"bagging: {len(bag.components)} members, member train LLs "
+          f"{np.round(bag.stage_lls, 2)}, blended valid LL {bll.mean():8.2f}")
+
 
 if __name__ == "__main__":
     main()

@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from cirkit_tpu.backend.jax.queries import IntegrateQuery
-from cirkit_tpu.models import boost_mixture, tabular_data
+from cirkit_tpu.models import bag_mixture, boost_mixture, tabular_data
 from cirkit_tpu.models.ensembles import _per_sample_ll
 from cirkit_tpu.pipeline import PipelineContext
 from cirkit_tpu.utils import Scope
@@ -112,6 +112,70 @@ def test_boosting_early_stops_on_huge_tol():
     # single-stage result is the bare component, still servable
     ll = _per_sample_ll(res.circuit, res.store, data[:16], 16)
     assert np.all(np.isfinite(ll))
+
+
+def test_bagging_serves_exact_uniform_blend():
+    data = _bimodal_data(n=256)
+    ctx = PipelineContext(semiring="lse-sum", fold=True, seed=7)
+    res = bag_mixture(
+        _factory(),
+        data,
+        ctx=ctx,
+        num_components=3,
+        num_epochs=4,
+        batch_size=128,
+    )
+    assert len(res.components) == 3
+    np.testing.assert_allclose(res.weights, 1.0 / 3)
+    assert all(np.isfinite(ll) for ll in res.stage_lls)
+
+    # the served circuit is the exact uniform blend of the components'
+    # NORMALIZED densities, and is itself normalized (Z == 1)
+    per_comp = np.stack(
+        [_per_sample_ll(c, res.store, data[:64], 64) for c in res.components]
+    )
+    want = np.log(np.exp(per_comp).T @ res.weights)
+    got = np.asarray(res.circuit(res.store, data[:64])).reshape(64, -1)[:, 0]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    z = np.asarray(
+        IntegrateQuery(res.circuit)(
+            data[:1], integrate_vars=Scope(res.circuit.scope), store=res.store
+        )
+    ).reshape(-1)[0]
+    np.testing.assert_allclose(np.exp(z), 1.0, rtol=1e-6)
+
+
+def test_bagging_single_component_and_errors():
+    data = _bimodal_data(n=128)
+    ctx = PipelineContext(semiring="lse-sum", fold=True, seed=9)
+    res = bag_mixture(
+        _factory(), data, ctx=ctx, num_components=1, num_epochs=2, batch_size=64
+    )
+    assert len(res.components) == 1
+    ll = _per_sample_ll(res.circuit, res.store, data[:16], 16)
+    assert np.all(np.isfinite(ll))
+    with pytest.raises(ValueError, match="num_components"):
+        bag_mixture(_factory(), data, num_components=0)
+    with pytest.raises(ValueError, match="method"):
+        bag_mixture(_factory(), data, method="sgd")
+
+
+def test_bagging_resamples_differ():
+    """Different members see different bootstrap weights: with identical
+    structure but a seeded rng, trained components should not coincide."""
+    data = _bimodal_data(n=256)
+    ctx = PipelineContext(semiring="lse-sum", fold=True, seed=13)
+    res = bag_mixture(
+        _factory(),
+        data,
+        ctx=ctx,
+        num_components=2,
+        num_epochs=6,
+        batch_size=128,
+    )
+    a = _per_sample_ll(res.components[0], res.store, data[:64], 64)
+    b = _per_sample_ll(res.components[1], res.store, data[:64], 64)
+    assert not np.allclose(a, b), "bootstrap members trained identically"
 
 
 def test_boosting_validation_errors():
