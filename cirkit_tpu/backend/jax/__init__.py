@@ -3,7 +3,9 @@ from cirkit_tpu.backend.jax.compiler import JaxCompiler
 from cirkit_tpu.backend.jax.cross import (
     cross_circuit_kl,
     expected_loglikelihood,
+    expected_loglikelihood_mc,
     is_deterministic,
+    kl_monte_carlo,
 )
 from cirkit_tpu.backend.jax.distill import distill_tree
 from cirkit_tpu.backend.jax.entropy import (
@@ -65,12 +67,14 @@ __all__ = [
     "cross_circuit_kl",
     "distill_tree",
     "expected_loglikelihood",
+    "expected_loglikelihood_mc",
     "export_circuit",
     "load_exported",
     "grow_circuit",
     "grow_prune_loop",
     "selection_score",
     "is_deterministic",
+    "kl_monte_carlo",
     "mutual_information",
     "prune_circuit",
     "renyi2_entropy",

@@ -71,7 +71,13 @@ from cirkit_tpu.symbolic.layers import (
     SumLayer,
 )
 
-__all__ = ["cross_circuit_kl", "expected_loglikelihood", "is_deterministic"]
+__all__ = [
+    "cross_circuit_kl",
+    "expected_loglikelihood",
+    "expected_loglikelihood_mc",
+    "is_deterministic",
+    "kl_monte_carlo",
+]
 
 
 # --------------------------------------------------------------------------
@@ -633,3 +639,143 @@ def is_deterministic(
     _pairwise_walk(sc, sc, input_fn, sum_fn, ops=(np.logical_and,), inits=(True,))
     ok = not violations
     return (ok, violations) if return_report else ok
+
+
+# --------------------------------------------------------------------------
+# Monte Carlo estimators: ANY same-scope pair, no determinism required
+# --------------------------------------------------------------------------
+
+
+def _mc_log_terms(cc_p, cc_q, store_p, store_q, num_samples, key, batch_size):
+    """Per-sample normalized (log p(x), log q(x)) for x ~ p, drawn in
+    fixed-size rounds so one sampling program and one forward per circuit
+    serve any ``num_samples``."""
+    import jax
+
+    from cirkit_tpu.backend.jax.queries import IntegrateQuery, SamplingQuery
+    from cirkit_tpu.utils.scope import Scope
+
+    if set(cc_p.scope) != set(cc_q.scope):
+        raise ValueError(
+            f"Monte Carlo cross-circuit estimators need identical scopes, "
+            f"found {sorted(cc_p.scope)} vs {sorted(cc_q.scope)}"
+        )
+    if num_samples < 2:
+        raise ValueError(f"num_samples must be >= 2, found {num_samples}")
+    if store_p is None:
+        store_p = getattr(cc_p, "default_store", None)
+    if store_q is None:
+        store_q = getattr(cc_q, "default_store", None)
+    if store_p is None or store_q is None:
+        raise ValueError("No parameter store bound; pass store_p=/store_q=")
+    if key is None:
+        key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+
+    sq = SamplingQuery(cc_p)
+    b = min(batch_size, num_samples)
+    lps: list[np.ndarray] = []
+    lqs: list[np.ndarray] = []
+    drawn = 0
+    probe = None
+    while drawn < num_samples:
+        key, sub = jax.random.split(key)
+        x, _ = sq(b, key=sub, store=store_p)
+        x = np.asarray(x)
+        if probe is None:
+            probe = x[:1]
+        lps.append(np.asarray(cc_p(store_p, x)).reshape(b, -1)[:, 0])
+        lqs.append(np.asarray(cc_q(store_q, x)).reshape(b, -1)[:, 0])
+        drawn += b
+    lp = np.concatenate(lps)[:num_samples].astype(np.float64)
+    lq = np.concatenate(lqs)[:num_samples].astype(np.float64)
+    logzp = float(
+        np.asarray(
+            IntegrateQuery(cc_p)(
+                probe, integrate_vars=Scope(cc_p.scope), store=store_p
+            )
+        ).reshape(-1)[0]
+    )
+    logzq = float(
+        np.asarray(
+            IntegrateQuery(cc_q)(
+                probe, integrate_vars=Scope(cc_q.scope), store=store_q
+            )
+        ).reshape(-1)[0]
+    )
+    return lp - logzp, lq - logzq
+
+
+def _support_violated(lq: np.ndarray) -> bool:
+    """True when q assigned zero density to a drawn sample. Log-space
+    forwards floor ``log 0`` at the dtype minimum rather than ``-inf``
+    (the kernels' -1e30-style clamps), so "zero" means any value beyond
+    every real density's reach."""
+    return bool(np.any(~np.isfinite(lq)) or np.any(lq < -1e300))
+
+
+def expected_loglikelihood_mc(
+    cc_p,
+    cc_q,
+    *,
+    num_samples: int = 4096,
+    key=None,
+    store_p=None,
+    store_q=None,
+    batch_size: int = 1024,
+) -> tuple[float, float]:
+    """Monte Carlo ``E_{x ~ p}[log q(x)]`` for ANY same-scope compiled pair.
+
+    The exact :func:`expected_loglikelihood` requires q deterministic and
+    p compatible — in general the expectation is #P-hard. This estimator
+    only needs ancestral sampling from ``p`` (smooth + decomposable) and a
+    forward pass of ``q``: it draws ``num_samples`` ancestral samples in
+    ``batch_size`` rounds, evaluates both NORMALIZED log densities, and
+    returns ``(estimate, standard_error)``. Works across structures,
+    scopes permuted the same, discrete or continuous leaves. Returns
+    ``(-inf, nan)`` when q assigns zero density to a drawn sample (a
+    support violation no sample count can average away).
+
+    Head convention: samples come from p's root distribution and both
+    circuits are read at output unit 0 (multi-head circuits: restrict
+    first). Unbiased in ``exp``-space terms; the standard error is the
+    plain per-sample deviation over ``sqrt(num_samples)``.
+    """
+    lp, lq = _mc_log_terms(
+        cc_p, cc_q, store_p, store_q, num_samples, key, batch_size
+    )
+    if _support_violated(lq):
+        return float("-inf"), float("nan")
+    return float(lq.mean()), float(lq.std(ddof=1) / math.sqrt(len(lq)))
+
+
+def kl_monte_carlo(
+    cc_p,
+    cc_q,
+    *,
+    num_samples: int = 4096,
+    key=None,
+    store_p=None,
+    store_q=None,
+    batch_size: int = 1024,
+) -> tuple[float, float]:
+    """Monte Carlo ``KL(p || q)`` for ANY same-scope compiled pair.
+
+    Complements the exact routes — :class:`~cirkit_tpu.backend.jax.
+    entropy.KLDivergenceQuery` (two stores of ONE circuit; exact only if
+    deterministic, else a DPI upper bound) and :func:`cross_circuit_kl`
+    (different structures, both deterministic) — with an unbiased
+    estimator that holds for arbitrary smooth decomposable circuits:
+    ``mean(log p(x) - log q(x))`` over ancestral samples ``x ~ p``, both
+    terms normalized internally (neither circuit needs ``Z = 1``).
+    Returns ``(estimate, standard_error)``; ``(+inf, nan)`` when q misses
+    p's support at a drawn sample. Pairing identical circuit+store gives
+    exactly ``(0.0, 0.0)`` — the per-sample difference is identically
+    zero, a useful self-test.
+    """
+    lp, lq = _mc_log_terms(
+        cc_p, cc_q, store_p, store_q, num_samples, key, batch_size
+    )
+    if _support_violated(lq):
+        return float("inf"), float("nan")
+    d = lp - lq
+    return float(d.mean()), float(d.std(ddof=1) / math.sqrt(len(d)))

@@ -322,3 +322,104 @@ def test_cross_requires_compiled_circuits():
     ctx.compile(sc_p)
     with pytest.raises(ValueError, match="Compile the circuit"):
         expected_loglikelihood(sc_p, sc_q, ctx=ctx)
+
+
+# --------------------------------------------------------------------------
+# Monte Carlo estimators: arbitrary (non-deterministic) same-scope pairs
+# --------------------------------------------------------------------------
+
+
+def test_mc_kl_nondeterministic_pair_matches_enumeration():
+    """Dense-support circuits where the exact walk is INTRACTABLE: the MC
+    estimate must land within 5 standard errors of enumeration truth, and
+    the exact path must refuse this pair."""
+    from cirkit_tpu.backend.jax.cross import (
+        expected_loglikelihood_mc,
+        kl_monte_carlo,
+    )
+
+    rng = np.random.default_rng(140)
+    sc_p = _det_pc(rng, 2, dense=True)
+    sc_q = _det_pc(rng, 3, dense=True, product="kronecker")
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc_p = ctx.compile(sc_p)
+    cc_q = ctx.compile(sc_q)
+    with pytest.raises(ValueError, match="deterministic"):
+        expected_loglikelihood(sc_p, sc_q, ctx=ctx)
+
+    want_ell, want_kl = _enum_ell_kl(sc_p, sc_q)
+    key = __import__("jax").random.PRNGKey(0)
+    kl, se = kl_monte_carlo(
+        cc_p, cc_q, num_samples=8192, key=key,
+        store_p=ctx.parameters, store_q=ctx.parameters, batch_size=2048,
+    )
+    assert se > 0.0
+    assert abs(kl - want_kl) < 5 * se + 1e-3, (kl, want_kl, se)
+    ell, se2 = expected_loglikelihood_mc(
+        cc_p, cc_q, num_samples=8192, key=key,
+        store_p=ctx.parameters, store_q=ctx.parameters, batch_size=2048,
+    )
+    assert abs(ell - want_ell) < 5 * se2 + 1e-3, (ell, want_ell, se2)
+
+
+def test_mc_kl_self_is_exactly_zero():
+    from cirkit_tpu.backend.jax.cross import kl_monte_carlo
+
+    rng = np.random.default_rng(141)
+    sc = _det_pc(rng, 2, dense=True)
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(sc)
+    kl, se = kl_monte_carlo(
+        cc, cc, num_samples=64, store_p=ctx.parameters, store_q=ctx.parameters
+    )
+    assert kl == 0.0 and se == 0.0
+
+
+def test_mc_kl_support_gap_gives_inf():
+    from cirkit_tpu.backend.jax.cross import (
+        expected_loglikelihood_mc,
+        kl_monte_carlo,
+    )
+
+    rng = np.random.default_rng(142)
+    sc_p = _det_pc(rng, 2)
+    sc_q = _det_pc(rng, 2, dead_leaf_unit=1)  # q never emits var2 in {2,3}
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc_p = ctx.compile(sc_p)
+    cc_q = ctx.compile(sc_q)
+    key = __import__("jax").random.PRNGKey(7)
+    kl, se = kl_monte_carlo(
+        cc_p, cc_q, num_samples=512, key=key,
+        store_p=ctx.parameters, store_q=ctx.parameters,
+    )
+    assert kl == np.inf and np.isnan(se)
+    ell, _ = expected_loglikelihood_mc(
+        cc_p, cc_q, num_samples=512, key=key,
+        store_p=ctx.parameters, store_q=ctx.parameters,
+    )
+    assert ell == -np.inf
+
+
+def test_mc_kl_validation_errors():
+    from cirkit_tpu.backend.jax.cross import kl_monte_carlo
+    from cirkit_tpu.symbolic import CategoricalLayer, Circuit, HadamardLayer
+
+    rng = np.random.default_rng(143)
+    sc_p = _det_pc(rng, 2)
+    # a 2-variable circuit: different scope
+    leaves = [
+        CategoricalLayer(Scope([v]), 1, num_categories=NUM_STATES)
+        for v in range(2)
+    ]
+    prod = HadamardLayer(1, arity=2)
+    sc2 = Circuit(leaves + [prod], {prod: leaves}, [prod])
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc_p = ctx.compile(sc_p)
+    cc_2 = ctx.compile(sc2)
+    with pytest.raises(ValueError, match="identical scopes"):
+        kl_monte_carlo(cc_p, cc_2, store_p=ctx.parameters, store_q=ctx.parameters)
+    with pytest.raises(ValueError, match="num_samples"):
+        kl_monte_carlo(
+            cc_p, cc_p, num_samples=1,
+            store_p=ctx.parameters, store_q=ctx.parameters,
+        )
