@@ -178,7 +178,12 @@ def bag_mixture(
     data = np.asarray(data)
     kwargs = dict(train_kwargs or {})
     n = len(data)
-    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    # seed host numpy from the key's raw bits — NOT jax.random.randint,
+    # which dispatches an eager device program (a 2-7 s remote compile
+    # per process on the TPU tunnel) just to draw one integer
+    rng = np.random.default_rng(
+        np.asarray(jax.random.key_data(key)).astype(np.uint32).tolist()
+    )
 
     components: list = []
     stage_lls: list[float] = []
