@@ -708,9 +708,10 @@ def _mc_log_terms(cc_p, cc_q, store_p, store_q, num_samples, key, batch_size):
 def _support_violated(lq: np.ndarray) -> bool:
     """True when q assigned zero density to a drawn sample. Log-space
     forwards floor ``log 0`` at the dtype minimum rather than ``-inf``
-    (the kernels' -1e30-style clamps), so "zero" means any value beyond
-    every real density's reach."""
-    return bool(np.any(~np.isfinite(lq)) or np.any(lq < -1e300))
+    (the kernels' -1e30-style clamps, or float32's ~-3.4e38 minimum), so
+    "zero" means any value at or beyond the -1e30 clamp — far below any
+    real normalized log density, but above the clamps so they're caught."""
+    return bool(np.any(~np.isfinite(lq)) or np.any(lq <= -1e29))
 
 
 def expected_loglikelihood_mc(

@@ -120,6 +120,47 @@ def _train_component(
     ctx.update_parameters(cc.default_store)
 
 
+def _check_distinct_slots(cc, seen_slots: set, stage: int) -> None:
+    """Reject a component that aliases an earlier component's parameters.
+
+    If ``component_factory`` returns the same symbolic circuit (or circuits
+    sharing ``TensorParameter`` objects) across stages, the pipeline compile
+    cache points every "component" at the same store slots; each stage then
+    overwrites the previous fit and the ensemble silently degenerates to n
+    copies of the last component."""
+    overlap = set(cc.used_slots) & seen_slots
+    if overlap:
+        raise ValueError(
+            f"ensemble stage {stage} shares parameter slots with an earlier "
+            f"component (e.g. {sorted(overlap)[:3]}): component_factory must "
+            "build a FRESH symbolic circuit (fresh TensorParameters) per "
+            "stage, otherwise later fits overwrite earlier components "
+            "through the shared store."
+        )
+    seen_slots.update(cc.used_slots)
+
+
+def _normalized_mixture_weights(
+    weights: np.ndarray, log_zs: np.ndarray
+) -> np.ndarray:
+    """``w_i / Z_i`` computed in log space so |log Z| > ~709 cannot overflow
+    ``exp`` to inf (silently dropping the component to weight 0) or
+    underflow to 0 (inf weight)."""
+    w = np.exp(
+        np.log(np.asarray(weights, np.float64))
+        - np.asarray(log_zs, np.float64)
+    )
+    if not np.all(np.isfinite(w)) or np.any(w <= 0.0):
+        raise ValueError(
+            f"non-finite or zero normalized mixture weight (weights="
+            f"{np.asarray(weights).tolist()}, log_zs="
+            f"{np.asarray(log_zs).tolist()}): a component's partition "
+            "function is out of float range; normalize the component "
+            "parameters before blending."
+        )
+    return w
+
+
 def _component_log_z(cc, store, data: np.ndarray) -> float:
     from cirkit_tpu.backend.jax.queries import IntegrateQuery
 
@@ -187,10 +228,12 @@ def bag_mixture(
 
     components: list = []
     stage_lls: list[float] = []
+    seen_slots: set = set()
     for t in range(num_components):
         counts = rng.multinomial(n, np.full(n, 1.0 / n)).astype(np.float64)
         key, stage_key = jax.random.split(key)
         cc = ctx.compile(component_factory(t))
+        _check_distinct_slots(cc, seen_slots, t)
         _train_component(
             cc,
             ctx,
@@ -217,7 +260,10 @@ def bag_mixture(
         log_zs = np.asarray(
             [_component_log_z(cc, ctx.parameters, data) for cc in components]
         )
-        mixed = ctx.mixture(*components, weights=weights / np.exp(log_zs))
+        mixed = ctx.mixture(
+            *components,
+            weights=_normalized_mixture_weights(weights, log_zs),
+        )
     return BoostResult(
         circuit=mixed,
         store=dict(ctx.parameters),
@@ -306,6 +352,7 @@ def boost_mixture(
     lf_train: np.ndarray | None = None  # per-sample log F on the train set
     lf_eval: np.ndarray | None = None
     stage_lls: list[float] = []
+    seen_slots: set = set()
 
     for t in range(num_stages):
         if lf_train is None:
@@ -320,6 +367,7 @@ def boost_mixture(
                 w *= len(w) / w.sum()
         key, stage_key = jax.random.split(key)
         cc = ctx.compile(component_factory(t))
+        _check_distinct_slots(cc, seen_slots, t)
         _train(cc, w, stage_key)
         lh_eval = _per_sample_ll(cc, ctx.parameters, eval_data, eval_batch_size)
 
@@ -365,7 +413,10 @@ def boost_mixture(
         mixed = components[0]
     else:
         mixed = ctx.mixture(
-            *components, weights=weights / np.exp(np.asarray(log_zs))
+            *components,
+            weights=_normalized_mixture_weights(
+                weights, np.asarray(log_zs)
+            ),
         )
     return BoostResult(
         circuit=mixed,

@@ -176,7 +176,12 @@ def data_parallel_step(
         if weights is None:
             return -jnp.mean(ll)
         per_sample = jnp.mean(ll.reshape(ll.shape[0], -1), axis=1)
-        return -jnp.sum(per_sample * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+        # tiny epsilon (not 1.0): fractional weight sums < 1 must still
+        # yield the documented sum(w*ll)/sum(w); the numerator is 0
+        # whenever the weight sum is 0, so all-padding batches stay safe
+        return -jnp.sum(per_sample * weights) / jnp.maximum(
+            jnp.sum(weights), 1e-12
+        )
 
     def _step(trainable: Store, frozen: Store, opt_state, batch, weights=None, missing=None):
         loss, grads = jax.value_and_grad(_loss)(
