@@ -550,7 +550,10 @@ class JaxCategoricalLayer(JaxExpFamilyLayer):
         # 0 * -inf = NaN corruption survives; HIGHEST precision keeps the
         # selected logits exact (a bf16 pass would perturb the draw)
         logits = jnp.maximum(logits, jnp.float32(-1e30).astype(logits.dtype))
-        oh = jax.nn.one_hot(sel, self.num_output_units, dtype=logits.dtype)
+        # store-derived unit count, not self.num_output_units: under manual
+        # tensor parallelism (queries.TPRouting) the store holds a local
+        # unit shard and sel is already shifted into local row space
+        oh = jax.nn.one_hot(sel, logits.shape[1], dtype=logits.dtype)
         lsel = jnp.einsum(
             "fbk,fkc->fbc", oh, logits, precision=jax.lax.Precision.HIGHEST
         )  # (F, B, C)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from abc import ABC
 from collections.abc import Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -308,13 +309,26 @@ class SamplingQuery(Query):
     their units' distributions, product layers combine disjoint assignments,
     sum layers draw latent mixture indices and route child samples."""
 
-    def __init__(self, circuit: JaxCircuit) -> None:
+    def __init__(
+        self,
+        circuit: JaxCircuit,
+        *,
+        mesh=None,
+        model_axis: str = "model",
+        data_axis: str | None = "data",
+    ) -> None:
         if not (circuit.properties.smooth and circuit.properties.decomposable):
             raise ValueError(
                 f"The circuit to sample from must be smooth and decomposable, "
                 f"but found {circuit.properties}"
             )
         self._circuit = circuit
+        # mesh: tensor-parallel routing via shard_map — see MAPQuery; applies
+        # to the two-pass (lse-sum) paths, i.e. conditional() and the
+        # unconditional draw on lse-sum circuits
+        self._mesh = mesh
+        self._model_axis = model_axis
+        self._data_axis = data_axis
         # shared across query objects: one traced program per sample count
         if not hasattr(circuit, "_sampling_jit"):
             circuit._sampling_jit = {}
@@ -346,12 +360,20 @@ class SamplingQuery(Query):
         from cirkit_tpu.backend.jax.semiring import LSESumSemiring
 
         if cc.semiring is LSESumSemiring:
-            fn = _routing_jit(cc, "sample", 0, 0)
+            fn = _routing_jit(
+                cc, "sample", 0, 0,
+                mesh=self._mesh, model_axis=self._model_axis, data_axis=self._data_axis,
+            )
             x = jnp.zeros((num_samples, num_vars))
             mask = jnp.zeros((num_samples, num_vars), dtype=bool)
             samples, _, mixtures = fn(store, x, mask, key=key)
             return samples, list(mixtures)
 
+        if self._mesh is not None:
+            raise NotImplementedError(
+                "Tensor-parallel sampling requires the 'lse-sum' semiring "
+                "(the dense bottom-up path is single-device)"
+            )
         if num_samples not in self._jit_cache:
 
             def _run(st, k):
@@ -431,7 +453,10 @@ class SamplingQuery(Query):
                 raise ValueError("No parameter store bound; pass store=...")
         store = cc.restrict_store(store)
 
-        fn = _routing_jit(cc, "sample", output, unit)
+        fn = _routing_jit(
+            cc, "sample", output, unit,
+            mesh=self._mesh, model_axis=self._model_axis, data_axis=self._data_axis,
+        )
         asg, vals, _ = fn(store, x, mask, key=key)  # (B, D), (O, B, K)
         return _slice_rows((asg, vals[output, :, unit]), _b)
 
@@ -1041,7 +1066,14 @@ class MAPQuery(Query):
     each (output, unit) pair compiles its own cached program.
     """
 
-    def __init__(self, circuit: JaxCircuit) -> None:
+    def __init__(
+        self,
+        circuit: JaxCircuit,
+        *,
+        mesh=None,
+        model_axis: str = "model",
+        data_axis: str | None = "data",
+    ) -> None:
         from cirkit_tpu.backend.jax.semiring import LSESumSemiring
 
         if not (circuit.properties.smooth and circuit.properties.decomposable):
@@ -1055,6 +1087,14 @@ class MAPQuery(Query):
                 f"semiring, found {circuit.semiring.__name__}"
             )
         self._circuit = circuit
+        # mesh: run the routing manually partitioned (shard_map) — weight
+        # slots sharded per tp_slot_specs stay local to their shard, so the
+        # fused Pallas kernels run on local shapes (TPRouting); pass a store
+        # placed by shard_store_tp (a replicated store also works: shard_map
+        # reshards it to the slot specs)
+        self._mesh = mesh
+        self._model_axis = model_axis
+        self._data_axis = data_axis
 
     def __call__(
         self,
@@ -1141,10 +1181,17 @@ class MAPQuery(Query):
                 raise NotImplementedError(
                     "top_k cannot be combined with marginalize_vars"
                 )
+            if self._mesh is not None:
+                raise NotImplementedError(
+                    "top_k is not supported on a tensor-parallel mesh"
+                )
             fn = _topk_jit(cc, top_k, output, unit)
             return _slice_rows(fn(store, x, mask), _b)  # (B, T, D), (B, T)
 
-        fn = _routing_jit(cc, "max", output, unit)
+        fn = _routing_jit(
+            cc, "max", output, unit,
+            mesh=self._mesh, model_axis=self._model_axis, data_axis=self._data_axis,
+        )
         asg, vals, _ = fn(store, x, mask, mg)  # (B, D), (O, B, K)
         return _slice_rows((asg, vals[output, :, unit]), _b)
 
@@ -1169,18 +1216,100 @@ def _evidence_to_mask(cc: JaxCircuit, evidence_mask, batch: int) -> jnp.ndarray:
     return mask
 
 
-def _routing_jit(cc: JaxCircuit, kind: str, root_output: int, root_unit: int):
+def _routing_jit(
+    cc: JaxCircuit,
+    kind: str,
+    root_output: int,
+    root_unit: int,
+    mesh=None,
+    model_axis: str = "model",
+    data_axis: str | None = "data",
+):
     """The jit-compiled routing program for one (kind, root) choice, cached
-    on the circuit (fresh query objects never retrace)."""
+    on the circuit (fresh query objects never retrace). With ``mesh`` the
+    program is manually partitioned over the mesh's ``model_axis`` via
+    ``shard_map`` (see :class:`TPRouting`): unit-sharded weight slots stay
+    local to their shard — including inside the fused Pallas kernels — and
+    the batch additionally shards over ``data_axis`` when it divides."""
     cache = getattr(cc, "_routing_jits", None)
     if cache is None:
         cache = cc._routing_jits = {}
-    key = (kind, root_output, root_unit)
+    key = (kind, root_output, root_unit, mesh, model_axis, data_axis)
     if key not in cache:
-        cache[key] = jax.jit(
-            _build_routing_run(cc, kind, root_output=root_output, root_unit=root_unit)
-        )
+        if mesh is None:
+            cache[key] = jax.jit(
+                _build_routing_run(cc, kind, root_output=root_output, root_unit=root_unit)
+            )
+        else:
+            cache[key] = _tp_routing_jit(
+                cc, kind, root_output, root_unit, mesh, model_axis, data_axis
+            )
     return cache[key]
+
+
+def _tp_routing_jit(
+    cc: JaxCircuit,
+    kind: str,
+    root_output: int,
+    root_unit: int,
+    mesh,
+    model_axis: str,
+    data_axis: str | None,
+):
+    """shard_map wrapper around the TP-aware routing program: weight slots
+    listed by :func:`cirkit_tpu.parallel.tensor.tp_slot_specs` arrive as
+    local unit shards (so the Pallas kernels run on local shapes, GSPMD
+    never sees them), everything else is replicated; collectives inside the
+    program combine the per-shard results (:class:`TPRouting`)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from cirkit_tpu.parallel.tensor import tp_routing_descriptor
+
+    tpd, slot_ps = tp_routing_descriptor(cc, mesh, model_axis=model_axis)
+    run = _build_routing_run(
+        cc, kind, root_output=root_output, root_unit=root_unit, tp=tpd
+    )
+    dsz = mesh.shape.get(data_axis, 1) if data_axis else 1
+
+    def fn(st, xx, mk, mg=None, key=None):
+        # batch-shard only the deterministic (max) pass: the sample pass's
+        # categorical/Gumbel draws take noise shaped like the LOCAL batch,
+        # so a data-sharded draw would not be the single-device draw (each
+        # data shard would reuse shard 0's noise positions)
+        use_data = kind == "max" and dsz > 1 and xx.shape[0] % dsz == 0
+        bspec = P(data_axis) if use_data else P()
+        fbspec = P(None, data_axis) if use_data else P()
+        in_specs = [
+            {s: slot_ps.get(s, P()) for s in st},
+            bspec,
+            bspec,
+        ]
+        extra = []
+        if mg is not None:
+            in_specs.append(bspec)
+            extra.append(mg)
+        if key is not None:
+            in_specs.append(P())
+            extra.append(key)
+        has_mg, has_key = mg is not None, key is not None
+
+        def body(st_, xx_, mk_, *ex):
+            mg_ = ex[0] if has_mg else None
+            key_ = ex[-1] if has_key else None
+            return run(st_, xx_, mk_, mg_, key_)
+
+        mapped = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            # (asg (B, D), root_vals (O, B, K), mixtures: tuple of (F, B))
+            out_specs=(bspec, fbspec, fbspec),
+            check_vma=False,
+        )
+        return mapped(dict(st), xx, mk, *extra)
+
+    return jax.jit(fn)
 
 
 def _topk_jit(cc: JaxCircuit, topk: int, root_output: int, root_unit: int):
@@ -1199,7 +1328,34 @@ def _topk_jit(cc: JaxCircuit, topk: int, root_output: int, root_unit: int):
     return cache[key]
 
 
-def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_unit: int = 0):
+class TPRouting(NamedTuple):
+    """Static tensor-parallel descriptor for the routing passes: the model
+    mesh-axis name, its size, and a per-plan-entry flag marking entries
+    whose own parameters are unit-sharded over that axis (built by
+    :func:`cirkit_tpu.parallel.tensor.tp_routing_descriptor`). With it,
+    :func:`_build_routing_run` emits a *manually partitioned* program meant
+    to run under ``shard_map``: every layer contraction — including the
+    fused Pallas lse/tropical/routing kernels, which are opaque to GSPMD —
+    sees only its local weight shard, and the cross-shard combination is an
+    explicit collective outside the kernel (``all_gather`` of the small
+    activations upward, masked ``psum``/``pmax`` of the per-shard
+    selections downward). This is what lets TP-sharded stores keep the
+    fused kernels instead of falling back to GSPMD weight gathers or the
+    XLA path."""
+
+    axis: str
+    size: int
+    entry_sharded: tuple[bool, ...]
+
+
+def _build_routing_run(
+    cc: JaxCircuit,
+    kind: str,
+    *,
+    root_output: int = 0,
+    root_unit: int = 0,
+    tp: TPRouting | None = None,
+):
     """The shared two-pass routing behind :class:`MAPQuery` (``kind="max"``)
     and conditional sampling (``kind="sample"``).
 
@@ -1257,6 +1413,24 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
 
     def _run(st, xx, mk, mg=None, key=None):
         bsz = xx.shape[0]
+        if tp is not None:
+            # manual tensor parallelism (under shard_map): st holds LOCAL
+            # unit shards for the flagged entries' slots; activations are
+            # gathered back to full width right after each sharded layer
+            # (the shard-the-weights / gather-the-activations recipe of
+            # tp_forward), so everything downstream keeps full-width
+            # semantics and the only other TP touch points are the
+            # downward passes' per-shard selection combines
+            def _tpg(a, full=None):
+                # some layer hooks build constants from static metadata
+                # (e.g. a probs-categorical's integrate is a zeros(F, K) of
+                # the FULL unit count) rather than from the local store
+                # shard — gather only arrays that are actually local-width
+                if full is not None and a.shape[-1] == full:
+                    return a
+                return jax.lax.all_gather(a, tp.axis, axis=-1, tiled=True)
+
+            tp_rank = jax.lax.axis_index(tp.axis)
         if key is not None:
             # draw under the rbg PRNG: the categorical draws' random bits
             # are pure HBM traffic (XLA materializes them), and rbg bits
@@ -1286,8 +1460,9 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
         # ---- upward pass: values (F, B, K), no draws ------------------------
         vals: list[jnp.ndarray] = []
         recs: list = []
-        for entry in entries:
+        for e_i, entry in enumerate(entries):
             layer = entry.layer
+            e_sh = tp is not None and tp.entry_sharded[e_i]
             if isinstance(layer, JaxConstantInputLayer):
                 raise NotImplementedError(
                     f"{name} is not supported for {type(layer).__name__}"
@@ -1298,23 +1473,32 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
                         f"{name} of multivariate input layers is not supported"
                     )
                 si = layer.scope_idx
+                sh = e_sh
                 xin = jnp.transpose(xx[:, si], (1, 0, 2))  # (F, B, 1)
-                obs_val = layer(st, xin)  # (F, B, K)
+                ku = layer.num_output_units
+                obs_val = layer(st, xin)  # (F, B, K) — K/n local under TP
+                if sh:
+                    obs_val = _tpg(obs_val, ku)
                 mgrow = None
                 if kind == "max":
                     free_val, free_arg = layer.mpe(st)  # (F, K)
+                    if sh:
+                        free_val = _tpg(free_val, ku)
+                        free_arg = _tpg(free_arg, ku)
                     fv = free_val[:, None, :]
                     if mg is not None:
                         # marginal MAP: summed-out variables contribute
                         # their integral instead of their mode
                         mgrow = jnp.transpose(mg[:, si[:, 0]], (1, 0))  # (F, B)
+                        iv = layer.integrate(st)
                         fv = jnp.where(
                             mgrow[:, :, None],
-                            layer.integrate(st)[:, None, :],
+                            (_tpg(iv, ku) if sh else iv)[:, None, :],
                             fv,
                         )
                 else:
-                    fv = layer.integrate(st)[:, None, :]  # (F, 1, K)
+                    iv = layer.integrate(st)
+                    fv = (_tpg(iv, ku) if sh else iv)[:, None, :]  # (F, 1, K)
                     free_arg = None  # states are drawn lazily at assembly
                 xi = xin[..., 0].astype(obs_val.dtype)  # (F, B)
                 mrow = jnp.transpose(mk[:, si[:, 0]], (1, 0))  # (F, B)
@@ -1339,7 +1523,7 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
                         log_weights=ls is not None,
                     )
                     if tv is not None:
-                        vals.append(tv)
+                        vals.append(_tpg(tv, layer.num_output_units) if e_sh else tv)
                         recs.append(("tucker", layer.arity, layer.num_input_units))
                         continue
                 w = layer.weight(st)
@@ -1362,9 +1546,13 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
                     recs.append(("tensordot", kj, kq, kk))
                     continue
                 scores = safelog(w)[:, None, :, :] + comb[:, :, None, :]
-                vals.append(jnp.max(scores, axis=3))  # (F, B, O)
+                tv = jnp.max(scores, axis=3)  # (F, B, O) — O/n local under TP
+                vals.append(_tpg(tv, layer.num_output_units) if e_sh else tv)
             else:
-                vals.append(layer(st, v))  # the real (kernel-served) forward
+                # the real (kernel-served) forward; under TP the kernel runs
+                # on the layer's local weight shard -> (F, B, O/n), gathered
+                fv = layer(st, v)
+                vals.append(_tpg(fv, layer.num_output_units) if e_sh else fv)
             if isinstance(layer, JaxHadamardLayer):
                 recs.append(("hadamard",))
             elif isinstance(layer, JaxKroneckerLayer):
@@ -1482,6 +1670,17 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
             v = _gather_in(entry, vals)  # (F, H, B, K)
             w = layer.weight(st)
             dt = v.dtype
+            e_sh = tp is not None and tp.entry_sharded[e]
+            if e_sh:
+                # the selected output unit lives on exactly one shard: shift
+                # the global unit index into this shard's local row space and
+                # mask rows this shard does not own; the per-shard results
+                # are combined with a psum/pmax below (the "reduction
+                # collective outside the kernel")
+                o_loc = w.shape[1]
+                sel_loc = safe - (tp_rank * o_loc).astype(jnp.int32)
+                inr = active & (sel_loc >= 0) & (sel_loc < o_loc)
+                safe_loc = jnp.clip(sel_loc, 0, o_loc - 1)
             if rec[0] == "tensordot":
                 _, kj, kq, kk = rec
                 f, _, b, mtot = v.shape
@@ -1521,11 +1720,16 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
                         jax.random.key_data(lk).astype(jnp.uint32)
                     ).astype(jnp.int32)
                 km = route_tucker2(
-                    v[:, 0], v[:, 1], th, safe,
+                    v[:, 0], v[:, 1], th, safe_loc if e_sh else safe,
                     kind=kind, log_weights=ls is not None, seed=seed,
                 )
                 if km is not None:
-                    m = km
+                    # under TP every shard routes its clamped local row; only
+                    # the owning shard's choice survives the pmax (the
+                    # kernel's Gumbel noise depends on the grid cell and the
+                    # composite index only — never on the unit row — so the
+                    # owner's draw is bitwise the single-device draw)
+                    m = jax.lax.pmax(jnp.where(inr, km, -1), tp.axis) if e_sh else km
                     draws[e] = jnp.where(active, m, neg)
                     units = []
                     rem = m
@@ -1535,11 +1739,19 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
                     units.reverse()
                     _push_to_children(e, units)
                     continue
-            oh = jax.nn.one_hot(safe, layer.num_output_units, dtype=dt)
-            oh = oh * active[..., None]  # (F, B, O)
+            if e_sh:
+                oh = jax.nn.one_hot(safe_loc, w.shape[1], dtype=dt)
+                oh = oh * inr[..., None]  # (F, B, O/n), owner rows only
+            else:
+                oh = jax.nn.one_hot(safe, layer.num_output_units, dtype=dt)
+                oh = oh * active[..., None]  # (F, B, O)
             # HIGHEST: the default bf16 pass would round the selected
             # weights (and turn any -inf to NaN via 0 * -inf on TPU)
             selw = jnp.einsum("fbo,fom->fbm", oh, w, precision=hp)  # (F, B, M)
+            if e_sh:
+                # non-owners contributed all-zero rows; the sum recovers the
+                # owner's exact weight row on every shard (x + 0 == x)
+                selw = jax.lax.psum(selw, tp.axis)
             if tag == "tucker":
                 comb = _tucker_comb(v)  # (F, B, K^H)
             elif tag == "cpt":
@@ -1588,6 +1800,19 @@ def _build_routing_run(cc: JaxCircuit, kind: str, *, root_output: int = 0, root_
                 if mgrow is not None:
                     # marginalized variables have no MPE state: leave 0
                     free = jnp.where(mgrow, jnp.zeros((), dtype), free)
+            elif tp is not None and tp.entry_sharded[e]:
+                # the selected unit's parameters live on one shard: draw
+                # there with the shifted local index and psum the masked
+                # states (non-owners contribute exact zeros)
+                k_loc = vals[e].shape[2] // tp.size
+                sel_loc = safe - (tp_rank * k_loc).astype(jnp.int32)
+                inr = active & (sel_loc >= 0) & (sel_loc < k_loc)
+                fl = layer.sample_selected(
+                    st, all_keys[nk + e], jnp.clip(sel_loc, 0, k_loc - 1)
+                ).astype(dtype)
+                free = jax.lax.psum(
+                    jnp.where(inr, fl, jnp.zeros((), dtype)), tp.axis
+                )
             else:
                 free = layer.sample_selected(st, all_keys[nk + e], safe).astype(dtype)
             picked = jnp.where(mrow, xi, free)  # (F, B)

@@ -117,6 +117,36 @@ def tp_slot_specs(circuit: JaxCircuit, num_shards: int) -> dict[str, int]:
     return specs
 
 
+def tp_routing_descriptor(
+    circuit: JaxCircuit, mesh: Mesh, *, model_axis: str = "model"
+):
+    """Build the static descriptor that lets the MAP/conditional-sampling
+    routing passes run manually partitioned under ``shard_map``: a
+    :class:`cirkit_tpu.backend.jax.queries.TPRouting` (mesh-axis name, shard
+    count, per-plan-entry sharded flags) plus the per-slot PartitionSpecs
+    matching :func:`shard_store_tp`'s placement. Pallas kernels then see
+    only local weight shards — GSPMD never has to partition (or gather
+    around) an opaque kernel call."""
+    from cirkit_tpu.backend.jax.queries import TPRouting
+
+    num_shards = mesh.shape[model_axis]
+    slot_specs = tp_slot_specs(circuit, num_shards)
+    flags = tuple(
+        _layer_sharded(entry.layer, slot_specs) for entry in circuit._entries
+    )
+    specs = {
+        name: (
+            # store arrays are (F, *slot.shape): axis 1 is the unit axis
+            P(*([None, model_axis] + [None] * (len(circuit.slots[name].shape) - 1)))
+            if name in slot_specs
+            else P()
+        )
+        for name in circuit.used_slots
+        if name in circuit.slots
+    }
+    return TPRouting(model_axis, num_shards, flags), specs
+
+
 def _layer_sharded(layer, slot_specs: dict[str, int]) -> bool:
     """Whether the layer's own parameters are unit-sharded."""
     if isinstance(layer, (JaxSumLayer, JaxCPTLayer, JaxTuckerLayer)):

@@ -190,13 +190,16 @@ def test_query_jits_are_cached_on_the_circuit():
     # lse-sum circuits route through the shared two-pass program, cached on
     # the circuit per (kind, root) — and reused verbatim by conditional
     # sampling at the same root head
-    fn = cc._routing_jits[("sample", 0, 0)]
+    fn = cc._routing_jits[("sample", 0, 0, None, "model", "data")]
     assert fn is not None
     s2.conditional(
         worlds[:5], evidence_mask=np.ones((5, 2), dtype=bool),
         key=jax.random.PRNGKey(1),
     )
-    assert cc._routing_jits[("sample", 0, 0)] is fn and len(cc._routing_jits) == 1
+    assert (
+        cc._routing_jits[("sample", 0, 0, None, "model", "data")] is fn
+        and len(cc._routing_jits) == 1
+    )
 
 
 def test_conditional_sampling_matches_posterior_frequencies():
