@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -542,6 +544,103 @@ def bench_warmstart(sum_product: str, num_units: int, batch: int) -> dict:
     }
 
 
+def bench_k128(iters: int = 20) -> dict:
+    """K=128 Tucker contraction at the PERF.md reference shapes (255 folds,
+    O=128, M=16384, batch 128): the k1-chunked fused kernel (r5) vs the old
+    materialized-composite path. Weights are drawn on device — a 2.1 GB
+    host upload through the tunnel would dominate the bench wall-clock."""
+    import jax
+    import jax.numpy as jnp
+
+    from cirkit_tpu.ops import lse_einsum as L
+
+    F, B, K, O = 255, 128, 128, 128
+    M = K * K
+    make = jax.jit(
+        lambda k: (
+            jax.random.normal(k, (F, B, K)) - 3.0,
+            jax.random.normal(jax.random.fold_in(k, 1), (F, B, K)) - 3.0,
+            jax.random.normal(jax.random.fold_in(k, 2), (F, O, M)),
+        )
+    )
+    x1, x2, th = make(jax.random.PRNGKey(7))
+    float(jnp.sum(x1))  # materialize
+
+    def old_path(x1, x2, th):
+        f, b, k1 = x1.shape
+        k2 = x2.shape[2]
+        x12 = (x1[:, :, :, None] + x2[:, :, None, :]).reshape(f, b, k1 * k2)
+        return L.lse_matmul(x12, jax.nn.softmax(th, axis=-1))
+
+    def new_path(x1, x2, th):
+        out = L._dispatch_tucker_chunked((x1, x2), th, softmax=True, interpret=False)
+        assert out is not None, "chunked kernel must engage at K=128"
+        return out
+
+    res = {}
+    for name, fn in (("k128_fwd_ms", new_path), ("k128_fwd_old_ms", old_path)):
+        f = jax.jit(fn)
+        out = f(x1, x2, th)
+        float(jnp.sum(out))
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.time()
+            for _ in range(max(iters // 4, 2)):
+                out = f(x1, x2, th)
+            float(jnp.sum(out))
+            best = min(best, (time.time() - t0) / max(iters // 4, 2))
+        res[name] = round(best * 1e3, 2)
+    return res
+
+
+def bench_autocache(sum_product: str, num_units: int, batch: int) -> dict:
+    """Time-to-first-batch with the TRANSPARENT warm-compile cache
+    (backend/jax/warmcache.py): a fresh process runs plain user code
+    (image_data -> ctx.compile -> cc(x)) and the jit sites deserialize
+    cached executables instead of paying remote compiles. Run 1 populates a
+    fresh cache dir; run 2 is the reported number."""
+    import tempfile
+
+    probe = (
+        "import os, sys, time, json\n"
+        f"os.environ['CIRKIT_TPU_CACHE'] = sys.argv[1]\n"
+        "t0 = time.time()\n"
+        "import numpy as np\n"
+        "import jax\n"
+        "from cirkit_tpu.models import image_data\n"
+        "from cirkit_tpu.pipeline import PipelineContext\n"
+        "from cirkit_tpu.backend.jax import warmcache\n"
+        "sc = image_data((1, 28, 28), 'quad-graph', input_layer='categorical',\n"
+        f"    num_input_units={num_units}, sum_product_layer={sum_product!r},\n"
+        f"    num_sum_units={num_units})\n"
+        "ctx = PipelineContext(semiring='lse-sum', fold=True, optimize=True)\n"
+        "cc = ctx.compile(sc)\n"
+        f"x = np.random.default_rng(0).integers(0, 256, ({batch}, 784)).astype(np.int32)\n"
+        "out = cc(x)\n"
+        "s = float(np.asarray(out).sum())\n"
+        "assert np.isfinite(s), s\n"
+        "print(json.dumps({'wall_s': time.time() - t0, 'stats': warmcache.stats}))\n"
+    )
+    pp = os.environ.get("PYTHONPATH", "")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env = {**os.environ, "PYTHONPATH": f"{pp}:{repo}" if pp else repo}
+    cache = tempfile.mkdtemp(prefix="cirkit_autocache_")
+    runs = []
+    for _ in range(2):
+        out = subprocess.run(
+            [sys.executable, "-c", probe, cache],
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        if out.returncode != 0:
+            raise RuntimeError(f"autocache probe failed:\n{out.stderr[-2000:]}")
+        runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    return {
+        "time_to_first_batch_cachemiss_s": round(runs[0]["wall_s"], 2),
+        "time_to_first_batch_cached_s": round(runs[1]["wall_s"], 2),
+        "autocache_second_process": runs[1]["stats"],
+    }
+
+
 def bench_tunnel_health() -> dict:
     """Control measurements of the remote-tunnel link itself, so degraded
     windows are distinguishable from real regressions in the same JSON:
@@ -598,6 +697,10 @@ def main() -> None:
     result.update(bench_tunnel_health())
     if os.environ.get("BENCH_SKIP_WARMSTART", "0") != "1":
         result.update(bench_warmstart(sum_product, num_units, batch))
+    if os.environ.get("BENCH_SKIP_AUTOCACHE", "0") != "1":
+        result.update(bench_autocache(sum_product, num_units, batch))
+    if os.environ.get("BENCH_SKIP_K128", "0") != "1":
+        result.update(bench_k128())
     if os.environ.get("BENCH_SKIP_FAST", "0") != "1":
         # CIRKIT_TPU_FAST trades the bf16x3 kernel splits for single-pass
         # bf16 matmuls (~4e-3 worst-case relative error); read at trace time,

@@ -281,7 +281,18 @@ class JaxCircuit:
                             s: self._slots[s].initialize(ks[i]) for i, s in enumerate(slots)
                         }
 
-                    self._init_jit = jax.jit(_init_random)
+                    # warm-compile cache: a second process deserializes the
+                    # init executable instead of paying the remote compile
+                    from cirkit_tpu.backend.jax.warmcache import (
+                        CachedJit,
+                        circuit_fingerprint,
+                    )
+
+                    self._init_jit = CachedJit(
+                        _init_random,
+                        name="init",
+                        key_parts=(circuit_fingerprint(self), slots),
+                    )
                 store.update(self._init_jit(key))
             else:
                 ks = jax.random.split(key, len(random_slots))
@@ -429,11 +440,20 @@ class JaxCircuit:
             x, b = _pad_rows(pad_batch_to, x)
         key = "fwd" if batch_size is None else ("const", batch_size)
         if key not in self._jit_cache:
+            # warm-compile cache (backend/jax/warmcache.py): fresh processes
+            # load the serialized executable instead of re-compiling
+            from cirkit_tpu.backend.jax.warmcache import CachedJit, circuit_fingerprint
+
+            fp = circuit_fingerprint(self)
             if batch_size is None:
-                self._jit_cache[key] = jax.jit(lambda st, xx: self.evaluate(st, xx))
+                self._jit_cache[key] = CachedJit(
+                    lambda st, xx: self.evaluate(st, xx),
+                    name="evaluate", key_parts=(fp,),
+                )
             else:
-                self._jit_cache[key] = jax.jit(
-                    lambda st: self.evaluate(st, None, batch_size=batch_size)
+                self._jit_cache[key] = CachedJit(
+                    lambda st: self.evaluate(st, None, batch_size=batch_size),
+                    name="evaluate_const", key_parts=(fp, batch_size),
                 )
         fn = self._jit_cache[key]
         out = fn(store, x) if batch_size is None else fn(store)

@@ -693,6 +693,232 @@ def _dispatch_blocked(x, w, *, interpret: bool | None):
 
 
 # --------------------------------------------------------------------------- #
+# k1-chunked fused Tucker kernel (K >= 128 unit counts)
+# --------------------------------------------------------------------------- #
+# The plain fused Tucker kernel keeps the whole (O, K1*K2) weight tile (plus
+# its bf16 split temporaries) resident per grid cell, which caps it at
+# roughly K = 64 (i = 4K). Beyond that the old fallback materialized the
+# (F, B, K1*K2) log-space outer sum to HBM (~2 GB per flagship K=128 batch)
+# and, for softmax weights, the normalized (F, O, K1*K2) table too — two
+# full extra HBM round trips. This kernel instead sweeps the weight in
+# K1-CHUNKS of kc rows of the composite axis (chunk = kc*K2 columns, always
+# a 128-lane multiple) and keeps single-pass HBM traffic:
+#
+# - the x-side max shift is GLOBAL: m1 comes in precomputed ((F, B, 1), an
+#   elementwise pass over the tiny x1), m2 is computed in-kernel from the
+#   resident full x2 tile, so exp values never exceed 1 and chunks add up
+#   exactly like the unchunked kernel;
+# - x1 is pre-reshaped to (F, nkc, B, kc) OUTSIDE the kernel (a tiny XLA
+#   transpose) because Mosaic cannot DMA lane-axis blocks at non-128
+#   offsets — as a 4D array each chunk is a full-minor-axis block;
+# - softmax weights use the online (flash-style) recurrence over chunks:
+#   running row max + rescaled running normalizer in VMEM scratch, the
+#   linear accumulator in o_ref rescaled when the max grows — logits
+#   stream from HBM exactly once and the normalized weights never exist;
+# - the backward is the XLA composition (custom_vjp): training at K >= 128
+#   is off the flagship hot path, and the chunked forward is what serving
+#   and the query upward passes need.
+
+
+@dataclass(frozen=True)
+class _CTCfg:
+    bt: int  # batch tile
+    nbt: int
+    kc: int  # K1 rows per chunk
+    nkc: int
+    interpret: bool
+    fast: str
+    softmax: bool
+
+
+def _ct_fwd_kernel(cfg: _CTCfg, x1_ref, m1_ref, x2_ref, w_ref, o_ref, wm_s, ws_s):
+    _maybe_seed(cfg, 3)
+    ci = pl.program_id(2)
+    x1c = x1_ref[0, 0]  # (BT, KC) — this chunk's log inputs
+    m1 = m1_ref[0]  # (BT, 1) — GLOBAL row max of x1
+    x2 = x2_ref[0]  # (BT, K2)
+    m2 = _clamp_max(x2)
+    e1c = jnp.exp(x1c - m1)  # <= 1: m1 is the global shift
+    e2 = jnp.exp(x2 - m2)
+    k2 = e2.shape[1]
+    e1r = _repeat_each(e1c, k2, fast=cfg.fast)  # (BT, KC*K2)
+    e = e1r * pltpu.repeat(e2, e1c.shape[1], axis=1)
+    if cfg.softmax:
+        th = w_ref[0].astype(jnp.float32)  # (O, KC*K2) raw logits
+        cmax = jnp.max(th, axis=-1, keepdims=True)  # (O, 1)
+
+        @pl.when(ci == 0)
+        def _():
+            wm_s[:] = jnp.full_like(wm_s, jnp.finfo(jnp.float32).min)
+            ws_s[:] = jnp.zeros_like(ws_s)
+            o_ref[0] = jnp.zeros_like(o_ref[0])
+
+        m_old = wm_s[:]
+        m_new = jnp.maximum(m_old, cmax)
+        scale = jnp.exp(m_old - m_new)  # (O, 1)
+        we = jnp.exp(th - m_new)
+        ws_s[:] = ws_s[:] * scale + jnp.sum(we, axis=-1, keepdims=True)
+        wm_s[:] = m_new
+        contrib = _dot3(e, we, ((1,), (1,)), fast=cfg.fast)  # (BT, O)
+        o_ref[0] = o_ref[0] * jnp.transpose(scale, (1, 0)) + contrib
+
+        @pl.when(ci == cfg.nkc - 1)
+        def _():
+            lse = jnp.log(ws_s[:])  # (O, 1): softmax normalizer (shifted)
+            o_ref[0] = (
+                jnp.log(o_ref[0]) - jnp.transpose(lse, (1, 0)) + m1 + m2
+            )
+    else:
+        w = w_ref[0]
+        contrib = _dot3(e, w, ((1,), (1,)), fast=cfg.fast)
+
+        @pl.when(ci == 0)
+        def _():
+            o_ref[0] = jnp.zeros_like(o_ref[0])
+
+        o_ref[0] += contrib
+
+        @pl.when(ci == cfg.nkc - 1)
+        def _():
+            o_ref[0] = jnp.log(o_ref[0]) + m1 + m2
+
+
+def _ct_fwd_call(cfg: _CTCfg, x1r, m1, x2, w):
+    f, nkc, b, kc = x1r.shape
+    o = w.shape[1]
+    k2 = x2.shape[2]
+    cm = kc * k2
+    return pl.pallas_call(
+        functools.partial(_ct_fwd_kernel, cfg),
+        grid=(f, cfg.nbt, cfg.nkc),
+        in_specs=[
+            _vspec((1, 1, cfg.bt, kc), lambda fi, bi, ci: (fi, ci, bi, 0)),
+            _vspec((1, cfg.bt, 1), lambda fi, bi, ci: (fi, bi, 0)),
+            _vspec((1, cfg.bt, k2), lambda fi, bi, ci: (fi, bi, 0)),
+            _vspec((1, o, cm), lambda fi, bi, ci: (fi, 0, ci)),
+        ],
+        out_specs=_vspec((1, cfg.bt, o), lambda fi, bi, ci: (fi, bi, 0)),
+        out_shape=jax.ShapeDtypeStruct((f, b, o), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((o, 1), jnp.float32),
+            pltpu.VMEM((o, 1), jnp.float32),
+        ],
+        interpret=cfg.interpret,
+    )(x1r, m1, x2, w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ct_p(cfg: _CTCfg, x1, x2, w):
+    return _ct_fwd(cfg, x1, x2, w)
+
+
+def _ct_fwd(cfg: _CTCfg, x1, x2, w):
+    f, b, k1 = x1.shape
+    m1 = _clamp_max(x1)
+    x1r = jnp.transpose(x1.reshape(f, b, cfg.nkc, cfg.kc), (0, 2, 1, 3))
+    return _ct_fwd_call(cfg, x1r, m1, x2, w)
+
+
+def _ct_p_fwd(cfg: _CTCfg, x1, x2, w):
+    out = _ct_fwd(cfg, x1, x2, w)
+    return out, (x1, x2, w, out)
+
+
+def _ct_p_bwd(cfg: _CTCfg, res, g):
+    # XLA backward (bf16x3 / HIGH precision): the same math as the fused
+    # backward kernels — SafeLog-style zeroing of non-finite g/y ratios,
+    # max shifts treated as constants, softmax VJP applied to dL/dw.
+    x1, x2, th, out = res
+    f, b, k1 = x1.shape
+    k2 = x2.shape[2]
+    o = th.shape[1]
+    m1 = _clamp_max(x1)
+    m2 = _clamp_max(x2)
+    e1 = jnp.exp(x1 - m1)
+    e2 = jnp.exp(x2 - m2)
+    if cfg.softmax:
+        w = jax.nn.softmax(th.astype(jnp.float32), axis=-1)
+    else:
+        w = th.astype(jnp.float32) if th.dtype == jnp.bfloat16 else th
+    gy = g * jnp.exp(m1 + m2 - out)
+    gy = jnp.where(jnp.isfinite(gy), gy, 0.0)
+    prec = fallback_precision()
+    w3 = w.reshape(f, o, k1, k2)
+    s3 = jnp.einsum("fbo,foij->fbij", gy, w3, precision=prec)
+    dx1 = e1 * jnp.einsum("fbij,fbj->fbi", s3, e2, precision=prec)
+    dx2 = e2 * jnp.einsum("fbij,fbi->fbj", s3, e1, precision=prec)
+    dw = jnp.einsum(
+        "fbo,fbi,fbj->foij", gy, e1, e2, precision=prec
+    ).reshape(f, o, k1 * k2)
+    if cfg.softmax:
+        dw = w * (dw - jnp.sum(w * dw, axis=-1, keepdims=True))
+    return dx1, dx2, dw.astype(th.dtype)
+
+
+_ct_p.defvjp(_ct_p_fwd, _ct_p_bwd)
+
+
+def _dispatch_tucker_chunked(xs, w, *, softmax: bool, interpret: bool | None):
+    """The k1-chunked fused Tucker kernel for composites too wide for the
+    single-tile kernel; None when shapes/dtypes/platform do not allow it."""
+    if not _pallas_enabled():
+        return None
+    x1, x2 = xs
+    if x1.dtype != jnp.float32 or x2.dtype != jnp.float32:
+        return None
+    if w.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    f, b, k1 = x1.shape
+    k2 = x2.shape[2]
+    o = w.shape[1]
+    if o < 8 or w.shape[2] != k1 * k2:
+        return None
+    # chunk = kc rows of the K1 digit: pick the largest kc (a multiple of 8
+    # dividing K1, chunk columns a 128-lane multiple) whose weight-chunk
+    # residency fits; at least 2 chunks (the plain kernel covers nkc == 1)
+    kc = None
+    for cand in range(min(k1 // 2, 512), 7, -8):
+        if k1 % cand or (cand * k2) % 128:
+            continue
+        if _w_resident_ok(o, cand * k2, softmax=softmax):
+            kc = cand
+            break
+    if kc is None:
+        return None
+    nkc = k1 // kc
+    cm = kc * k2
+    bt = min(256, _round_up(b, 8))
+    while True:
+        # batch-tile working set; the weight chunk's split/softmax
+        # temporaries are bounded separately by _w_resident_ok above
+        # (mirroring the plain dispatcher's empirically-proven budget)
+        work = (o + 1) * cm
+        work += bt * (3 * cm + 2 * k2 + kc + o + 2)
+        if 4 * work <= _VMEM_BUDGET or bt <= 8:
+            break
+        bt = max(8, bt // 2)
+    if 4 * work > _VMEM_BUDGET:
+        return None
+    interpret = _interpret_default() if interpret is None else interpret
+    bp = _round_up(b, bt)
+    cfg = _CTCfg(
+        bt=bt,
+        nbt=bp // bt,
+        kc=kc,
+        nkc=nkc,
+        interpret=interpret,
+        fast=_cfg_fast(interpret),
+        softmax=softmax,
+    )
+    if bp != b:
+        pad = jnp.finfo(x1.dtype).min
+        x1 = jnp.pad(x1, ((0, 0), (0, bp - b), (0, 0)), constant_values=pad)
+        x2 = jnp.pad(x2, ((0, 0), (0, bp - b), (0, 0)), constant_values=pad)
+    out = _ct_p(cfg, x1, x2, w)
+    return out[:, :b] if bp != b else out
+
+
+# --------------------------------------------------------------------------- #
 # Signed log-einsum-exp (SoS / squared circuits with real parameters)
 # --------------------------------------------------------------------------- #
 # The signed semiring carries values as (log|f|, sign) pairs of real arrays,
@@ -1410,11 +1636,15 @@ def lse_tucker2(
         w.shape,
     )
     out = _dispatch((x1, x2), w, softmax=False, tucker=True, interpret=interpret)
+    if out is None:
+        # too wide for one weight tile: the k1-chunked fused kernel keeps
+        # single-pass HBM traffic (no materialized outer sum)
+        out = _dispatch_tucker_chunked((x1, x2), w, softmax=False, interpret=interpret)
     if out is not None:
         return out
     if _pallas_enabled() and x1.dtype == jnp.float32:
-        # Too wide for the fused outer product: materialize the (cheap)
-        # log-space outer sum once and stream it through the blocked kernel.
+        # Last kernel resort: materialize the (cheap) log-space outer sum
+        # once and stream it through the blocked kernel.
         x12 = (x1[:, :, :, None] + x2[:, :, None, :]).reshape(f, b, k1 * k2)
         return lse_matmul(x12, w, interpret=interpret)
     m1 = _clamp_max(x1)
@@ -1440,6 +1670,12 @@ def lse_tucker2_softmax(
     """:func:`lse_tucker2` with ``w = softmax(theta, axis=-1)`` fused into
     the kernel (see :func:`lse_matmul_softmax`)."""
     out = _dispatch((x1, x2), theta, softmax=True, tucker=True, interpret=interpret)
+    if out is None:
+        # k1-chunked kernel with the online-softmax recurrence: logits
+        # stream from HBM once, the normalized table never materializes
+        out = _dispatch_tucker_chunked(
+            (x1, x2), theta, softmax=True, interpret=interpret
+        )
     if out is not None:
         return out
     if theta.dtype == jnp.bfloat16:

@@ -127,8 +127,16 @@ def data_parallel_step(
     weighted: bool = False,
     zero1: bool = False,
     marginalize_missing: bool = False,
+    cache_token: str | None = None,
 ) -> Callable:
     """Build a jitted data-parallel training step.
+
+    ``cache_token`` (single-device steps only): opt into the warm-compile
+    cache (``backend/jax/warmcache.py``) — the token must uniquely identify
+    the OPTIMIZER (and any custom ``loss_fn``) configuration, which the
+    cache cannot fingerprint itself; :func:`fit` passes one automatically
+    for its default optimizer. A second process then deserializes the
+    compiled step instead of paying the remote compile.
 
     The step takes ``(trainable, frozen, opt_state, batch)`` and returns
     ``(trainable, opt_state, loss)``. The batch is expected sharded over the
@@ -233,6 +241,23 @@ def data_parallel_step(
     # Donating the parameter and optimizer-state buffers lets XLA update
     # them in place instead of allocating fresh copies every step.
     if mesh is None:
+        if cache_token is not None:
+            from cirkit_tpu.backend.jax.warmcache import (
+                CachedJit,
+                circuit_fingerprint,
+            )
+
+            return CachedJit(
+                step,
+                name="train_step",
+                key_parts=(
+                    circuit_fingerprint(circuit),
+                    cache_token,
+                    weighted,
+                    marginalize_missing,
+                ),
+                donate_argnums=(0, 2),
+            )
         return jax.jit(step, donate_argnums=(0, 2))
     if zero1:
         # opt-state shardings are inherited from the caller's placement
@@ -390,6 +415,7 @@ def fit(
         raise ValueError("checkpoint_every/resume require checkpoint_path")
     if checkpoint_every is not None and checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    default_optimizer = optimizer is None
     if optimizer is None:
         optimizer = optax.adam(1e-2)
     if store is None:
@@ -488,6 +514,9 @@ def fit(
     step = data_parallel_step(
         circuit, optimizer, mesh=mesh, axis=axis, weighted=weighted,
         marginalize_missing=miss_all is not None,
+        # warm-compile cache: only the default optimizer is identifiable
+        # (custom optax chains have no stable fingerprint)
+        cache_token="fit:adam:1e-2" if default_optimizer and mesh is None else None,
     )
     ones = np.ones(batch_size, dtype=np.float32)
 
