@@ -355,7 +355,15 @@ def pc2qpc(
                 make_input_generator(slot, 1, layer.num_output_units)
         elif isinstance(layer, (JaxSumLayer, JaxTuckerLayer, JaxCPTLayer)):
             weight = layer.weight
-            is_tucker = isinstance(layer, JaxTuckerLayer)
+            # an UNOPTIMIZED plan expresses a Tucker block as Kronecker ->
+            # Sum with a (K, K^2) weight: same latent-variable semantics
+            # (one output + two input quadrature dims), so detect it by
+            # shape signature and normalize over both input dims
+            is_tucker = isinstance(layer, JaxTuckerLayer) or (
+                isinstance(layer, JaxSumLayer)
+                and layer.num_output_units > 1
+                and layer.num_input_units == layer.num_output_units**2
+            )
             graph_nodes = list(weight.topological_ordering())
             simple = len(graph_nodes) <= 2
             has_mixing = any(isinstance(n, JaxMixingWeightParameter) for n in graph_nodes)
