@@ -639,15 +639,24 @@ def bench_k128(iters: int = 20) -> dict:
     )
     x1, x2, th = make(jax.random.PRNGKey(7))
     float(jnp.sum(x1))  # materialize
+    # A fresh-per-run embedded constant changes the program hash: the remote
+    # compile service caches executables by program and can serve a binary
+    # compiled in an unlucky window forever (measured: a cached 18.3 ms
+    # artifact vs 10.9 ms from a fresh compile of the SAME program); the
+    # salt costs one compile and guarantees a current-artifact measurement.
+    salt = np.float32(1e-30 * (int(time.time()) % 997 + 1))
 
     def old_path(x1, x2, th):
+        x1 = x1 + salt
         f, b, k1 = x1.shape
         k2 = x2.shape[2]
         x12 = (x1[:, :, :, None] + x2[:, :, None, :]).reshape(f, b, k1 * k2)
         return L.lse_matmul(x12, jax.nn.softmax(th, axis=-1))
 
     def new_path(x1, x2, th):
-        out = L._dispatch_tucker_chunked((x1, x2), th, softmax=True, interpret=False)
+        out = L._dispatch_tucker_chunked(
+            (x1 + salt, x2), th, softmax=True, interpret=False
+        )
         assert out is not None, "chunked kernel must engage at K=128"
         return out
 

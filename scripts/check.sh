@@ -35,6 +35,7 @@ fi
 
 step "compileall" python -m compileall -q cirkit_tpu
 step "ast lint" python scripts/static_check.py
+step "api docs" python scripts/gen_api_docs.py
 step "docs links" python scripts/check_links.py
 
 case "${1:-}" in
