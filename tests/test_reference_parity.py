@@ -434,3 +434,138 @@ def test_signed_semiring_sos_parity_with_reference_complex():
 
     np.testing.assert_allclose(got, ref_vals, rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(got_z, ref_z, rtol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# head-to-head randomized fuzz (VERDICT r4 item 8)
+# ---------------------------------------------------------------------------
+# The fixed fixtures above pin known shapes; these cases draw random
+# structures (random binary scope tree x cp/tucker blocks x unit counts x
+# operator pipeline x semiring) from a seed and build the SAME circuit in
+# both IRs — catching shared-blind-spot semantics drift the own-enumeration
+# fuzz grid (tests/test_fuzz_circuits.py) cannot see. Harness pattern after
+# the reference's randomized compile tests
+# (/root/reference/tests/backend/torch/test_compile_circuit.py:76-91).
+
+
+def _fuzz_desc(seed):
+    """Deterministic random structure description: returns (tree, num_vars,
+    num_states, pipeline, semiring). Tree nodes: ("leaf", var, k) or
+    ("node", kind, k_out, k_child, left, right)."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(3, 6))
+    states = int(rng.integers(2, 4))
+
+    def gen(vs, k_out):
+        if len(vs) == 1:
+            return ("leaf", vs[0], k_out)
+        cut = int(rng.integers(1, len(vs)))
+        kind = ["cp", "tucker"][int(rng.integers(0, 2))]
+        k_child = int(rng.integers(2, 5))
+        return (
+            "node", kind, k_out, k_child,
+            gen(vs[:cut], k_child), gen(vs[cut:], k_child),
+        )
+
+    k_root = int(rng.integers(2, 5))
+    tree = gen(list(range(n)), k_root)
+    pipeline = ["plain", "integrate", "multiply", "multiply_integrate"][
+        int(rng.integers(0, 4))
+    ]
+    semiring = ["lse-sum", "sum-product"][int(rng.integers(0, 2))]
+    int_subset = [v for v in range(n) if rng.random() < 0.5]
+    if not int_subset:
+        int_subset = [0]
+    return tree, n, states, pipeline, semiring, int_subset
+
+
+def _fuzz_values(tree, states, seed):
+    """Per-node parameter draws, keyed by a deterministic traversal index."""
+    rng = np.random.default_rng(seed)
+    vals = {}
+    idx = [0]
+
+    def walk(node):
+        i = idx[0]
+        idx[0] += 1
+        if node[0] == "leaf":
+            _, _, k = node
+            vals[i] = rng.standard_normal((k, states))
+            return k
+        _, kind, k_out, k_child, left, right = node
+        walk(left)
+        walk(right)
+        m = k_child * k_child if kind == "tucker" else k_child
+        vals[i] = rng.standard_normal((k_out, m))
+        return k_out
+
+    k_root = walk(tree)
+    vals["root"] = rng.standard_normal((1, k_root))
+    return vals
+
+
+def _build_fuzz(api, tree, states, vals):
+    layers, in_layers = [], {}
+    idx = [0]
+
+    def build(node):
+        i = idx[0]
+        idx[0] += 1
+        if node[0] == "leaf":
+            _, var, k = node
+            layer = api.L.CategoricalLayer(
+                api.Scope([var]), k, num_categories=states,
+                logits=_const(api, vals[i]),
+            )
+            layers.append(layer)
+            return layer
+        _, kind, k_out, k_child, left, right = node
+        lc, rc = build(left), build(right)
+        if kind == "cp":
+            prod = api.L.HadamardLayer(k_child, arity=2)
+        else:
+            prod = api.L.KroneckerLayer(k_child, arity=2)
+        m = k_child * k_child if kind == "tucker" else k_child
+        s = api.L.SumLayer(m, k_out, weight=_const(api, vals[i], softmax=True))
+        layers.extend([prod, s])
+        in_layers[prod] = [lc, rc]
+        in_layers[s] = [prod]
+        return s
+
+    top = build(tree)
+    root = api.L.SumLayer(
+        top.num_output_units, 1, weight=_const(api, vals["root"], softmax=True)
+    )
+    layers.append(root)
+    in_layers[root] = [top]
+    return api.Circuit(layers, in_layers, [root])
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_fuzz_head_to_head_vs_reference(seed):
+    tree, n, states, pipeline, semiring, int_subset = _fuzz_desc(seed)
+    vals = _fuzz_values(tree, states, seed + 10_000)
+    vals2 = _fuzz_values(tree, states, seed + 20_000)
+    worlds = _worlds(n, states)
+    outs = {}
+    for api in (_ref_api(), _jax_api()):
+        ctx = _make_ctx(api, semiring)
+        sc = _build_fuzz(api, tree, states, vals)
+        if pipeline == "integrate":
+            sc = api.F.integrate(sc, scope=api.Scope(int_subset))
+            cc = ctx.compile(sc)
+        elif pipeline in ("multiply", "multiply_integrate"):
+            cc1 = ctx.compile(sc)
+            cc2 = ctx.compile(_build_fuzz(api, tree, states, vals2))
+            cc = ctx.multiply(cc1, cc2)
+            if pipeline == "multiply_integrate":
+                cc = ctx.integrate(cc)
+        else:
+            cc = ctx.compile(sc)
+        outs[api.kind] = _run(api, ctx, cc, worlds)[:, 0, 0]
+        if pipeline == "plain":
+            icc = ctx.integrate(cc)
+            outs[api.kind + "_z"] = float(_scalar(_run(api, ctx, icc, worlds[:1])))
+    np.testing.assert_allclose(outs["jax"], outs["ref"], rtol=1e-9, atol=1e-9)
+    if pipeline == "plain":
+        np.testing.assert_allclose(outs["jax_z"], outs["ref_z"], rtol=1e-9, atol=1e-9)
