@@ -48,10 +48,24 @@ pruning uses) — exact, aimed at modest logic/SDD-sized circuits.
 ``device=True`` (r5) executes the same recursion through jitted
 on-device kernels with a vectorized sum reduction: the traversal stays
 host Python, jax.jit caches one program per distinct pair shape, and
-only the root carriers are pulled — large homogeneous deterministic
-pairs (e.g. two 51M-parameter ``distill_tree`` outputs) evaluate in
-seconds on-TPU at the platform float width (f32: ~1e-4 nats; float64
-under the CPU x64 config, pinned against the host path).
+only the root carriers are pulled. Accuracy follows the platform float
+width (f32: ~1e-4 nats; float64 under the CPU x64 config, pinned
+against the host path at 1e-9).
+
+Scaling note (measured, r5): the pair recursion enumerates
+``arity_p x arity_q`` child pairs per sum pair, so HIGH-ARITY
+deterministic sums (e.g. ``distill_tree``'s 256-way indicator mixtures)
+blow the walk up quadratically on BOTH paths — that is a property of
+the compositional cross-operator itself, not the executor. For such
+circuits the two useful cases are already served elsewhere: two
+parameterizations of ONE skeleton -> :class:`KLDivergenceQuery` (a
+single device pass; exact when deterministic — this covers comparing
+two distill_tree outputs, which are only scope-compatible when they
+share the skeleton), and non-deterministic or incompatible pairs ->
+the Monte Carlo estimators below. The pairwise module targets
+DIFFERENT-structure deterministic pairs with modest sum arities
+(logic/SDD weighted-model-count distributions), where ``device=True``
+moves the carrier math on-chip.
 """
 
 from __future__ import annotations

@@ -244,3 +244,32 @@ def test_distill_binomial_source():
     q = np.exp(np.asarray(cc2.evaluate(ctx2.parameters, jnp.asarray(worlds)))[:, 0, 0])
     # a 2-variable distribution IS a tree: distillation is lossless
     np.testing.assert_allclose(q / q.sum(), p, rtol=1e-6, atol=1e-12)
+
+
+def test_kl_between_two_distilled_parameterizations(distilled):
+    """The cross.py division of labor, pinned: two parameterizations of ONE
+    distilled skeleton compare through KLDivergenceQuery (a single device
+    pass, exact because distill_tree outputs are deterministic) — the
+    pairwise cross-circuit walk is NOT needed for this case and would blow
+    up quadratically in the indicator-sum arity."""
+    from cirkit_tpu.backend.jax.entropy import KLDivergenceQuery
+
+    tree, report, ctx2, cc2, q = distilled
+    from tests.backend.test_entropy import (
+        _enum_kl,
+        _normalized_leaf_slots,
+        _perturb_store,
+    )
+
+    rng = np.random.default_rng(77)
+    sp = cc2.restrict_store(ctx2.parameters)
+    sq = _perturb_store(sp, rng, renorm_slots=_normalized_leaf_slots(cc2))
+    kl = float(KLDivergenceQuery(cc2)(sp, sq)[0, 0])
+
+    worlds = enumerate_worlds(5, 3)
+    pw = np.exp(np.asarray(cc2.evaluate(sp, jnp.asarray(worlds)))[:, 0, 0])
+    qw = np.exp(np.asarray(cc2.evaluate(sq, jnp.asarray(worlds)))[:, 0, 0])
+    np.testing.assert_allclose(kl, _enum_kl(pw, qw), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(KLDivergenceQuery(cc2)(sp, sp)[0, 0]), 0.0, atol=1e-12
+    )
