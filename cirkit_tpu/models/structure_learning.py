@@ -27,7 +27,12 @@ normalized, EM-eligible (``fit_em``) and fine-tunable (``fit``) on TPU.
 from __future__ import annotations
 
 import numpy as np
-import scipy.stats
+
+from cirkit_tpu.utils.lazy import LazyModule
+
+# scipy.stats costs ~1.9 s to import and is only needed when an
+# independence test actually runs: defer to first use
+scipy_stats = LazyModule("scipy.stats", "scipy_stats", globals())
 
 from cirkit_tpu.symbolic.circuit import Circuit
 from cirkit_tpu.symbolic.initializers import ConstantTensorInitializer
@@ -73,7 +78,7 @@ def _dependency_components(
                 nz = table > 0
                 g = 2.0 * float((table[nz] * np.log(table[nz] / expected[nz])).sum())
                 dof = max((ci - 1) * (cj - 1), 1)
-                p = float(scipy.stats.chi2.sf(g, dof))
+                p = float(scipy_stats.chi2.sf(g, dof))
             else:
                 r = float(np.corrcoef(data[:, i], data[:, j])[0, 1])
                 if not np.isfinite(r):
@@ -81,7 +86,7 @@ def _dependency_components(
                 else:
                     r = np.clip(r, -0.999999, 0.999999)
                     z = abs(np.arctanh(r)) * np.sqrt(max(n - 3, 1))
-                    p = 2.0 * float(scipy.stats.norm.sf(z))
+                    p = 2.0 * float(scipy_stats.norm.sf(z))
             adj[i, j] = adj[j, i] = p < threshold
     # connected components by BFS
     comps: list[list[int]] = []

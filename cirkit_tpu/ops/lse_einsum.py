@@ -64,8 +64,12 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+# pallas costs >1 s to import and a process replaying cached executables
+# (backend/jax/warmcache.py) never traces a kernel: defer to first use
+from cirkit_tpu.utils.lazy import LazyModule
+
+pl = LazyModule("jax.experimental.pallas", "pl", globals())
+pltpu = LazyModule("jax.experimental.pallas.tpu", "pltpu", globals())
 
 # A conservative VMEM budget (bytes) for the working set of one grid step
 # (input tiles + weight tile + output tile, double-buffered by pallas).

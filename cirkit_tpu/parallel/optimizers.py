@@ -38,7 +38,12 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import optax
+
+from cirkit_tpu.utils.lazy import LazyModule
+
+# call-time only (annotations are strings under future-annotations):
+# deferred so package import stays off the time-to-first-batch bill
+optax = LazyModule("optax", "optax", globals())
 
 _LOW16 = jnp.uint32(0xFFFF)
 _HIGH16 = jnp.uint32(0xFFFF0000)

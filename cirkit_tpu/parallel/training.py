@@ -16,7 +16,11 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
+from cirkit_tpu.utils.lazy import LazyModule
+
+# optax is only touched at call time (default optimizer, apply_updates):
+# deferred so package import stays off the time-to-first-batch bill
+optax = LazyModule("optax", "optax", globals())
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cirkit_tpu.backend.jax.circuit import JaxCircuit
