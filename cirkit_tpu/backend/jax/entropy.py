@@ -114,7 +114,12 @@ class EntropyQuery(Query):
         store = cc.restrict_store(store)
         fn = getattr(cc, "_entropy_jit", None)
         if fn is None:
-            fn = cc._entropy_jit = jax.jit(_build_entropy_run(cc))
+            from cirkit_tpu.backend.jax.warmcache import CachedJit, circuit_fingerprint
+
+            fn = cc._entropy_jit = CachedJit(
+                _build_entropy_run(cc),
+                name="entropy", key_parts=(circuit_fingerprint(cc),),
+            )
         hh, lz = fn(store, x, mask)
         if unconditional:
             hh, lz = hh[0], lz[0]
@@ -329,7 +334,12 @@ class KLDivergenceQuery(Query):
         store_q = cc.restrict_store(store_q)
         fn = getattr(cc, "_kl_jit", None)
         if fn is None:
-            fn = cc._kl_jit = jax.jit(_build_kl_run(cc))
+            from cirkit_tpu.backend.jax.warmcache import CachedJit, circuit_fingerprint
+
+            fn = cc._kl_jit = CachedJit(
+                _build_kl_run(cc),
+                name="kl", key_parts=(circuit_fingerprint(cc),),
+            )
         kl = fn((store_p, store_q), x, mask)
         return kl[0] if unconditional else kl
 

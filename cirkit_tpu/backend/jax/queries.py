@@ -240,8 +240,11 @@ class IntegrateQuery(Query):
                 logw = jnp.asarray(np.log(w))
             fn = getattr(cc, "_soft_integrate_jit", None)
             if fn is None:
-                fn = jax.jit(
-                    lambda st, xx, mk, sm, lw: soft_evaluate(cc, st, xx, mk, sm, lw)
+                from cirkit_tpu.backend.jax.warmcache import CachedJit, circuit_fingerprint
+
+                fn = CachedJit(
+                    lambda st, xx, mk, sm, lw: soft_evaluate(cc, st, xx, mk, sm, lw),
+                    name="soft_integrate", key_parts=(circuit_fingerprint(cc),),
                 )
                 cc._soft_integrate_jit = fn
             return _slice_rows(fn(store, jnp.asarray(x), mask, soft_mask, logw), _b)
@@ -251,8 +254,14 @@ class IntegrateQuery(Query):
         # (2-7 s per program on the remote-compile TPU backend).
         fn = getattr(cc, "_integrate_jit", None)
         if fn is None:
-            fn = jax.jit(
-                lambda st, xx, mk: masked_evaluate(cc, st, xx, mk)
+            # warm-compile cache (backend/jax/warmcache.py): second
+            # processes deserialize the query executable instead of paying
+            # the 2-7 s remote compile
+            from cirkit_tpu.backend.jax.warmcache import CachedJit, circuit_fingerprint
+
+            fn = CachedJit(
+                lambda st, xx, mk: masked_evaluate(cc, st, xx, mk),
+                name="integrate", key_parts=(circuit_fingerprint(cc),),
             )
             cc._integrate_jit = fn
         return _slice_rows(fn(store, jnp.asarray(x), mask), _b)
@@ -702,7 +711,12 @@ class ExpectationQuery(Query):
                             _os.environ["CIRKIT_TPU_DISABLE_PALLAS"] = old
 
                 run = _run_no_pallas
-            cache[key] = jax.jit(run)
+            from cirkit_tpu.backend.jax.warmcache import CachedJit, circuit_fingerprint
+
+            cache[key] = CachedJit(
+                run, name="expectation",
+                key_parts=(circuit_fingerprint(cc), key),
+            )
         return _slice_rows(cache[key](store, x, mask, *extra), _b)
 
 
@@ -1247,8 +1261,12 @@ def _routing_jit(
     key = (kind, root_output, root_unit, mesh, model_axis, data_axis)
     if key not in cache:
         if mesh is None:
-            cache[key] = jax.jit(
-                _build_routing_run(cc, kind, root_output=root_output, root_unit=root_unit)
+            from cirkit_tpu.backend.jax.warmcache import CachedJit, circuit_fingerprint
+
+            cache[key] = CachedJit(
+                _build_routing_run(cc, kind, root_output=root_output, root_unit=root_unit),
+                name="routing",
+                key_parts=(circuit_fingerprint(cc), kind, root_output, root_unit),
             )
         else:
             cache[key] = _tp_routing_jit(
@@ -1332,8 +1350,11 @@ def _topk_jit(cc: JaxCircuit, topk: int, root_output: int, root_unit: int):
         cache = cc._routing_jits = {}
     key = ("topk", topk, root_output, root_unit)
     if key not in cache:
-        cache[key] = jax.jit(
-            build_topk_run(cc, topk, root_output=root_output, root_unit=root_unit)
+        from cirkit_tpu.backend.jax.warmcache import CachedJit, circuit_fingerprint
+
+        cache[key] = CachedJit(
+            build_topk_run(cc, topk, root_output=root_output, root_unit=root_unit),
+            name="topk", key_parts=(circuit_fingerprint(cc), topk, root_output, root_unit),
         )
     return cache[key]
 

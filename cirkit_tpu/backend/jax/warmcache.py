@@ -210,22 +210,27 @@ class CachedJit:
         self._key_parts = (*key_parts, donate_argnums)
         self._mem: dict[str, Callable] = {}
 
-    def __call__(self, *args):
+    def __call__(self, *args, **kwargs):
+        # kwargs ride the same path: the signature hash covers the full
+        # (args, kwargs) tree, and lower/call use the identical convention
+        # so the serialized in_tree matches (each call site is consistent)
         root = cache_dir()
-        if root is None or not _cacheable_args(args):
-            return self._jit(*args)
-        akey = _args_sig(args)
+        if root is None or not _cacheable_args((args, kwargs)):
+            return self._jit(*args, **kwargs)
+        akey = _args_sig((args, kwargs))
         fn = self._mem.get(akey)
         if fn is None:
             key = hashlib.sha256(
                 repr((self._name, self._key_parts, _env_fingerprint(), akey)).encode()
             ).hexdigest()
-            fn = _load_or_compile(root, key, self._jit, args, self._name)
+            fn = _load_or_compile(root, key, self._jit, args, kwargs, self._name)
             self._mem[akey] = fn
-        return fn(*args)
+        return fn(*args, **kwargs)
 
 
-def _load_or_compile(root: Path, key: str, jitted, args: tuple, name: str) -> Callable:
+def _load_or_compile(
+    root: Path, key: str, jitted, args: tuple, kwargs: dict, name: str
+) -> Callable:
     from jax.experimental import serialize_executable as se
 
     path = root / key[:2] / f"{key}.jaxexec"
@@ -244,7 +249,7 @@ def _load_or_compile(root: Path, key: str, jitted, args: tuple, name: str) -> Ca
         except Exception:
             pass  # corrupt / incompatible entry: recompile and overwrite
     stats["misses"] += 1
-    compiled = jitted.lower(*args).compile()
+    compiled = jitted.lower(*args, **kwargs).compile()
     try:
         payload = se.serialize(compiled)
         blob = pickle.dumps(payload)

@@ -84,6 +84,24 @@ def test_cached_jit_round_trip_and_corruption_fallback(monkeypatch, tmp_path):
     assert W.stats["misses"] == before["misses"] + 2
 
 
+def test_cached_jit_kwargs_round_trip(monkeypatch, tmp_path):
+    """Keyword arguments ride the cache too (the routing programs pass
+    key= by name): the signature hash covers the kwargs tree and the
+    serialized in_tree matches the call convention."""
+    monkeypatch.setenv("CIRKIT_TPU_CACHE", str(tmp_path))
+    before = dict(W.stats)
+    x = np.arange(8, dtype=np.float32)
+    k = np.float32(3.0)
+
+    fn = W.CachedJit(lambda a, scale=None: a * scale, name="kw", key_parts=())
+    out1 = np.asarray(fn(x, scale=k))
+    assert W.stats["misses"] == before["misses"] + 1
+    fn2 = W.CachedJit(lambda a, scale=None: a * scale, name="kw", key_parts=())
+    out2 = np.asarray(fn2(x, scale=k))
+    assert W.stats["hits"] == before["hits"] + 1
+    np.testing.assert_array_equal(out1, out2)
+
+
 def test_sharded_args_skip_cache(monkeypatch, tmp_path):
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -114,9 +132,17 @@ ctx = PipelineContext(backend="jax", semiring="lse-sum")
 cc = ctx.compile(sc)
 x = np.random.default_rng(0).integers(0, 256, (16, 4)).astype(np.int32)
 out = cc(x)
-_, losses = fit(cc, x, num_epochs=1, batch_size=16, key=jax.random.PRNGKey(0))
+st, losses = fit(cc, x, num_epochs=1, batch_size=16, key=jax.random.PRNGKey(0))
+
+# query programs consult the cache too (integrate / routing / expectation)
+from cirkit_tpu.backend.jax import ExpectationQuery, IntegrateQuery, MAPQuery
+mk = np.zeros((16, 4), bool); mk[:, :2] = True
+marg = IntegrateQuery(cc)(x, integrate_vars=~mk)
+a, v = MAPQuery(cc)(x, evidence_mask=mk, store=st)
+soft = ExpectationQuery(cc)(x, evidence_mask=mk, store=st)
 print(json.dumps({"stats": warmcache.stats, "out0": float(np.asarray(out)[0, 0, 0]),
-                  "loss0": float(losses[0])}))
+                  "loss0": float(losses[0]), "marg0": float(np.asarray(marg)[0, 0, 0]),
+                  "map0": float(np.asarray(v)[0]), "soft0": float(np.asarray(soft)[0, 2])}))
 """
 
 
@@ -135,7 +161,7 @@ def test_second_process_hits_cache(tmp_path):
         assert out.returncode == 0, out.stderr[-2000:]
         results.append(json.loads(out.stdout.strip().splitlines()[-1]))
     first, second = results
-    assert first["stats"]["misses"] >= 2 and first["stats"]["hits"] == 0
-    assert second["stats"]["hits"] >= 2 and second["stats"]["misses"] == 0
-    assert second["out0"] == first["out0"]
-    assert second["loss0"] == first["loss0"]
+    assert first["stats"]["misses"] >= 5 and first["stats"]["hits"] == 0
+    assert second["stats"]["hits"] >= 5 and second["stats"]["misses"] == 0
+    for field in ("out0", "loss0", "marg0", "map0", "soft0"):
+        assert second[field] == first[field], field
