@@ -430,7 +430,17 @@ def em_programs(
     else:
         _fs = _flow_step
     if mesh is None:
-        flow_step = jax.jit(_fs, donate_argnums=(2, 3))
+        # warm-compile cache: a second EM process deserializes the flow
+        # step instead of paying the remote compile (same pattern as the
+        # fit train step; the fingerprint covers the plan + slot structure)
+        from cirkit_tpu.backend.jax.warmcache import CachedJit, circuit_fingerprint
+
+        flow_step = CachedJit(
+            _fs,
+            name="em_flow",
+            key_parts=(circuit_fingerprint(circuit), bool(missing)),
+            donate_argnums=(2, 3),
+        )
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -446,7 +456,6 @@ def em_programs(
             donate_argnums=(2, 3),
         )
 
-    @jax.jit
     def em_update(em_p, g_p, acc, step_size):
         flows, acc_g, acc_o = acc
 
@@ -502,6 +511,17 @@ def em_programs(
                 jnp.log(p_n) - jnp.log1p(-p_n) if kind == "logits" else p_n
             )
         return new_em, new_g
+
+    if mesh is None:
+        from cirkit_tpu.backend.jax.warmcache import CachedJit, circuit_fingerprint
+
+        em_update = CachedJit(
+            em_update,
+            name="em_update",
+            key_parts=(circuit_fingerprint(circuit), bool(missing), pseudocount),
+        )
+    else:
+        em_update = jax.jit(em_update)
 
     def zero_acc():
         return (
