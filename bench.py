@@ -715,6 +715,9 @@ def bench_autocache(sum_product: str, num_units: int, batch: int) -> dict:
     pp = os.environ.get("PYTHONPATH", "")
     repo = os.path.dirname(os.path.abspath(__file__))
     env = {**os.environ, "PYTHONPATH": f"{pp}:{repo}" if pp else repo}
+    # main() disables the warm cache for the bench process's own cold
+    # numbers; the probe subprocesses are exactly the cache measurement
+    env.pop("CIRKIT_TPU_NO_CACHE", None)
     cache = tempfile.mkdtemp(prefix="cirkit_autocache_")
 
     def run_probe():
@@ -775,6 +778,14 @@ def bench_tunnel_health() -> dict:
 
 def main() -> None:
     import jax
+
+    # The warm-compile cache is default-on for tpu/axon processes, so a
+    # SECOND bench run's trace_build/jit_compile/time_to_first_batch_cold
+    # numbers would silently deserialize executables cached by the first —
+    # reporting warm numbers as cold. Disable it for the bench process;
+    # the autocache probe section measures the cache in subprocesses with
+    # their own cache dir (and strips this override from their env).
+    os.environ["CIRKIT_TPU_NO_CACHE"] = "1"
 
     sum_product = os.environ.get("BENCH_SUM_PRODUCT", "tucker")
     num_units = int(os.environ.get("BENCH_UNITS", "64"))
