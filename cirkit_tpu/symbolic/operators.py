@@ -32,6 +32,7 @@ from cirkit_tpu.symbolic.parameters import (
     GaussianProductLogPartition,
     GaussianProductMean,
     GaussianProductStddev,
+    IndexParameter,
     KroneckerParameter,
     LogParameter,
     OuterProductParameter,
@@ -243,16 +244,39 @@ def multiply_kronecker_layers(sl1: KroneckerLayer, sl2: KroneckerLayer) -> Circu
 
 
 def multiply_sum_layers(sl1: SumLayer, sl2: SumLayer) -> CircuitBlock:
+    """Product of two sum layers: Kronecker of the weights, with a column
+    permutation aligning the weight to the paired-children wiring when BOTH
+    arities exceed 1 (ref: ``symbolic/operators.py:260-270`` — the reference
+    omits the permutation, so its products of mixing-sum circuits, e.g.
+    squaring an ensemble, are silently wrong; pinned by enumeration in
+    ``tests/symbolic/test_operators.py::test_multiply_mixing_sums``).
+
+    The product recursion wires the children of the product sum as all pairs
+    in ``itertools.product`` order, so the flattened input axis runs
+    (a1, a2, i1, i2) row-major. ``kron(W1, W2)`` columns run (a1, i1, a2, i2)
+    — identical only when ``Ki1 == 1`` or ``A2 == 1``; otherwise reorder."""
     weight = Parameter.from_binary(
         KroneckerParameter(sl1.weight.shape, sl2.weight.shape),
         sl1.weight.ref(),
         sl2.weight.ref(),
     )
+    a1, k1 = sl1.arity, sl1.num_input_units
+    a2, k2 = sl2.arity, sl2.num_input_units
+    if k1 > 1 and a2 > 1:
+        perm = (
+            np.arange(a1 * k1 * a2 * k2)
+            .reshape(a1, k1, a2, k2)
+            .transpose(0, 2, 1, 3)
+            .ravel()
+        )
+        weight = Parameter.from_unary(
+            IndexParameter(weight.shape, indices=perm.tolist(), axis=1), weight
+        )
     return CircuitBlock.from_layer(
         SumLayer(
-            sl1.num_input_units * sl2.num_input_units,
+            k1 * k2,
             sl1.num_output_units * sl2.num_output_units,
-            arity=sl1.arity * sl2.arity,
+            arity=a1 * a2,
             weight=weight,
         )
     )

@@ -10,6 +10,7 @@ from cirkit_tpu.pipeline import PipelineContext
 from tests.fixtures import (
     build_bivariate_categorical_pc,
     build_bivariate_gaussian_pc,
+    build_mixing_categorical_pc,
     build_multivariate_categorical_pc,
 )
 from tests.reference_eval import enumerate_worlds, eval_circuit
@@ -41,6 +42,28 @@ def test_compiled_product(fold, semiring, optimize, product):
     v2 = eval_circuit(sc2, worlds)[:, 0, 0]
     got = np.asarray(pcc(worlds))[:, 0, 0]
     np.testing.assert_allclose(got, _to_semiring(v1 * v2, semiring), rtol=1e-9)
+
+
+@pytest.mark.parametrize("fold,semiring,optimize", GRID_OPT)
+@pytest.mark.parametrize("a1,a2", [(2, 2), (2, 3)])
+def test_compiled_product_mixing_sums(fold, semiring, optimize, a1, a2):
+    """Products of mixing-sum (arity>1) circuits: the kron-weight column
+    permutation in ``multiply_sum_layers`` must survive compilation, folding
+    and the fusion optimizer (the reference lacks the permutation and gets
+    these wrong)."""
+    ctx = _ctx(fold, semiring, optimize)
+    sc1 = build_mixing_categorical_pc(2, mix_arity=a1, seed=21)
+    sc2 = build_mixing_categorical_pc(3, mix_arity=a2, seed=22)
+    cc1, cc2 = ctx.compile(sc1), ctx.compile(sc2)
+    pcc = ctx.multiply(cc1, cc2)
+    worlds = enumerate_worlds(2, 3)
+    v1 = eval_circuit(sc1, worlds)[:, 0, 0]
+    v2 = eval_circuit(sc2, worlds)[:, 0, 0]
+    got = np.asarray(pcc(worlds))[:, 0, 0]
+    np.testing.assert_allclose(got, _to_semiring(v1 * v2, semiring), rtol=1e-9)
+    ipcc = ctx.integrate(pcc)
+    z = np.asarray(ipcc(batch_size=1))[0, 0, 0]
+    np.testing.assert_allclose(z, _to_semiring((v1 * v2).sum(), semiring), rtol=1e-9)
 
 
 @pytest.mark.parametrize("fold,semiring,optimize", GRID_OPT)

@@ -328,6 +328,28 @@ def test_renyi2_entropy_exact_on_nondeterministic():
     assert h2 <= h_shannon + 1e-9 <= h_bound + 2e-9
 
 
+def test_renyi2_entropy_of_mixture():
+    """H2 of an ensemble: SF.mixture creates an arity-n mixing sum, so
+    squaring it exercises the kron-weight column permutation in
+    ``multiply_sum_layers`` (wrong in the reference; regression for the
+    round-5 fix)."""
+    import cirkit_tpu.symbolic.functional as SF
+    from cirkit_tpu.backend.jax.entropy import renyi2_entropy
+
+    comps = [
+        build_multivariate_categorical_pc(num_variables=4, rng=np.random.default_rng(s))
+        for s in (61, 62, 63)
+    ]
+    mix = SF.mixture(comps, weights=[0.5, 0.3, 0.2])
+    ctx = PipelineContext(semiring="lse-sum", fold=True)
+    cc = ctx.compile(mix)
+    h2 = float(renyi2_entropy(cc, ctx=ctx)[0, 0])
+    worlds = enumerate_worlds(4, 2)
+    p = eval_circuit(mix, worlds)[:, 0, 0]
+    ph = p / p.sum()
+    np.testing.assert_allclose(h2, -np.log((ph**2).sum()), rtol=1e-6)
+
+
 def test_renyi2_entropy_conditional_and_gaussian():
     from cirkit_tpu.backend.jax.entropy import renyi2_entropy
 

@@ -144,6 +144,35 @@ def build_bivariate_gaussian_pc(
     return Circuit(layers + [prod, out], {prod: layers, out: [prod]}, [out])
 
 
+def build_mixing_categorical_pc(num_units=2, mix_arity=2, num_categories=3, seed=0):
+    """A bivariate categorical PC whose root is an arity>=1 MIXING sum over
+    ``mix_arity`` parallel Hadamard decompositions of the same (0, 1)
+    partition — the smallest self-compatible circuit with a high-arity sum.
+    Products of such circuits exercise the kron-weight column permutation in
+    ``multiply_sum_layers`` (the reference gets this wrong)."""
+    rng = np.random.default_rng(seed)
+    leaves, hads = [], []
+    for _ in range(mix_arity):
+        pair = []
+        for v in range(2):
+            raw = rng.uniform(0.1, 1.0, size=(num_units, num_categories))
+            pair.append(
+                CategoricalLayer(
+                    Scope([v]), num_units, num_categories=num_categories,
+                    probs=const_param(raw / raw.sum(axis=1, keepdims=True)),
+                )
+            )
+        leaves.extend(pair)
+        hads.append(HadamardLayer(num_units, arity=2))
+    out = SumLayer(
+        num_units, 1, arity=mix_arity,
+        weight=const_param(rng.uniform(0.1, 1.0, (1, mix_arity * num_units))),
+    )
+    in_layers = {h: leaves[2 * i : 2 * i + 2] for i, h in enumerate(hads)}
+    in_layers[out] = hads
+    return Circuit(leaves + hads + [out], in_layers, [out])
+
+
 def build_pc_over(vars_, num_units=3, num_categories=3, seed=0):
     """A small categorical PC over arbitrary variable ids (mixture of
     per-variable categorical products) — used by the disjoint-scope

@@ -18,6 +18,7 @@ from cirkit_tpu.utils import Scope
 
 from tests.fixtures import (
     build_bivariate_categorical_pc,
+    build_mixing_categorical_pc,
     build_multivariate_categorical_pc,
     build_pc_over,
     const_param,
@@ -178,6 +179,30 @@ def test_multiply_kronecker_permutation():
     v2 = eval_circuit(sc2, worlds)[:, 0, 0]
     vp = eval_circuit(psc, worlds)[:, 0, 0]
     assert np.allclose(vp, v1 * v2, rtol=1e-10)
+
+
+@pytest.mark.parametrize(
+    "a1,a2,k1,k2", [(2, 2, 2, 3), (1, 2, 2, 3), (3, 2, 2, 2), (2, 3, 3, 2), (2, 2, 1, 3)]
+)
+def test_multiply_mixing_sums(a1, a2, k1, k2):
+    """Products of circuits with arity>1 (mixing) sums: the kron'd weight
+    columns run (a1, i1, a2, i2) while the paired children are wired
+    (a1, a2, i1, i2) — ``multiply_sum_layers`` must permute. The reference
+    omits the permutation (``symbolic/operators.py:260-270``), so its
+    mixing-sum products are silently wrong; here every combination is pinned
+    against the enumeration oracle."""
+    sc1 = build_mixing_categorical_pc(k1, mix_arity=a1, seed=11)
+    sc2 = build_mixing_categorical_pc(k2, mix_arity=a2, seed=12)
+    psc = SF.multiply(sc1, sc2)
+    worlds = enumerate_worlds(2, 3)
+    v1 = eval_circuit(sc1, worlds)[:, 0, 0]
+    v2 = eval_circuit(sc2, worlds)[:, 0, 0]
+    vp = eval_circuit(psc, worlds)[:, 0, 0]
+    assert np.allclose(vp, v1 * v2, rtol=1e-10)
+    # the integral of the product (expectation-style pipeline) also agrees
+    # with the exhaustive sum
+    z = eval_circuit(SF.integrate(psc), np.zeros((1, 0)))[0]
+    assert np.allclose(z, np.sum(v1 * v2), rtol=1e-10)
 
 
 def test_multiply_disjoint_scopes_is_outer_product():

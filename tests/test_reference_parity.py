@@ -111,10 +111,14 @@ def _values_cp(rng, K=4, N=3):
     }
 
 
-def _build_cp_pc(api, v):
+def _build_cp_pc(api, v, mixing=True):
     """4-var categorical CP circuit: inputs -> Hadamard pairs -> softmax
     Sums (two parallel heads over {0,1}, joined by an arity-2 mixing sum)
-    -> top Hadamard -> softmax root sum."""
+    -> top Hadamard -> softmax root sum. ``mixing=False`` drops the second
+    head and keeps ``mix`` arity-1 — use that variant for head-to-head
+    PRODUCT pipelines: the reference's ``multiply`` mis-orders the kron'd
+    weight columns for arity>1 x arity>1 sum products (see
+    ``test_mixing_product_diverges_from_reference``)."""
     K, N = v["logits"][0].shape
     inputs = [
         api.L.CategoricalLayer(
@@ -124,21 +128,26 @@ def _build_cp_pc(api, v):
     ]
     h01, h23 = api.L.HadamardLayer(K, arity=2), api.L.HadamardLayer(K, arity=2)
     s01 = api.L.SumLayer(K, K, weight=_const(api, v["w01"], softmax=True))
-    s01b = api.L.SumLayer(K, K, weight=_const(api, v["w01b"], softmax=True))
-    mix = api.L.SumLayer(K, K, arity=2, weight=_const(api, v["mix"], softmax=True))
     s23 = api.L.SumLayer(K, K, weight=_const(api, v["w23"], softmax=True))
     top = api.L.HadamardLayer(K, arity=2)
     root = api.L.SumLayer(K, 1, weight=_const(api, v["root"], softmax=True))
+    if mixing:
+        s01b = api.L.SumLayer(K, K, weight=_const(api, v["w01b"], softmax=True))
+        mix = api.L.SumLayer(K, K, arity=2, weight=_const(api, v["mix"], softmax=True))
+        mid_layers, mid_in = [s01b, mix], {s01b: [h01], mix: [s01, s01b]}
+        mid_top = mix
+    else:
+        mid_layers, mid_in = [], {}
+        mid_top = s01
     return api.Circuit(
-        [*inputs, h01, h23, s01, s01b, mix, s23, top, root],
+        [*inputs, h01, h23, s01, *mid_layers, s23, top, root],
         {
             h01: [inputs[0], inputs[1]],
             h23: [inputs[2], inputs[3]],
             s01: [h01],
-            s01b: [h01],
-            mix: [s01, s01b],
+            **mid_in,
             s23: [h23],
-            top: [mix, s23],
+            top: [mid_top, s23],
             root: [top],
         },
         [root],
@@ -291,14 +300,51 @@ def test_product_integrate_pipeline_parity(semiring):
     outs = {}
     for api in (_ref_api(), _jax_api()):
         ctx = _make_ctx(api, semiring)
-        cc1 = ctx.compile(_build_cp_pc(api, v1))
-        cc2 = ctx.compile(_build_cp_pc(api, v2))
+        # mixing=False: on arity>1 x arity>1 sum products the reference is
+        # wrong (test_mixing_product_diverges_from_reference), so the
+        # head-to-head covers the part both get right
+        cc1 = ctx.compile(_build_cp_pc(api, v1, mixing=False))
+        cc2 = ctx.compile(_build_cp_pc(api, v2, mixing=False))
         pcc = ctx.multiply(cc1, cc2)
         outs[api.kind] = _run(api, ctx, pcc, worlds)[:, 0, 0]
         icc = ctx.integrate(pcc)
         outs[api.kind + "_z"] = float(_scalar(_run(api, ctx, icc, worlds[:1])))
     np.testing.assert_allclose(outs["jax"], outs["ref"], rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(outs["jax_z"], outs["ref_z"], rtol=1e-9, atol=1e-9)
+
+
+def test_mixing_product_diverges_from_reference():
+    """Products of circuits with arity-2 mixing sums: the reference's
+    ``multiply_sum_layers`` (ref ``symbolic/operators.py:260-270``) takes a
+    plain Kronecker of the weights, whose columns run (a1, i1, a2, i2),
+    while its product recursion wires the children in ``itertools.product``
+    order (a1, a2, i1, i2) — measured up to 17% relative error vs
+    enumeration. Our rule inserts the aligning column permutation: assert
+    we match the brute-force ground truth and the reference does NOT (if a
+    future reference release fixes the bug, the second assert flags it so
+    this test can fold back into the head-to-head)."""
+    from tests.reference_eval import eval_circuit as _oracle
+
+    rng = np.random.default_rng(4)
+    v1, v2 = _values_cp(rng), _values_cp(rng)
+    worlds = _worlds(4, 3)
+
+    japi = _jax_api()
+    truth = (
+        _oracle(_build_cp_pc(japi, v1), worlds)[:, 0, 0]
+        * _oracle(_build_cp_pc(japi, v2), worlds)[:, 0, 0]
+    )
+    outs = {}
+    for api in (_ref_api(), japi):
+        ctx = _make_ctx(api, "lse-sum")
+        cc1 = ctx.compile(_build_cp_pc(api, v1))
+        cc2 = ctx.compile(_build_cp_pc(api, v2))
+        pcc = ctx.multiply(cc1, cc2)
+        outs[api.kind] = np.exp(
+            np.asarray(_run(api, ctx, pcc, worlds))[:, 0, 0].astype(np.float64)
+        )
+    np.testing.assert_allclose(outs["jax"], truth, rtol=1e-9)
+    assert np.max(np.abs(outs["ref"] - truth) / truth) > 1e-3
 
 
 def test_sos_conjugate_multiply_parity():
