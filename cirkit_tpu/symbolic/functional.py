@@ -356,13 +356,35 @@ def multiply(sc1: Circuit, sc2: Circuit, *, registry: OperatorRegistry | None = 
         elif isinstance(l1, SumLayer):
             children = list(itertools.product(sc1.layer_inputs(l1), sc2.layer_inputs(l2)))
         elif isinstance(l1, ProductLayer):
-            ins1 = sorted(sc1.layer_inputs(l1), key=lambda l: tuple(sc1.layer_scope(l)))
-            ins2 = sorted(sc2.layer_inputs(l2), key=lambda l: tuple(sc2.layer_scope(l)))
+            ins1 = list(sc1.layer_inputs(l1))
+            ins2 = list(sc2.layer_inputs(l2))
             if len(ins1) != len(ins2):
                 raise NotImplementedError(
                     "Only products of equal-arity product layers are supported"
                 )
-            children = list(zip(ins1, ins2))
+            # Pair children by SCOPE in l1's own child order (decomposability
+            # makes child scopes disjoint, so the match is a bijection). The
+            # wiring must not be re-sorted by a TOTAL scope order: a
+            # Kronecker layer's unit digits follow its own child order, and
+            # the parent sum weights above were laid out against it. (The
+            # reference "sorts" with Scope's subset PARTIAL order, ref
+            # functional.py:380-382 — a stable no-op for disjoint sibling
+            # scopes, i.e. positional own-order pairing — and its
+            # order-sensitive compatibility check rejects operands whose
+            # product layers enumerate the same partition in different
+            # orders. We match by scope and fix the Kronecker digit order
+            # below, so mixed-order operands multiply correctly — pinned in
+            # tests/symbolic/test_operators.py::
+            # test_multiply_kronecker_child_order.)
+            scope_to_j = {sc2.layer_scope(c): j for j, c in enumerate(ins2)}
+            sigma = [scope_to_j.get(sc1.layer_scope(c)) for c in ins1]
+            if any(j is None for j in sigma):
+                raise StructuralPropertyError(
+                    "Product layers with mismatched child scope partitions "
+                    f"cannot be multiplied: {[tuple(sc1.layer_scope(c)) for c in ins1]} "
+                    f"vs {[tuple(sc2.layer_scope(c)) for c in ins2]}"
+                )
+            children = [(c1, ins2[j]) for c1, j in zip(ins1, sigma)]
         else:
             raise TypeError(f"Unexpected layer type {type(l1).__name__}")
 
@@ -375,6 +397,31 @@ def multiply(sc1: Circuit, sc2: Circuit, *, registry: OperatorRegistry | None = 
         b = rule(l1, l2)
         blocks.append(b)
         in_blocks[b] = [prod_block[p] for p in children]
+        if isinstance(l1, KroneckerLayer) and sigma != list(range(len(sigma))):
+            # Pair blocks are wired in l1's own child order, so the rule's
+            # interleave permutation leaves the l2-side digits in l1-aligned
+            # order (digit j carries l2 child sigma[j]); post-compose a
+            # constant permutation restoring l2's own digit order so the
+            # composite unit index is (i1 own, i2 own) — the layout the
+            # kron'd parent sum weights assume.
+            h = l1.arity
+            k1, k2 = l1.num_input_units, l2.num_input_units
+            k1h, k2h = k1**h, k2**h
+            d = np.stack(np.unravel_index(np.arange(k2h), (k2,) * h))
+            i2_al = np.ravel_multi_index(tuple(d[sigma, :]), (k2,) * h)
+            mp = (np.arange(k1h)[:, None] * k2h + i2_al[None, :]).ravel()
+            ko = k1h * k2h
+            fix_sl = SumLayer(
+                ko,
+                ko,
+                weight=Parameter.from_input(
+                    ConstantParameter(ko, ko, value=np.eye(ko)[mp])
+                ),
+            )
+            fb = CircuitBlock.from_layer(fix_sl)
+            blocks.append(fb)
+            in_blocks[fb] = [b]
+            b = fb
         prod_block[pair] = b
         stack.pop()
 

@@ -6,6 +6,8 @@ import pytest
 
 import cirkit_tpu.symbolic.functional as SF
 from cirkit_tpu.symbolic import (
+    CategoricalLayer,
+    Circuit,
     ConstantValueLayer,
     EvidenceLayer,
     HadamardLayer,
@@ -178,6 +180,52 @@ def test_multiply_kronecker_permutation():
     v1 = eval_circuit(sc1, worlds)[:, 0, 0]
     v2 = eval_circuit(sc2, worlds)[:, 0, 0]
     vp = eval_circuit(psc, worlds)[:, 0, 0]
+    assert np.allclose(vp, v1 * v2, rtol=1e-10)
+
+
+@pytest.mark.parametrize("prod_cls", [KroneckerLayer, HadamardLayer])
+@pytest.mark.parametrize(
+    "order1,order2",
+    [((1, 0), (0, 1)), ((1, 0), (1, 0)), ((1, 2, 0), (0, 1, 2)), ((2, 0, 1), (1, 2, 0))],
+)
+def test_multiply_kronecker_child_order(prod_cls, order1, order2):
+    """Products of circuits whose PRODUCT layers wire children in
+    non-scope-sorted order: the recursion must pair children by scope in
+    l1's OWN child order and (for Kronecker) post-compose a digit
+    correction, because the parent sum weights were laid out against each
+    operand's own composite-digit order. A total-order scope sort (our
+    pre-round-5 code) silently breaks even the both-reversed case; the
+    reference's subset-partial-order "sort" pairs positionally, which is
+    correct for same-order operands but REJECTS mixed-order ones as
+    incompatible — we accept and get both right (see
+    ``test_reference_parity.py::
+    test_kronecker_child_order_product_beyond_reference``)."""
+    nv = len(order1)
+    rng = np.random.default_rng(31)
+    K = 2
+
+    def build(seed, order):
+        r = np.random.default_rng(seed)
+        leaves = []
+        for v in range(nv):
+            raw = r.uniform(0.1, 1.0, (K, 3))
+            leaves.append(
+                CategoricalLayer(
+                    Scope([v]), K, num_categories=3,
+                    probs=const_param(raw / raw.sum(1, keepdims=True)),
+                )
+            )
+        prod = prod_cls(K, arity=nv)
+        kin = K**nv if prod_cls is KroneckerLayer else K
+        root = SumLayer(kin, 1, weight=const_param(r.uniform(0.1, 1.0, (1, kin))))
+        kids = [leaves[i] for i in order]
+        return Circuit(leaves + [prod, root], {prod: kids, root: [prod]}, [root])
+
+    sc1, sc2 = build(41, order1), build(42, order2)
+    worlds = enumerate_worlds(nv, 3)
+    v1 = eval_circuit(sc1, worlds)[:, 0, 0]
+    v2 = eval_circuit(sc2, worlds)[:, 0, 0]
+    vp = eval_circuit(SF.multiply(sc1, sc2), worlds)[:, 0, 0]
     assert np.allclose(vp, v1 * v2, rtol=1e-10)
 
 

@@ -161,7 +161,14 @@ def _values_tucker(rng, K=3, N=3):
     }
 
 
-def _build_tucker_pc(api, v):
+def _build_tucker_pc(api, v, reverse=False):
+    """``reverse=True`` wires the Kronecker children in non-scope-sorted
+    order. Both frameworks honor the wiring order (first-child-major kron
+    digits). The reference's compatibility check is child-ORDER-sensitive
+    (its scope "sort" uses the subset partial order — a stable no-op for
+    disjoint siblings), so it REJECTS mixed-order products; we pair by
+    scope and correct the Kronecker digit order, so they multiply (see
+    ``test_kronecker_child_order_product_beyond_reference``)."""
     K, N = v["logits"][0].shape
     inputs = [
         api.L.CategoricalLayer(
@@ -171,9 +178,10 @@ def _build_tucker_pc(api, v):
     ]
     kron = api.L.KroneckerLayer(K, arity=2)
     root = api.L.SumLayer(K * K, 1, weight=_const(api, v["core"], softmax=True))
+    kids = [inputs[1], inputs[0]] if reverse else [inputs[0], inputs[1]]
     return api.Circuit(
         [*inputs, kron, root],
-        {kron: [inputs[0], inputs[1]], root: [kron]},
+        {kron: kids, root: [kron]},
         [root],
     )
 
@@ -345,6 +353,65 @@ def test_mixing_product_diverges_from_reference():
         )
     np.testing.assert_allclose(outs["jax"], truth, rtol=1e-9)
     assert np.max(np.abs(outs["ref"] - truth) / truth) > 1e-3
+
+
+def test_kronecker_child_order_product_beyond_reference():
+    """Multiply two Tucker circuits whose Kronecker layers wire children
+    in DIFFERENT orders (one scope-sorted, one reversed). The reference
+    REJECTS this as incompatible (its compatibility check compares
+    factorization part-tuples in each circuit's own child order); we pair
+    children by scope and post-compose a digit-order correction, so the
+    product compiles and matches brute force. Also pins the both-reversed
+    case head-to-head: there both frameworks agree (positional own-order
+    pairing is correct when the orders coincide)."""
+    from tests.reference_eval import eval_circuit as _oracle
+
+    rng = np.random.default_rng(9)
+    v1, v2 = _values_tucker(rng), _values_tucker(rng)
+    worlds = _worlds(2, v1["logits"][0].shape[1])
+
+    japi = _jax_api()
+    truth = (
+        _oracle(_build_tucker_pc(japi, v1, reverse=True), worlds)[:, 0, 0]
+        * _oracle(_build_tucker_pc(japi, v2), worlds)[:, 0, 0]
+    )
+    # mixed order: ours multiplies correctly, the reference refuses
+    ctx = _make_ctx(japi, "lse-sum")
+    cc1 = ctx.compile(_build_tucker_pc(japi, v1, reverse=True))
+    cc2 = ctx.compile(_build_tucker_pc(japi, v2))
+    got = np.exp(
+        np.asarray(_run(japi, ctx, ctx.multiply(cc1, cc2), worlds))[:, 0, 0].astype(
+            np.float64
+        )
+    )
+    np.testing.assert_allclose(got, truth, rtol=1e-9)
+
+    rapi = _ref_api()
+    rctx = _make_ctx(rapi, "lse-sum")
+    rcc1 = rctx.compile(_build_tucker_pc(rapi, v1, reverse=True))
+    rcc2 = rctx.compile(_build_tucker_pc(rapi, v2))
+    from cirkit.symbolic.circuit import StructuralPropertyError as RefSPE
+
+    with pytest.raises(RefSPE):
+        rctx.multiply(rcc1, rcc2)
+
+    # both-reversed: both frameworks accept and agree with brute force
+    truth_rr = (
+        _oracle(_build_tucker_pc(japi, v1, reverse=True), worlds)[:, 0, 0]
+        * _oracle(_build_tucker_pc(japi, v2, reverse=True), worlds)[:, 0, 0]
+    )
+    outs = {}
+    for api in (rapi, japi):
+        actx = _make_ctx(api, "lse-sum")
+        a1 = actx.compile(_build_tucker_pc(api, v1, reverse=True))
+        a2 = actx.compile(_build_tucker_pc(api, v2, reverse=True))
+        outs[api.kind] = np.exp(
+            np.asarray(_run(api, actx, actx.multiply(a1, a2), worlds))[:, 0, 0].astype(
+                np.float64
+            )
+        )
+    np.testing.assert_allclose(outs["jax"], truth_rr, rtol=1e-9)
+    np.testing.assert_allclose(outs["ref"], truth_rr, rtol=1e-9)
 
 
 def test_sos_conjugate_multiply_parity():
