@@ -8,7 +8,7 @@ conjugate), region-graph and tensor-factorization templates, and
 data-parallel training over TPU meshes.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.1.1"
 
 from cirkit_tpu import models, ops, parallel, symbolic, utils  # noqa: E402,F401
 from cirkit_tpu.pipeline import (  # noqa: E402,F401

@@ -19,7 +19,7 @@ import numpy as np
 
 from cirkit_tpu.backend.jax.circuit import JaxCircuit, _pad_rows, _slice_rows
 from cirkit_tpu.backend.jax.layers import JaxInnerLayer, JaxInputLayer, JaxLayer
-from cirkit_tpu.backend.jax.parameters import Store
+from cirkit_tpu.backend.jax.parameters import JaxMatMulParameter, Store
 from cirkit_tpu.utils.scope import Scope
 
 
@@ -1379,6 +1379,33 @@ class TPRouting(NamedTuple):
     entry_sharded: tuple[bool, ...]
 
 
+def _max_weight(param, st) -> jnp.ndarray:
+    """Evaluate a sum-layer weight plan under MAX-product semantics.
+
+    The sum-collapse fusion (optimization.py::apply_sum_collapse) replaces
+    two stacked dense sums with one whose weight is ``MatMul(W1, W2)`` — a
+    SUM over the fused inner sum's latent units. That contraction is sound
+    for the (+, *) forward (and for sampling: marginalizing the latent
+    preserves the conditional over the composite input), but NOT for the
+    tropical (max, *) carrier: MPE maxes over every latent, so the composite
+    weight must be ``max_j W2[o, j] * W1[j, i]`` — a tropical matrix product
+    of the factors. The latent ``j`` is internal to the weight (the inner
+    sum's children ARE the collapsed layer's inputs), so the downward
+    routing needs no extra stage: the argmax over the composite input index
+    under this weight is exactly the two-stage MPE choice. Every other
+    parameter node in a weight plan is elementwise/layout-only over the
+    unit axes, so the plain evaluation is reused for them."""
+    values: dict = {}
+    for node in param._ordering:
+        ins = [values[n] for n in param.node_inputs(node)]
+        if isinstance(node, JaxMatMulParameter):
+            w1, w2 = ins  # (F, j, i) inner, (F, o, j) outer
+            values[node] = jnp.max(w2[:, :, :, None] * w1[:, None, :, :], axis=2)
+        else:
+            values[node] = node(st, *ins)
+    return values[param.output]
+
+
 def _build_routing_run(
     cc: JaxCircuit,
     kind: str,
@@ -1550,14 +1577,14 @@ def _build_routing_run(
                     ls = getattr(layer, "_logits_slot", None)
                     tv = tropical_tucker2(
                         v[:, 0], v[:, 1],
-                        st[ls] if ls is not None else layer.weight(st),
+                        st[ls] if ls is not None else _max_weight(layer.weight, st),
                         log_weights=ls is not None,
                     )
                     if tv is not None:
                         vals.append(_tpg(tv, layer.num_output_units) if e_sh else tv)
                         recs.append(("tucker", layer.arity, layer.num_input_units))
                         continue
-                w = layer.weight(st)
+                w = _max_weight(layer.weight, st)
                 if isinstance(layer, JaxTuckerLayer):
                     comb = _tucker_comb(v)  # (F, B, M)
                 elif isinstance(layer, JaxCPTLayer):
@@ -1697,9 +1724,13 @@ def _build_routing_run(
                 continue
 
             # sum-style: recompute the mixture scores at the selected output
-            # unit only, then argmax/draw once per (fold, sample)
+            # unit only, then argmax/draw once per (fold, sample). Max mode
+            # must score with the same tropical composite weight the upward
+            # pass used (a sum-collapsed MatMul weight maxes, not sums, over
+            # the fused latent); sampling keeps the plain contraction — the
+            # summed weight IS the marginalized draw distribution.
             v = _gather_in(entry, vals)  # (F, H, B, K)
-            w = layer.weight(st)
+            w = _max_weight(layer.weight, st) if kind == "max" else layer.weight(st)
             dt = v.dtype
             e_sh = tp is not None and tp.entry_sharded[e]
             if e_sh:

@@ -55,7 +55,57 @@ from cirkit_tpu.backend.jax.optimized import (
     JaxTensorDotLayer,
     JaxTuckerLayer,
 )
+from cirkit_tpu.backend.jax.parameters import JaxMatMulParameter
 from cirkit_tpu.backend.jax.utils import safelog
+
+
+def _parse_weight(param, st) -> jnp.ndarray:
+    """Evaluate a sum-layer weight plan under PARSE semantics: a
+    sum-collapsed ``MatMul`` weight sums over the fused inner sum's latent
+    units, but top-k ranks *parses* — two parses differing only in that
+    latent are distinct candidates, so the latent axis must be KEPT, not
+    contracted (nor maxed: ``queries._max_weight`` is the 1-best shortcut).
+    MatMul nodes therefore evaluate to the EXPANDED column space
+    ``w[o, j * M + m] = W2[o, j] * W1[j, m]`` — latent digits major, the
+    real input index minor — and nested collapses compose (an expanded
+    operand's minor digit keeps indexing the true input). Consumers tile
+    their child candidate lists over the latent digits and recover the
+    real input as ``column % M``. Raises if a MatMul feeds any non-MatMul
+    parameter node (no optimization rule produces that shape today)."""
+    consumers: dict[int, list] = {}
+    for node in param._ordering:
+        for c in param.node_inputs(node):
+            consumers.setdefault(id(c), []).append(node)
+    values: dict = {}
+    for node in param._ordering:
+        ins = [values[n] for n in param.node_inputs(node)]
+        if isinstance(node, JaxMatMulParameter):
+            for user in consumers.get(id(node), []):
+                if not isinstance(user, JaxMatMulParameter):
+                    raise NotImplementedError(
+                        "Top-k MPE through a fused weight graph where a "
+                        f"MatMul feeds {type(user).__name__} is not supported"
+                    )
+            w1, w2 = ins  # (F, J, C1) inner (maybe expanded), (F, O, C2) outer
+            jdim = node.in_shapes[0][0]
+            j_of_c2 = jnp.arange(w2.shape[2]) % jdim  # outer minor digit -> row
+            w1g = w1[:, j_of_c2, :]  # (F, C2, C1)
+            values[node] = (w2[:, :, :, None] * w1g[:, None, :, :]).reshape(
+                w2.shape[0], w2.shape[1], -1
+            )
+        else:
+            values[node] = node(st, *ins)
+    return values[param.output]
+
+
+def _tile_latents(comb: jnp.ndarray, num_cols: int) -> jnp.ndarray:
+    """Tile composite top-T lists (F, B, M, T) over a collapsed weight's
+    latent digits: column ``j * M + m`` of the expanded weight pairs with
+    child composite ``m``, so copies stack latent-major."""
+    m = comb.shape[2]
+    if num_cols == m:
+        return comb
+    return jnp.tile(comb, (1, 1, num_cols // m, 1))
 
 
 def _pair_topk(a: jnp.ndarray, b: jnp.ndarray, t: int):
@@ -162,7 +212,7 @@ def build_topk_run(
 
             v = _gather_in(entry, vals)  # (F, H, B, K, T)
             if isinstance(layer, sum_style):
-                lw = safelog(layer.weight(st))
+                lw = safelog(_parse_weight(layer.weight, st))
                 if isinstance(layer, JaxTensorDotLayer):
                     kj = layer._num_contract_units
                     kq = layer._num_batch_units
@@ -192,10 +242,12 @@ def build_topk_run(
                     f, h, b, k, _ = v.shape
                     comb = jnp.transpose(v, (0, 2, 1, 3, 4)).reshape(f, b, h * k, t)
                     rec = ("sum", layer.arity, layer.num_input_units)
-                # top-T over (m, t) candidates per output unit
+                # top-T over (m, t) candidates per output unit (collapsed
+                # weights widen m with their latent digits — tiled copies)
+                combx = _tile_latents(comb, lw.shape[2])
                 cand = (
-                    lw[:, None, :, :, None] + comb[:, :, None, :, :]
-                ).reshape(*comb.shape[:2], lw.shape[1], -1)
+                    lw[:, None, :, :, None] + combx[:, :, None, :, :]
+                ).reshape(*combx.shape[:2], lw.shape[1], -1)
                 tv, _ = jax.lax.top_k(cand, t)
                 vals.append(tv)
                 recs.append(rec)
@@ -325,7 +377,7 @@ def build_topk_run(
                 continue
 
             # sum-style: recompute the candidate top-T at the selected unit
-            lw = safelog(layer.weight(st))
+            lw = safelog(_parse_weight(layer.weight, st))
             if rec[0] == "tensordot":
                 _, kj, kq, kk = rec
                 f, _, b, _, _ = v.shape
@@ -361,12 +413,14 @@ def build_topk_run(
                 f_, hh_, b_, k_, _ = v.shape
                 comb = jnp.transpose(v, (0, 2, 1, 3, 4)).reshape(f_, b_, hh_ * k_, t)
             w_sel = jnp.take_along_axis(lw[:, None], safeu[..., None], axis=2)
-            cand = (w_sel[..., None] + comb[:, :, None]).reshape(
-                *comb.shape[:2], t, -1
+            combx = _tile_latents(comb, lw.shape[2])
+            cand = (w_sel[..., None] + combx[:, :, None]).reshape(
+                *combx.shape[:2], t, -1
             )
             _, idx = jax.lax.top_k(cand, t)
             pick = jnp.take_along_axis(idx, safer[..., None], axis=-1)[..., 0]
             m, tcomb = pick // t, pick % t
+            m = m % comb.shape[2]  # drop a collapsed weight's latent digits
 
             if tag == "sum":
                 op, unit = m // k, m % k

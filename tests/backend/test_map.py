@@ -457,3 +457,63 @@ def test_marginal_map_runs_through_optimized_tucker(monkeypatch):
     np.testing.assert_allclose(np.asarray(val_k), np.asarray(val_x), rtol=1e-5)
     # marginalized entries come back as 0
     assert (np.asarray(asg_k)[marg] == 0).all()
+
+
+def test_map_and_topk_through_collapsed_sums():
+    """Sum-collapse regression: a dense root over a mixing sum fuses into
+    ONE sum whose weight is ``MatMul(W_mix, W_root)`` — a SUM over the fused
+    latent. The (+,*) forward and sampling are invariant to that, but MPE
+    maxes over every latent: the tropical carrier must use the max-product
+    of the factors (queries._max_weight), and parse-level top-k must KEEP
+    the latent as extra candidates (topk._parse_weight). Before the fix the
+    optimized MAP value exceeded the true maximum by the latent mass."""
+    from cirkit_tpu.backend.jax.parameters import JaxMatMulParameter
+    from cirkit_tpu.symbolic import Circuit, HadamardLayer, SumLayer
+    from cirkit_tpu.symbolic.layers import CategoricalLayer
+    from cirkit_tpu.utils import Scope
+
+    from tests.fixtures import const_param
+    from tests.reference_eval import topk_parses_by_enumeration
+
+    rng = np.random.default_rng(7)
+    leaves, hads = [], []
+    in_layers = {}
+    for _ in range(2):
+        pair = []
+        for v in range(2):
+            raw = rng.uniform(0.1, 1.0, size=(2, 3))
+            pair.append(
+                CategoricalLayer(
+                    Scope([v]), 2, num_categories=3,
+                    probs=const_param(raw / raw.sum(axis=1, keepdims=True)),
+                )
+            )
+        h = HadamardLayer(2, arity=2)
+        in_layers[h] = pair
+        leaves.extend(pair)
+        hads.append(h)
+    mix = SumLayer(2, 2, arity=2, weight=const_param(rng.uniform(0.1, 1.0, (2, 4))))
+    root = SumLayer(2, 1, weight=const_param(rng.uniform(0.1, 1.0, (1, 2))))
+    in_layers[mix] = hads
+    in_layers[root] = [mix]
+    sc = Circuit(leaves + hads + [mix, root], in_layers, [root])
+
+    want_asg, want_val = mpe_by_enumeration(sc, 3)
+    want_scores, _ = topk_parses_by_enumeration(sc, 3, 4)
+
+    for optimize in (False, True):
+        ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=optimize)
+        cc = ctx.compile(sc)
+        if optimize:
+            # the collapse must actually fire, or this test is vacuous
+            assert any(
+                isinstance(n, JaxMatMulParameter)
+                for e in cc._entries
+                if hasattr(e.layer, "weight")
+                for n in e.layer.weight._ordering
+            )
+        asg, val = MAPQuery(cc)(store=ctx.parameters)
+        np.testing.assert_allclose(float(val[0]), np.log(want_val), rtol=1e-9)
+        np.testing.assert_array_equal(np.asarray(asg[0]).astype(int), want_asg)
+        _, scores = MAPQuery(cc)(store=ctx.parameters, top_k=4)
+        np.testing.assert_allclose(np.asarray(scores[0]), want_scores, rtol=1e-9)
