@@ -25,6 +25,7 @@ from cirkit_tpu.symbolic.circuit import (
 )
 from cirkit_tpu.symbolic.layers import (
     EvidenceLayer,
+    HadamardLayer,
     InputLayer,
     KroneckerLayer,
     Layer,
@@ -35,6 +36,8 @@ from cirkit_tpu.symbolic.layers import (
 from cirkit_tpu.symbolic.initializers import DirichletInitializer, NormalInitializer
 from cirkit_tpu.symbolic.parameters import (
     ConstantParameter,
+    IndexParameter,
+    KroneckerParameter,
     MixingWeightParameter,
     Parameter,
     ParameterFactory,
@@ -279,18 +282,21 @@ def integrate(
 def multiply(sc1: Circuit, sc2: Circuit, *, registry: OperatorRegistry | None = None) -> Circuit:
     """Multiply two compatible circuits: pairwise layer products driven by the
     MULTIPLICATION rule registry; disjoint-scope pairs get a fresh Kronecker
-    layer (ref: ``symbolic/functional.py:259-415``)."""
+    layer (ref: ``symbolic/functional.py:259-415``).
+
+    Scope handling goes beyond the reference (which supports same-scope
+    only, ref functional.py:295-296): fully DISJOINT scopes combine
+    independent models into p(x) q(y) over the union, and PARTIAL overlap
+    is supported whenever the operands are compatible over the shared
+    scope — sums distribute one-sidedly (``(W x)(y) = W (x y)`` with a
+    Kronecker-identity weight), product layers pair children by the
+    equality of their shared-scope restrictions (private children splice
+    through untouched), and mixed-width composites assemble via constant
+    one-hot broadcast sums under a Hadamard. Every product block keeps the
+    (i1, i2) row-major unit layout, so the standard sum/input rules apply
+    unchanged. Operands whose shared-scope factorizations differ raise
+    :class:`StructuralPropertyError` (the product is not tractable then)."""
     if sc1.scope != sc2.scope:
-        if sc1.scope & sc2.scope:
-            # partial overlap needs compatibility restricted to the shared
-            # scope plus private-part splicing — like the reference, only
-            # same-scope (ref functional.py:295-296) is supported there;
-            # fully DISJOINT scopes are an extension: independent models
-            # combine into p(x) q(y) over the union scope
-            raise NotImplementedError(
-                "Only products of circuits over the same scope or over "
-                "disjoint scopes are supported"
-            )
         for sc in (sc1, sc2):
             if not (sc.is_smooth and sc.is_decomposable):
                 raise StructuralPropertyError(
@@ -325,6 +331,96 @@ def multiply(sc1: Circuit, sc2: Circuit, *, registry: OperatorRegistry | None = 
             splice_block[lk] = b
         return splice_block[key]
 
+    def _side_dims(layer: Layer) -> tuple[tuple[int, ...], str]:
+        """A product operand's composite digit structure: Kronecker units
+        concatenate one digit per child (row-major, first child major);
+        Hadamard units are ONE digit shared by every child; anything else
+        (input layers, disjoint splices) is a single digit of its width."""
+        if isinstance(layer, KroneckerLayer):
+            return (layer.num_input_units,) * layer.arity, "kron"
+        if isinstance(layer, HadamardLayer):
+            return (layer.num_input_units,), "had"
+        return (layer.num_output_units,), "single"
+
+    def _combine(
+        dims1: tuple[int, ...],
+        dims2: tuple[int, ...],
+        children: list[tuple[CircuitBlock, tuple[int, ...], tuple[int, ...]]],
+    ) -> CircuitBlock:
+        """Assemble a product block in the (i1, i2) row-major layout from
+        per-child blocks of MIXED widths: each child is broadcast into the
+        composite index space by a constant one-hot selection sum (rows pick
+        the child's digits out of (i1, i2)), and a Hadamard multiplies the
+        broadcasts. ``children`` entries are (block, digit positions on
+        side 1, digit positions on side 2) — pair blocks carry positions on
+        both sides (their own (j1, j2) row-major index; a grouped virtual
+        product owns several positions in ascending order), pass-through
+        singles one side only. This is what makes partial-overlap products
+        expressible without a mixed-width Kronecker layer type."""
+        w1 = int(np.prod(dims1))
+        w2 = int(np.prod(dims2))
+        wout = w1 * w2
+        idx = np.arange(wout)
+        digs1 = np.stack(np.unravel_index(idx // w2, dims1))
+        digs2 = np.stack(np.unravel_index(idx % w2, dims2))
+        sel_blocks = []
+        for cb, p1s, p2s in children:
+            dims = [dims1[p] for p in p1s] + [dims2[p] for p in p2s]
+            digs = [digs1[p] for p in p1s] + [digs2[p] for p in p2s]
+            wc = int(np.prod(dims)) if dims else 1
+            j = np.zeros(wout, dtype=np.int64)
+            for d, dg in zip(dims, digs):
+                j = j * d + dg
+            sel = np.zeros((wout, wc))
+            sel[idx, j] = 1.0
+            sb = CircuitBlock.from_layer(
+                SumLayer(
+                    wc,
+                    wout,
+                    weight=Parameter.from_input(
+                        ConstantParameter(wout, wc, value=sel)
+                    ),
+                )
+            )
+            blocks.append(sb)
+            in_blocks[sb] = [cb]
+            sel_blocks.append(sb)
+        hb = CircuitBlock.from_layer(HadamardLayer(wout, arity=len(sel_blocks)))
+        blocks.append(hb)
+        in_blocks[hb] = sel_blocks
+        return hb
+
+    # Virtual product layers: when the two operands factor the shared scope
+    # at DIFFERENT granularities (a restriction of a common vtree contracts
+    # levels), the finer side's children group under a fresh product layer
+    # of the same kind, and the recursion descends against it. These layers
+    # exist only inside this multiply call.
+    virt_in: dict[Layer, list[Layer]] = {}
+    virt_scope: dict[Layer, Scope] = {}
+    virt_memo: dict[tuple, Layer] = {}
+
+    def _inputs(sc: Circuit, l: Layer) -> list[Layer]:
+        got = virt_in.get(l)
+        return got if got is not None else list(sc.layer_inputs(l))
+
+    def _lscope(sc: Circuit, l: Layer) -> Scope:
+        got = virt_scope.get(l)
+        return got if got is not None else sc.layer_scope(l)
+
+    def _virtual_group(sc: Circuit, template: ProductLayer, members: list[Layer]) -> Layer:
+        # memoized on member identity: the stack revisits a pair after its
+        # children resolve, and the recreated group must BE the same key
+        key = (id(sc), id(template), tuple(id(m) for m in members))
+        got = virt_memo.get(key)
+        if got is not None:
+            return got
+        cls = type(template)
+        v = cls(template.num_input_units, arity=len(members))
+        virt_in[v] = list(members)
+        virt_scope[v] = Scope.union(*[_lscope(sc, m) for m in members])
+        virt_memo[key] = v
+        return v
+
     stack: list[tuple[Layer, Layer]] = list(itertools.product(sc1.outputs, sc2.outputs))
     while stack:
         pair = stack[-1]
@@ -333,31 +429,247 @@ def multiply(sc1: Circuit, sc2: Circuit, *, registry: OperatorRegistry | None = 
             continue
         l1, l2 = pair
 
+        s1, s2 = _lscope(sc1, l1), _lscope(sc2, l2)
+
         # Disjoint scopes: splice in copies of both sub-circuits and combine
-        # their roots with a fresh Kronecker product layer. KroneckerLayer
-        # assumes equal-width operands, hence the unit-count restriction
-        # (documented in docs/api/symbolic.md).
-        if not sc1.layer_scope(l1) & sc2.layer_scope(l2):
-            if l1.num_output_units != l2.num_output_units:
-                raise NotImplementedError(
-                    "Disjoint-scope layers can only be multiplied when they have equal size"
-                )
+        # their roots — a fresh Kronecker layer when widths match, the
+        # generic mixed-width broadcast combine otherwise.
+        if not s1 & s2:
             root_blocks = [_splice(sc1, l1), _splice(sc2, l2)]
-            kb = CircuitBlock.from_layer(KroneckerLayer(l1.num_output_units, arity=2))
-            blocks.append(kb)
-            in_blocks[kb] = root_blocks
+            if l1.num_output_units == l2.num_output_units:
+                kb = CircuitBlock.from_layer(
+                    KroneckerLayer(l1.num_output_units, arity=2)
+                )
+                blocks.append(kb)
+                in_blocks[kb] = root_blocks
+            else:
+                kb = _combine(
+                    (l1.num_output_units,),
+                    (l2.num_output_units,),
+                    [(root_blocks[0], (0,), ()), (root_blocks[1], (), (0,))],
+                )
             prod_block[pair] = kb
             stack.pop()
             continue
 
         # Overlapping scopes: recurse into matched input pairs first.
-        if isinstance(l1, InputLayer):
+        # ``builder`` is set for the partial-overlap combinations the rule
+        # registry cannot express; None means the registry rule applies.
+        sigma: list[int] | None = None
+        builder = None
+        if isinstance(l1, InputLayer) and isinstance(l2, InputLayer):
+            if s1 != s2:
+                raise NotImplementedError(
+                    "Products of partially-overlapping multivariate input "
+                    "layers are not supported"
+                )
             children: list[tuple[Layer, Layer]] = []
+        elif isinstance(l1, SumLayer) and isinstance(l2, SumLayer):
+            # all pairs + kron'd weights (the registry rule) — valid for
+            # ANY scopes: pair blocks keep the (i1, i2) row-major layout
+            # the rule's weight assumes
+            children = list(itertools.product(_inputs(sc1, l1), _inputs(sc2, l2)))
         elif isinstance(l1, SumLayer):
-            children = list(itertools.product(sc1.layer_inputs(l1), sc2.layer_inputs(l2)))
+            # distribute the left sum over l2: (W1 x) * y = (W1 (x) I) (x * y);
+            # kron(W1, I) columns already run (a, i1, i2), the child layout
+            children = [(c1, l2) for c1 in _inputs(sc1, l1)]
+
+            def builder(child_blocks, l1=l1, l2=l2):
+                w2 = l2.num_output_units
+                weight = Parameter.from_binary(
+                    KroneckerParameter(l1.weight.shape, (w2, w2)),
+                    l1.weight.ref(),
+                    Parameter.from_input(ConstantParameter(w2, w2, value=np.eye(w2))),
+                )
+                b = CircuitBlock.from_layer(
+                    SumLayer(
+                        l1.num_input_units * w2,
+                        l1.num_output_units * w2,
+                        arity=l1.arity,
+                        weight=weight,
+                    )
+                )
+                blocks.append(b)
+                in_blocks[b] = child_blocks
+                return b
+
+        elif isinstance(l2, SumLayer):
+            # distribute the right sum; kron(I, W2) columns run (i1, a, i2)
+            # while the children concatenate (a, i1, i2) — permute when
+            # both indices are nontrivial
+            children = [(l1, c2) for c2 in _inputs(sc2, l2)]
+
+            def builder(child_blocks, l1=l1, l2=l2):
+                w1 = l1.num_output_units
+                a2, k2i = l2.arity, l2.num_input_units
+                weight = Parameter.from_binary(
+                    KroneckerParameter((w1, w1), l2.weight.shape),
+                    Parameter.from_input(ConstantParameter(w1, w1, value=np.eye(w1))),
+                    l2.weight.ref(),
+                )
+                if w1 > 1 and a2 > 1:
+                    perm = (
+                        np.arange(w1 * a2 * k2i)
+                        .reshape(w1, a2, k2i)
+                        .transpose(1, 0, 2)
+                        .ravel()
+                    )
+                    weight = Parameter.from_unary(
+                        IndexParameter(weight.shape, indices=perm.tolist(), axis=1),
+                        weight,
+                    )
+                b = CircuitBlock.from_layer(
+                    SumLayer(
+                        w1 * k2i,
+                        w1 * l2.num_output_units,
+                        arity=a2,
+                        weight=weight,
+                    )
+                )
+                blocks.append(b)
+                in_blocks[b] = child_blocks
+                return b
+
+        elif isinstance(l1, ProductLayer) and not isinstance(l2, ProductLayer):
+            # l2 is an input layer inside l1's scope: pair the one child
+            # whose scope covers it; the other children pass through
+            ins1 = _inputs(sc1, l1)
+            host = [i for i, c1 in enumerate(ins1) if _lscope(sc1, c1) & s2]
+            if len(host) != 1 or not s2 <= _lscope(sc1, ins1[host[0]]):
+                raise NotImplementedError(
+                    "An input layer straddling a product partition cannot "
+                    "be multiplied in"
+                )
+            dims1, kind1 = _side_dims(l1)
+            p1of = (lambda i: i) if kind1 == "kron" else (lambda i: 0)
+            hi = host[0]
+            children = [(ins1[hi], l2)]
+
+            def builder(child_blocks, ins1=ins1, hi=hi, dims1=dims1, p1of=p1of, l2=l2):
+                cc = [(child_blocks[0], (p1of(hi),), (0,))]
+                cc += [
+                    (_splice(sc1, ins1[i]), (p1of(i),), ())
+                    for i in range(len(ins1))
+                    if i != hi
+                ]
+                return _combine(dims1, (l2.num_output_units,), cc)
+
+        elif isinstance(l2, ProductLayer) and not isinstance(l1, ProductLayer):
+            # symmetric: l1 is an input layer inside l2's scope
+            ins2 = _inputs(sc2, l2)
+            host = [j for j, c2 in enumerate(ins2) if _lscope(sc2, c2) & s1]
+            if len(host) != 1 or not s1 <= _lscope(sc2, ins2[host[0]]):
+                raise NotImplementedError(
+                    "An input layer straddling a product partition cannot "
+                    "be multiplied in"
+                )
+            dims2, kind2 = _side_dims(l2)
+            p2of = (lambda j: j) if kind2 == "kron" else (lambda j: 0)
+            hj = host[0]
+            children = [(l1, ins2[hj])]
+
+            def builder(child_blocks, ins2=ins2, hj=hj, dims2=dims2, p2of=p2of, l1=l1):
+                cc = [(child_blocks[0], (0,), (p2of(hj),))]
+                cc += [
+                    (_splice(sc2, ins2[j]), (), (p2of(j),))
+                    for j in range(len(ins2))
+                    if j != hj
+                ]
+                return _combine((l1.num_output_units,), dims2, cc)
+
+        elif s1 != s2 or type(l1) is not type(l2):
+            # both products, over partially-overlapping scopes OR of mixed
+            # kinds (Hadamard x Kronecker has no registry rule). Children
+            # match through the connected components of the shared-scope
+            # restriction-intersection graph: 1-1 components pair directly;
+            # a component where ONE side is finer (a common-vtree
+            # restriction that contracted levels) groups the finer side
+            # under a virtual product and recurses against it; interleaved
+            # components (both sides > 1) are intractable; private children
+            # (empty restriction) pass through as splices.
+            ins1 = _inputs(sc1, l1)
+            ins2 = _inputs(sc2, l2)
+            shared = s1 & s2
+            r1 = [_lscope(sc1, c) & shared for c in ins1]
+            r2 = [_lscope(sc2, c) & shared for c in ins2]
+            singles1 = [i for i, t in enumerate(r1) if not t]
+            singles2 = [j for j, t in enumerate(r2) if not t]
+            # connected components over the bipartite intersection graph
+            seen1: set[int] = set(singles1)
+            seen2: set[int] = set(singles2)
+            components: list[tuple[list[int], list[int]]] = []
+            for i0 in range(len(ins1)):
+                if i0 in seen1:
+                    continue
+                ci, cj, front1 = [], [], [i0]
+                seen1.add(i0)
+                while front1:
+                    front2 = []
+                    for i in front1:
+                        ci.append(i)
+                        for j in range(len(ins2)):
+                            if j not in seen2 and r1[i] & r2[j]:
+                                seen2.add(j)
+                                front2.append(j)
+                    front1 = []
+                    for j in front2:
+                        cj.append(j)
+                        for i in range(len(ins1)):
+                            if i not in seen1 and r1[i] & r2[j]:
+                                seen1.add(i)
+                                front1.append(i)
+                components.append((sorted(ci), sorted(cj)))
+            dims1, kind1 = _side_dims(l1)
+            dims2, kind2 = _side_dims(l2)
+            p1of = (lambda i: i) if kind1 == "kron" else (lambda i: 0)
+            p2of = (lambda j: j) if kind2 == "kron" else (lambda j: 0)
+            pair_specs: list[tuple[Layer, Layer, tuple, tuple]] = []
+            for ci, cj in components:
+                if not cj:
+                    raise StructuralPropertyError(
+                        "Product layers whose shared-scope restrictions do "
+                        f"not match cannot be multiplied: {tuple(r1[ci[0]])} "
+                        "has no partner partition"
+                    )
+                if len(ci) > 1 and len(cj) > 1:
+                    raise StructuralPropertyError(
+                        "Product layers with interleaved shared-scope "
+                        "partitions cannot be multiplied: "
+                        f"{[tuple(r1[i]) for i in ci]} vs "
+                        f"{[tuple(r2[j]) for j in cj]}"
+                    )
+                la = (
+                    ins1[ci[0]]
+                    if len(ci) == 1
+                    else _virtual_group(sc1, l1, [ins1[i] for i in ci])
+                )
+                lb = (
+                    ins2[cj[0]]
+                    if len(cj) == 1
+                    else _virtual_group(sc2, l2, [ins2[j] for j in cj])
+                )
+                p1s = tuple(dict.fromkeys(p1of(i) for i in ci))
+                p2s = tuple(dict.fromkeys(p2of(j) for j in cj))
+                pair_specs.append((la, lb, p1s, p2s))
+            children = [(la, lb) for la, lb, _, _ in pair_specs]
+
+            def builder(
+                child_blocks,
+                ins1=ins1, ins2=ins2, pair_specs=pair_specs,
+                singles1=singles1, singles2=singles2,
+                dims1=dims1, dims2=dims2, p1of=p1of, p2of=p2of,
+            ):
+                cc = [
+                    (cb, p1s, p2s)
+                    for (_, _, p1s, p2s), cb in zip(pair_specs, child_blocks)
+                ]
+                cc += [(_splice(sc1, ins1[i]), (p1of(i),), ()) for i in singles1]
+                cc += [(_splice(sc2, ins2[j]), (), (p2of(j),)) for j in singles2]
+                return _combine(dims1, dims2, cc)
+
         elif isinstance(l1, ProductLayer):
-            ins1 = list(sc1.layer_inputs(l1))
-            ins2 = list(sc2.layer_inputs(l2))
+            ins1 = _inputs(sc1, l1)
+            ins2 = _inputs(sc2, l2)
             if len(ins1) != len(ins2):
                 raise NotImplementedError(
                     "Only products of equal-arity product layers are supported"
@@ -393,11 +705,16 @@ def multiply(sc1: Circuit, sc2: Circuit, *, registry: OperatorRegistry | None = 
             stack.extend(missing)
             continue
 
+        child_blocks = [prod_block[p] for p in children]
+        if builder is not None:
+            prod_block[pair] = builder(child_blocks)
+            stack.pop()
+            continue
         rule = registry.retrieve_rule(LayerOperator.MULTIPLICATION, type(l1), type(l2))
         b = rule(l1, l2)
         blocks.append(b)
-        in_blocks[b] = [prod_block[p] for p in children]
-        if isinstance(l1, KroneckerLayer) and sigma != list(range(len(sigma))):
+        in_blocks[b] = child_blocks
+        if sigma is not None and isinstance(l1, KroneckerLayer) and sigma != list(range(len(sigma))):
             # Pair blocks are wired in l1's own child order, so the rule's
             # interleave permutation leaves the l2-side digits in l1-aligned
             # order (digit j carries l2 child sigma[j]); post-compose a

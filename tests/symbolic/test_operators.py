@@ -278,10 +278,11 @@ def test_multiply_disjoint_scopes_is_outer_product():
     zp = eval_circuit(ipsc, np.zeros((1, 0)))[0, 0, 0]
     assert np.isclose(zp, z1 * z2, rtol=1e-10)
 
-    # partial overlap is still rejected
+    # partial overlap composes too (see test_multiply_partial_overlap_*)
     sc3 = build_pc_over((1, 2), seed=7)
-    with pytest.raises(NotImplementedError, match="disjoint"):
-        SF.multiply(sc1, sc3)
+    po = SF.multiply(sc1, sc3)
+    assert po.scope == Scope([0, 1, 2])
+    assert po.is_smooth and po.is_decomposable
 
 
 def test_multiply_disjoint_multi_output_shares_splices():
@@ -319,3 +320,156 @@ def test_multiply_disjoint_multi_output_shares_splices():
     w2 = eval_circuit(sc2, worlds)  # (B, 2, 1)
     assert np.allclose(vp[:, 0, 0], w1 * w2[:, 0, 0], rtol=1e-10)
     assert np.allclose(vp[:, 1, 0], w1 * w2[:, 1, 0], rtol=1e-10)
+
+
+# -- partial-overlap products (extension; the reference is same-scope only) --
+
+
+def _chain_pc(vars_, kind, seed, num_units=2):
+    """p(v0, v1) with one product (Hadamard/Kronecker) and a dense root."""
+    rng = np.random.default_rng(seed)
+    leaves = []
+    for v in vars_:
+        raw = rng.uniform(0.1, 1.0, size=(num_units, 3))
+        leaves.append(
+            CategoricalLayer(
+                Scope([v]), num_units, num_categories=3,
+                probs=const_param(raw / raw.sum(axis=1, keepdims=True)),
+            )
+        )
+    if len(vars_) == 1:
+        root = SumLayer(
+            num_units, 1, weight=const_param(rng.uniform(0.1, 1.0, (1, num_units)))
+        )
+        return Circuit(leaves + [root], {root: leaves}, [root])
+    prod_cls = HadamardLayer if kind == "had" else KroneckerLayer
+    prod = prod_cls(num_units, arity=len(vars_))
+    m = num_units if kind == "had" else num_units ** len(vars_)
+    root = SumLayer(m, 1, weight=const_param(rng.uniform(0.1, 1.0, (1, m))))
+    return Circuit(leaves + [prod, root], {prod: leaves, root: [prod]}, [root])
+
+
+@pytest.mark.parametrize("k1,k2", [("had", "had"), ("kron", "kron"), ("had", "kron")])
+def test_multiply_partial_overlap_chain(k1, k2):
+    """p(x0, x1) q(x1, x2): the product over the union scope equals the
+    pointwise product — sums distribute one-sidedly, the shared-scope
+    children pair, the private children splice through, and mixed-width
+    composites assemble via the broadcast combine. Beyond the reference
+    (same-scope only, ref functional.py:295-296)."""
+    sc1 = _chain_pc((0, 1), k1, seed=11)
+    sc2 = _chain_pc((1, 2), k2, seed=12, num_units=3)
+    psc = SF.multiply(sc1, sc2)
+    assert psc.scope == Scope([0, 1, 2])
+    assert psc.is_smooth and psc.is_decomposable
+    worlds = enumerate_worlds(3, 3)
+    want = eval_circuit(sc1, worlds)[:, 0, 0] * eval_circuit(sc2, worlds)[:, 0, 0]
+    got = eval_circuit(psc, worlds)[:, 0, 0]
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+    z = eval_circuit(SF.integrate(psc), np.zeros((1, 0)))[0, 0, 0]
+    np.testing.assert_allclose(z, want.sum(), rtol=1e-10)
+
+
+def test_multiply_partial_overlap_univariate_absorb():
+    """p(x0, x1) q(x1): the univariate factor lands inside the matching
+    product child; widths differ (2 vs 3 units) on purpose."""
+    sc1 = _chain_pc((0, 1), "kron", seed=13)
+    sc2 = _chain_pc((1,), "had", seed=14, num_units=3)  # single-var circuit
+    psc = SF.multiply(sc1, sc2)
+    worlds = enumerate_worlds(2, 3)
+    want = eval_circuit(sc1, worlds)[:, 0, 0] * eval_circuit(sc2, worlds)[:, 0, 0]
+    np.testing.assert_allclose(eval_circuit(psc, worlds)[:, 0, 0], want, rtol=1e-10)
+
+
+def test_multiply_disjoint_unequal_widths():
+    """Disjoint-scope multiply no longer requires equal root widths: the
+    broadcast combine builds the (w1 * w2) outer product directly."""
+    sc1 = _chain_pc((0,), "had", seed=15, num_units=2)
+    sc2 = _chain_pc((1,), "had", seed=16, num_units=3)
+    psc = SF.multiply(sc1, sc2)
+    worlds = enumerate_worlds(2, 3)
+    want = eval_circuit(sc1, worlds)[:, 0, 0] * eval_circuit(sc2, worlds)[:, 0, 0]
+    np.testing.assert_allclose(eval_circuit(psc, worlds)[:, 0, 0], want, rtol=1e-10)
+
+
+def test_multiply_partial_overlap_granularity_mismatch():
+    """p partitions {0,1} as ONE child while q splits {0} / {1,3} at its
+    top level — a granularity mismatch, NOT an incompatibility: both sides
+    eventually split {0} / {1}, so the component matcher groups q's finer
+    children under a virtual product and the product is exact."""
+    rng = np.random.default_rng(17)
+
+    def leaf(v, k=2):
+        raw = rng.uniform(0.1, 1.0, size=(k, 3))
+        return CategoricalLayer(
+            Scope([v]), k, num_categories=3,
+            probs=const_param(raw / raw.sum(axis=1, keepdims=True)),
+        )
+
+    # p over {0,1,2}: ({0,1}, {2})
+    l0, l1, l2v = leaf(0), leaf(1), leaf(2)
+    h01 = HadamardLayer(2, arity=2)
+    s01 = SumLayer(2, 2, weight=const_param(rng.uniform(0.1, 1.0, (2, 2))))
+    hp = HadamardLayer(2, arity=2)
+    rp = SumLayer(2, 1, weight=const_param(rng.uniform(0.1, 1.0, (1, 2))))
+    p = Circuit(
+        [l0, l1, l2v, h01, s01, hp, rp],
+        {h01: [l0, l1], s01: [h01], hp: [s01, l2v], rp: [hp]},
+        [rp],
+    )
+    # q over {0,1,3}: ({0}, {1,3})
+    m0, m1, m3 = leaf(0), leaf(1), leaf(3)
+    h13 = HadamardLayer(2, arity=2)
+    s13 = SumLayer(2, 2, weight=const_param(rng.uniform(0.1, 1.0, (2, 2))))
+    hq = HadamardLayer(2, arity=2)
+    rq = SumLayer(2, 1, weight=const_param(rng.uniform(0.1, 1.0, (1, 2))))
+    q = Circuit(
+        [m0, m1, m3, h13, s13, hq, rq],
+        {h13: [m1, m3], s13: [h13], hq: [m0, s13], rq: [hq]},
+        [rq],
+    )
+    psc = SF.multiply(p, q)
+    worlds = enumerate_worlds(4, 3)
+    want = eval_circuit(p, worlds)[:, 0, 0] * eval_circuit(q, worlds)[:, 0, 0]
+    np.testing.assert_allclose(eval_circuit(psc, worlds)[:, 0, 0], want, rtol=1e-10)
+
+
+def test_multiply_partial_overlap_interleaved_raises():
+    """Genuinely interleaved shared-scope partitions are intractable: p
+    splits the shared vars as {0} / {1,2} while q splits {0,1} / {2} —
+    neither refines the other."""
+    rng = np.random.default_rng(18)
+
+    def leaf(v, k=2):
+        raw = rng.uniform(0.1, 1.0, size=(k, 3))
+        return CategoricalLayer(
+            Scope([v]), k, num_categories=3,
+            probs=const_param(raw / raw.sum(axis=1, keepdims=True)),
+        )
+
+    # p over {0,1,2}: ({0}, {1,2})
+    l0, l1v, l2v = leaf(0), leaf(1), leaf(2)
+    h12 = HadamardLayer(2, arity=2)
+    s12 = SumLayer(2, 2, weight=const_param(rng.uniform(0.1, 1.0, (2, 2))))
+    hp = HadamardLayer(2, arity=2)
+    rp = SumLayer(2, 1, weight=const_param(rng.uniform(0.1, 1.0, (1, 2))))
+    p = Circuit(
+        [l0, l1v, l2v, h12, s12, hp, rp],
+        {h12: [l1v, l2v], s12: [h12], hp: [l0, s12], rp: [hp]},
+        [rp],
+    )
+    # q over {0,1,2,3}: ({0,1}, {2,3})
+    m0, m1, m2, m3 = leaf(0), leaf(1), leaf(2), leaf(3)
+    h01 = HadamardLayer(2, arity=2)
+    s01 = SumLayer(2, 2, weight=const_param(rng.uniform(0.1, 1.0, (2, 2))))
+    h23 = HadamardLayer(2, arity=2)
+    s23 = SumLayer(2, 2, weight=const_param(rng.uniform(0.1, 1.0, (2, 2))))
+    hq = HadamardLayer(2, arity=2)
+    rq = SumLayer(2, 1, weight=const_param(rng.uniform(0.1, 1.0, (1, 2))))
+    q = Circuit(
+        [m0, m1, m2, m3, h01, s01, h23, s23, hq, rq],
+        {h01: [m0, m1], s01: [h01], h23: [m2, m3], s23: [h23],
+         hq: [s01, s23], rq: [hq]},
+        [rq],
+    )
+    with pytest.raises(StructuralPropertyError, match="interleaved"):
+        SF.multiply(p, q)

@@ -160,6 +160,157 @@ def test_multiclass_circuit_outputs_normalized():
     np.testing.assert_allclose(out[:, 0, :].sum(axis=0), 1.0, rtol=1e-9)
 
 
+# ---------------------------------------------------------------------------
+# n-ary / mixing / shuffled-child-order fuzz
+# ---------------------------------------------------------------------------
+# The late-r5 multiply fixes (mixing-sum kron column permutation; product
+# pairing for non-scope-sorted Kronecker children) lived in structures the
+# template generators above never draw: sums with arity > 1 (mixing over
+# alternative partitions), arity-3 products, and product children wired in
+# non-sorted scope order. This generator draws exactly those shapes; outputs
+# are pinned against the enumeration oracle, and products of two
+# same-structure operands (the second with independently shuffled child
+# orders) against the elementwise product of oracles.
+
+
+def _random_nary_circuit(
+    seed: int,
+    param_seed: int,
+    shuffle_seed: int | None = None,
+    shared_partitions: bool = False,
+):
+    """Random smooth+decomposable circuit with mixing sums, arity-2/3
+    Hadamard/Kronecker products, and (optionally) shuffled product-child
+    order. Structure is a pure function of ``seed``; parameters of
+    ``param_seed``; child order of ``shuffle_seed`` (None = builder order).
+
+    ``shared_partitions=True`` draws ONE partition per region and wires the
+    mixing alternatives as distinct product layers over the SAME child
+    sub-circuits — the unique-factorization shape ``are_compatible``
+    requires, so such circuits can be multiplied (free mixing over distinct
+    partitions is correctly rejected as incompatible)."""
+    from cirkit_tpu.symbolic import Circuit, HadamardLayer, KroneckerLayer, SumLayer
+    from cirkit_tpu.utils import Scope
+
+    rng = np.random.default_rng(seed)
+    prng = np.random.default_rng(param_seed)
+    srng = None if shuffle_seed is None else np.random.default_rng(shuffle_seed)
+
+    def softmax_const(shape):
+        t = TensorParameter(
+            *shape, initializer=ConstantTensorInitializer(prng.normal(size=shape))
+        )
+        return Parameter.from_unary(SoftmaxParameter(shape), t)
+
+    layers: list = []
+    in_layers: dict = {}
+
+    def add(layer, children=()):
+        layers.append(layer)
+        if children:
+            in_layers[layer] = list(children)
+        return layer
+
+    def build(vs: list[int], k_out: int):
+        if len(vs) == 1:
+            return add(
+                CategoricalLayer(
+                    Scope(vs), k_out, num_categories=NUM_CATS,
+                    probs=softmax_const((k_out, NUM_CATS)),
+                )
+            )
+        arity = int(min(len(vs), 2 + (rng.random() < 0.4)))
+        n_parts = 1 + int(rng.random() < 0.5)
+        k_child = int(rng.integers(1, 4))
+
+        def draw_partition():
+            perm = list(vs)
+            rng.shuffle(perm)  # child scopes in non-sorted variable order
+            cuts = sorted(rng.choice(range(1, len(vs)), size=arity - 1, replace=False))
+            groups = [perm[a:b] for a, b in zip([0, *cuts], [*cuts, len(vs)])]
+            return [build(g, k_child) for g in groups]
+
+        shared = draw_partition() if shared_partitions else None
+        shared_kind = rng.random() < 0.5
+        part_sums = []
+        for _ in range(n_parts):
+            children = list(shared) if shared is not None else draw_partition()
+            kind = shared_kind if shared is not None else (rng.random() < 0.5)
+            if srng is not None:
+                srng.shuffle(children)
+            if kind:
+                prod = add(HadamardLayer(k_child, arity=arity), children)
+                m = k_child
+            else:
+                prod = add(KroneckerLayer(k_child, arity=arity), children)
+                m = k_child**arity
+            part_sums.append(add(SumLayer(m, k_out, weight=softmax_const((k_out, m))), [prod]))
+        if n_parts == 1:
+            return part_sums[0]
+        # mixing sum over the alternative partitions (arity > 1)
+        return add(
+            SumLayer(k_out, k_out, arity=n_parts,
+                     weight=softmax_const((k_out, n_parts * k_out))),
+            part_sums,
+        )
+
+    n = int(rng.integers(3, 7))
+    vs = list(range(n))
+    rng.shuffle(vs)
+    k_root = int(rng.integers(2, 4))
+    top = build(vs, k_root)
+    root = add(SumLayer(k_root, 1, weight=softmax_const((1, k_root))), [top])
+    return Circuit(layers, in_layers, [root])
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("fold,optimize", [(False, False), (True, True)])
+def test_random_nary_circuit_matches_enumeration(seed, fold, optimize):
+    sc = _random_nary_circuit(seed, param_seed=seed + 500)
+    assert sc.is_smooth and sc.is_decomposable
+    d = sc.num_variables
+    worlds = np.array(list(itertools.product(range(NUM_CATS), repeat=d)), dtype=np.int64)
+    want = eval_circuit(sc, worlds)[:, 0, 0]
+
+    ctx = PipelineContext(semiring="lse-sum", fold=fold, optimize=optimize)
+    cc = ctx.compile(sc)
+    got = np.exp(np.asarray(cc(worlds))[:, 0, 0])
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+    z = np.exp(np.asarray(ctx.integrate(cc)(ctx.parameters, worlds[:1]))[0, 0, 0])
+    np.testing.assert_allclose(z, 1.0, rtol=1e-9)
+
+    # MAP routing through mixing sums and arity-3 Kroneckers
+    from cirkit_tpu.backend.jax.queries import MAPQuery
+    from tests.reference_eval import max_eval_circuit
+
+    asg, val = MAPQuery(cc)(store=ctx.parameters)
+    mx = max_eval_circuit(sc, worlds)[:, 0, 0]
+    best = int(np.argmax(mx))
+    np.testing.assert_allclose(float(val[0]), np.log(mx[best]), rtol=1e-9)
+    np.testing.assert_array_equal(np.asarray(asg[0]).astype(int), worlds[best])
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_nary_circuit_product_matches_enumeration(seed):
+    """Multiply two same-structure circuits — independent parameters, the
+    second with shuffled product-child orders — and pin the product (and its
+    partition function) against the elementwise product of oracles."""
+    sc1 = _random_nary_circuit(seed, param_seed=seed + 500, shared_partitions=True)
+    sc2 = _random_nary_circuit(
+        seed, param_seed=seed + 900, shuffle_seed=seed + 77, shared_partitions=True
+    )
+    d = sc1.num_variables
+    worlds = np.array(list(itertools.product(range(NUM_CATS), repeat=d)), dtype=np.int64)
+    want = eval_circuit(sc1, worlds)[:, 0, 0] * eval_circuit(sc2, worlds)[:, 0, 0]
+
+    ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=True)
+    cc = ctx.multiply(ctx.compile(sc1), ctx.compile(sc2))
+    got = np.exp(np.asarray(cc(ctx.parameters, worlds))[:, 0, 0])
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+    z = np.exp(np.asarray(ctx.integrate(cc)(ctx.parameters, worlds[:1]))[0, 0, 0])
+    np.testing.assert_allclose(z, want.sum(), rtol=1e-9)
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_random_circuit_query_consistency(seed):
     """Query fuzz over the same random topologies: MAP vs the exhaustive
@@ -224,3 +375,127 @@ def test_random_circuit_query_consistency(seed):
         cbest = cand[np.argmax(mvals[cand])]
         np.testing.assert_array_equal(np.asarray(casg[b]).astype(int), worlds[cbest])
         np.testing.assert_allclose(float(cval[b]), np.log(mvals[cbest]), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# partial-overlap product fuzz
+# ---------------------------------------------------------------------------
+# Operands are restrictions of ONE random global vtree to two overlapping
+# variable subsets — restrictions of a common vtree are compatible over the
+# intersection by construction, so every draw must multiply. Kinds
+# (Hadamard/Kronecker), unit widths, and child orders vary independently
+# per operand.
+
+
+def _restrict_tree(tree, keep):
+    if isinstance(tree, int):
+        return tree if tree in keep else None
+    left, right = _restrict_tree(tree[0], keep), _restrict_tree(tree[1], keep)
+    if left is None:
+        return right
+    if right is None:
+        return left
+    return (left, right)
+
+
+def _tree_pc(tree, k, param_seed, wire_seed):
+    from cirkit_tpu.symbolic import Circuit, HadamardLayer, KroneckerLayer, SumLayer
+    from cirkit_tpu.utils import Scope
+
+    prng = np.random.default_rng(param_seed)
+    wrng = np.random.default_rng(wire_seed)
+
+    def softmax_const(shape):
+        t = TensorParameter(
+            *shape, initializer=ConstantTensorInitializer(prng.normal(size=shape))
+        )
+        return Parameter.from_unary(SoftmaxParameter(shape), t)
+
+    layers, in_layers = [], {}
+
+    def add(layer, children=()):
+        layers.append(layer)
+        if children:
+            in_layers[layer] = list(children)
+        return layer
+
+    def build(node):
+        if isinstance(node, int):
+            return add(
+                CategoricalLayer(
+                    Scope([node]), k, num_categories=NUM_CATS,
+                    probs=softmax_const((k, NUM_CATS)),
+                )
+            )
+        children = [build(node[0]), build(node[1])]
+        if wrng.random() < 0.5:
+            children.reverse()
+        if wrng.random() < 0.5:
+            prod = add(HadamardLayer(k, arity=2), children)
+            m = k
+        else:
+            prod = add(KroneckerLayer(k, arity=2), children)
+            m = k * k
+        return add(SumLayer(m, k, weight=softmax_const((k, m))), [prod])
+
+    top = build(tree)
+    root = add(SumLayer(k, 1, weight=softmax_const((1, k))), [top])
+    return Circuit(layers, in_layers, [root])
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_partial_overlap_product_fuzz(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(3, 6))
+    vs = list(range(n))
+    rng.shuffle(vs)
+
+    def gen(vs):
+        if len(vs) == 1:
+            return vs[0]
+        cut = int(rng.integers(1, len(vs)))
+        return (gen(vs[:cut]), gen(vs[cut:]))
+
+    tree = gen(vs)
+    while True:
+        keep1 = {v for v in range(n) if rng.random() < 0.7}
+        keep2 = {v for v in range(n) if rng.random() < 0.7}
+        if (
+            keep1 and keep2 and (keep1 & keep2)
+            and (keep1 | keep2) == set(range(n)) and keep1 != keep2
+        ):
+            break
+    sc1 = _tree_pc(_restrict_tree(tree, keep1), int(rng.integers(1, 4)), seed + 31, seed + 41)
+    sc2 = _tree_pc(_restrict_tree(tree, keep2), int(rng.integers(1, 4)), seed + 51, seed + 61)
+
+    worlds = np.array(list(itertools.product(range(NUM_CATS), repeat=n)), dtype=np.int64)
+    want = eval_circuit(sc1, worlds)[:, 0, 0] * eval_circuit(sc2, worlds)[:, 0, 0]
+
+    import cirkit_tpu.symbolic.functional as SF
+
+    psc = SF.multiply(sc1, sc2)
+    assert psc.scope == set(range(n)) or tuple(sorted(psc.scope)) == tuple(range(n))
+    assert psc.is_smooth and psc.is_decomposable
+    np.testing.assert_allclose(
+        eval_circuit(psc, worlds)[:, 0, 0], want, rtol=1e-9, atol=1e-12
+    )
+
+    for fold, optimize in [(False, False), (True, True)]:
+        ctx = PipelineContext(semiring="lse-sum", fold=fold, optimize=optimize)
+        cc = ctx.multiply(ctx.compile(sc1), ctx.compile(sc2))
+        got = np.exp(np.asarray(cc(ctx.parameters, worlds))[:, 0, 0])
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+        z = np.exp(np.asarray(ctx.integrate(cc)(ctx.parameters, worlds[:1]))[0, 0, 0])
+        np.testing.assert_allclose(z, want.sum(), rtol=1e-9)
+
+    # MAP on the (unnormalized) product: routing through the broadcast
+    # selection sums and distribute layers
+    from cirkit_tpu.backend.jax.queries import MAPQuery
+    from tests.reference_eval import max_eval_circuit
+
+    ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=True)
+    cc = ctx.multiply(ctx.compile(sc1), ctx.compile(sc2))
+    asg, val = MAPQuery(cc)(store=ctx.parameters)
+    mx = max_eval_circuit(psc, worlds)[:, 0, 0]
+    best = int(np.argmax(mx))
+    np.testing.assert_allclose(float(val[0]), np.log(mx[best]), rtol=1e-9)
