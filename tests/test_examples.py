@@ -24,6 +24,7 @@ EXAMPLES = {
     "em_training": {"SIDE": "4", "UNITS": "4", "EPOCHS": "3", "BATCH": "128"},
     "ensemble_mixture": {"SIDE": "4", "UNITS": "4", "EPOCHS": "1"},
     "structure_learning": {"VARS": "5", "SAMPLES": "600"},
+    "model_fusion": {"UNITS": "4", "EPOCHS": "3", "SAMPLES": "800"},
     "interop_formats": {"VARS": "5", "SAMPLES": "600"},
     "model_distillation": {"SIDE": "3", "UNITS": "4", "EPOCHS": "3"},
     "prune_finetune": {},
