@@ -473,3 +473,25 @@ def test_multiply_partial_overlap_interleaved_raises():
     )
     with pytest.raises(StructuralPropertyError, match="interleaved"):
         SF.multiply(p, q)
+
+
+def test_multiply_partial_overlap_chains_compose():
+    """(A * B) * C over windows {0,1} x {1,2} x {2,3}: the second multiply
+    recurses over the FIRST product's broadcast selection sums and
+    Hadamard combines — fusion pipelines compose."""
+    a = _chain_pc((0, 1), "had", seed=21)
+    b = _chain_pc((1, 2), "kron", seed=22, num_units=3)
+    c = _chain_pc((2, 3), "had", seed=23)
+    ab = SF.multiply(a, b)
+    abc = SF.multiply(ab, c)
+    assert abc.scope == Scope([0, 1, 2, 3])
+    assert abc.is_smooth and abc.is_decomposable
+    worlds = enumerate_worlds(4, 3)
+    want = (
+        eval_circuit(a, worlds)[:, 0, 0]
+        * eval_circuit(b, worlds)[:, 0, 0]
+        * eval_circuit(c, worlds)[:, 0, 0]
+    )
+    np.testing.assert_allclose(eval_circuit(abc, worlds)[:, 0, 0], want, rtol=1e-10)
+    z = eval_circuit(SF.integrate(abc), np.zeros((1, 0)))[0, 0, 0]
+    np.testing.assert_allclose(z, want.sum(), rtol=1e-10)
