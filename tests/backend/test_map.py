@@ -517,3 +517,54 @@ def test_map_and_topk_through_collapsed_sums():
         np.testing.assert_array_equal(np.asarray(asg[0]).astype(int), want_asg)
         _, scores = MAPQuery(cc)(store=ctx.parameters, top_k=4)
         np.testing.assert_allclose(np.asarray(scores[0]), want_scores, rtol=1e-9)
+
+
+def test_map_and_topk_through_collapsed_tucker():
+    """Sum -> Sum -> Kronecker: optimize=True first collapses the dense
+    chain (MatMul weight) and then Tucker-fuses it, so the TUCKER layer
+    carries the collapsed weight graph. MAP (tropical max over the fused
+    latent) and parse top-k (latent kept as extra candidates) must match
+    the unoptimized compile and the enumeration oracles."""
+    from cirkit_tpu.backend.jax.optimized import JaxTuckerLayer
+    from cirkit_tpu.backend.jax.parameters import JaxMatMulParameter
+    from cirkit_tpu.symbolic import Circuit, KroneckerLayer, SumLayer
+    from cirkit_tpu.symbolic.layers import CategoricalLayer
+    from cirkit_tpu.utils import Scope
+
+    from tests.fixtures import const_param
+    from tests.reference_eval import topk_parses_by_enumeration
+
+    rng = np.random.default_rng(3)
+
+    def leaf(v):
+        raw = rng.uniform(0.1, 1.0, size=(2, 3))
+        return CategoricalLayer(
+            Scope([v]), 2, num_categories=3,
+            probs=const_param(raw / raw.sum(axis=1, keepdims=True)),
+        )
+
+    l0, l1 = leaf(0), leaf(1)
+    kr = KroneckerLayer(2, arity=2)
+    s1 = SumLayer(4, 3, weight=const_param(rng.uniform(0.1, 1.0, (3, 4))))
+    s2 = SumLayer(3, 1, weight=const_param(rng.uniform(0.1, 1.0, (1, 3))))
+    sc = Circuit([l0, l1, kr, s1, s2], {kr: [l0, l1], s1: [kr], s2: [s1]}, [s2])
+
+    want_asg, want_val = mpe_by_enumeration(sc, 3)
+    want_scores, _ = topk_parses_by_enumeration(sc, 3, 5)
+    for optimize in (False, True):
+        ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=optimize)
+        cc = ctx.compile(sc)
+        if optimize:
+            assert any(
+                isinstance(e.layer, JaxTuckerLayer)
+                and any(
+                    isinstance(n, JaxMatMulParameter)
+                    for n in e.layer.weight._ordering
+                )
+                for e in cc._entries
+            )
+        asg, val = MAPQuery(cc)(store=ctx.parameters)
+        np.testing.assert_allclose(float(val[0]), np.log(want_val), rtol=1e-9)
+        np.testing.assert_array_equal(np.asarray(asg[0]).astype(int), want_asg)
+        _, scores = MAPQuery(cc)(store=ctx.parameters, top_k=5)
+        np.testing.assert_allclose(np.asarray(scores[0]), want_scores, rtol=1e-9)
