@@ -615,11 +615,19 @@ class JaxParameter(RootedDiAcyclicGraph[JaxParameterNode]):
     def shape(self) -> Shape:
         return self.output.shape
 
-    def __call__(self, store: Store) -> jnp.ndarray:
+    def __call__(self, store: Store, *, node_override=None) -> jnp.ndarray:
+        """Evaluate the plan. ``node_override(plan, node, ins)`` — when
+        given — may return a replacement value for ``node`` (or ``None`` to
+        defer to the node's own evaluation). It is the single hook behind
+        the routing-time reinterpretations of fused weights
+        (``queries._max_weight`` tropical MatMul, ``topk._parse_weight``
+        column expansion), so plan evaluation itself lives in exactly one
+        place."""
         values: dict[JaxParameterNode, jnp.ndarray] = {}
         for node in self._ordering:
             ins = [values[n] for n in self.node_inputs(node)]
-            values[node] = node(store, *ins)
+            out = node_override(self, node, ins) if node_override else None
+            values[node] = node(store, *ins) if out is None else out
         return values[self.output]
 
     # -- canonicalization for folding -----------------------------------------

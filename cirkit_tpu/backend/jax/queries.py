@@ -1394,16 +1394,26 @@ def _max_weight(param, st) -> jnp.ndarray:
     routing needs no extra stage: the argmax over the composite input index
     under this weight is exactly the two-stage MPE choice. Every other
     parameter node in a weight plan is elementwise/layout-only over the
-    unit axes, so the plain evaluation is reused for them."""
-    values: dict = {}
-    for node in param._ordering:
-        ins = [values[n] for n in param.node_inputs(node)]
-        if isinstance(node, JaxMatMulParameter):
-            w1, w2 = ins  # (F, j, i) inner, (F, o, j) outer
-            values[node] = jnp.max(w2[:, :, :, None] * w1[:, None, :, :], axis=2)
-        else:
-            values[node] = node(st, *ins)
-    return values[param.output]
+    unit axes, so the plain evaluation is reused for them — but only while
+    nothing sits BETWEEN a MatMul and the plan output except further
+    MatMuls: a node applied to the maxed composite (e.g. a user rule
+    emitting ``Softmax(MatMul(...))``) would see different values than the
+    forward's summed composite and silently break max/forward consistency,
+    so that shape raises (mirroring ``topk._parse_weight``)."""
+
+    def tropical_matmul(plan, node, ins):
+        if not isinstance(node, JaxMatMulParameter):
+            return None
+        for user in plan.node_outputs(node):
+            if not isinstance(user, JaxMatMulParameter):
+                raise NotImplementedError(
+                    "MAP/MPE through a fused weight graph where a "
+                    f"MatMul feeds {type(user).__name__} is not supported"
+                )
+        w1, w2 = ins  # (F, j, i) inner, (F, o, j) outer
+        return jnp.max(w2[:, :, :, None] * w1[:, None, :, :], axis=2)
+
+    return param(st, node_override=tropical_matmul)
 
 
 def _build_routing_run(

@@ -72,30 +72,25 @@ def _parse_weight(param, st) -> jnp.ndarray:
     their child candidate lists over the latent digits and recover the
     real input as ``column % M``. Raises if a MatMul feeds any non-MatMul
     parameter node (no optimization rule produces that shape today)."""
-    consumers: dict[int, list] = {}
-    for node in param._ordering:
-        for c in param.node_inputs(node):
-            consumers.setdefault(id(c), []).append(node)
-    values: dict = {}
-    for node in param._ordering:
-        ins = [values[n] for n in param.node_inputs(node)]
-        if isinstance(node, JaxMatMulParameter):
-            for user in consumers.get(id(node), []):
-                if not isinstance(user, JaxMatMulParameter):
-                    raise NotImplementedError(
-                        "Top-k MPE through a fused weight graph where a "
-                        f"MatMul feeds {type(user).__name__} is not supported"
-                    )
-            w1, w2 = ins  # (F, J, C1) inner (maybe expanded), (F, O, C2) outer
-            jdim = node.in_shapes[0][0]
-            j_of_c2 = jnp.arange(w2.shape[2]) % jdim  # outer minor digit -> row
-            w1g = w1[:, j_of_c2, :]  # (F, C2, C1)
-            values[node] = (w2[:, :, :, None] * w1g[:, None, :, :]).reshape(
-                w2.shape[0], w2.shape[1], -1
-            )
-        else:
-            values[node] = node(st, *ins)
-    return values[param.output]
+
+    def expand_matmul(plan, node, ins):
+        if not isinstance(node, JaxMatMulParameter):
+            return None
+        for user in plan.node_outputs(node):
+            if not isinstance(user, JaxMatMulParameter):
+                raise NotImplementedError(
+                    "Top-k MPE through a fused weight graph where a "
+                    f"MatMul feeds {type(user).__name__} is not supported"
+                )
+        w1, w2 = ins  # (F, J, C1) inner (maybe expanded), (F, O, C2) outer
+        jdim = node.in_shapes[0][0]
+        j_of_c2 = jnp.arange(w2.shape[2]) % jdim  # outer minor digit -> row
+        w1g = w1[:, j_of_c2, :]  # (F, C2, C1)
+        return (w2[:, :, :, None] * w1g[:, None, :, :]).reshape(
+            w2.shape[0], w2.shape[1], -1
+        )
+
+    return param(st, node_override=expand_matmul)
 
 
 def _tile_latents(comb: jnp.ndarray, num_cols: int) -> jnp.ndarray:

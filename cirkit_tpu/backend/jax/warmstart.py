@@ -61,9 +61,16 @@ class WarmStartError(RuntimeError):
 
 
 def _device_fingerprint() -> dict[str, str]:
+    import cirkit_tpu
+
     dev = jax.devices()[0]
     return {
         "jax": jax.__version__,
+        # serialized executables bake in cirkit-tpu semantics (e.g. the
+        # 0.1.1 sum-collapsed MAP/top-k routing fix): a bundle built by an
+        # older package must not serve a newer one (mirrors warmcache.py's
+        # version key)
+        "cirkit_tpu": getattr(cirkit_tpu, "__version__", "0"),
         "platform": dev.platform,
         "device_kind": getattr(dev, "device_kind", str(dev)),
     }
@@ -282,7 +289,7 @@ def load_bundle(path: str | os.PathLike) -> WarmBundle:
         raise WarmStartError(f"No warm-start bundle at {path}")
     manifest = json.loads(mpath.read_text())
     fp = _device_fingerprint()
-    for field in ("jax", "platform", "device_kind"):
+    for field in ("jax", "cirkit_tpu", "platform", "device_kind"):
         if manifest.get(field) != fp[field]:
             raise WarmStartError(
                 f"Warm-start bundle {field} mismatch: bundle was built for "

@@ -568,3 +568,53 @@ def test_map_and_topk_through_collapsed_tucker():
         np.testing.assert_array_equal(np.asarray(asg[0]).astype(int), want_asg)
         _, scores = MAPQuery(cc)(store=ctx.parameters, top_k=5)
         np.testing.assert_allclose(np.asarray(scores[0]), want_scores, rtol=1e-9)
+
+
+def test_max_and_parse_weight_guard_non_matmul_consumers():
+    """A MatMul feeding any non-MatMul plan node (e.g. a user optimization
+    rule emitting Softmax(MatMul(...))) must raise loudly in BOTH routing
+    weight evaluators — the (+,*) forward would normalize the SUMMED
+    composite while the tropical/parse paths see different values, so a
+    silent answer would be a silently wrong MPE. Plain MatMul plans keep
+    evaluating (tropical product / expanded columns pinned vs numpy)."""
+    from cirkit_tpu.backend.jax.parameters import (
+        JaxMatMulParameter,
+        JaxParameter,
+        JaxSoftmaxParameter,
+        JaxTensorSlot,
+    )
+    from cirkit_tpu.backend.jax.queries import _max_weight
+    from cirkit_tpu.backend.jax.topk import _parse_weight
+
+    rng = np.random.default_rng(7)
+    j, i, o = 3, 4, 2
+    w1v = rng.uniform(0.1, 1.0, size=(1, j, i))
+    w2v = rng.uniform(0.1, 1.0, size=(1, o, j))
+    store = {"w1": jnp.asarray(w1v), "w2": jnp.asarray(w2v)}
+
+    def slot(name, shape):
+        return JaxTensorSlot(
+            name, shape, dtype=jnp.float32, learnable=True,
+            inits=[None], origins=[None],
+        )
+
+    s1, s2 = slot("w1", (j, i)), slot("w2", (o, j))
+    mm = JaxMatMulParameter((j, i), (o, j))
+    plain = JaxParameter([s1, s2, mm], {mm: [s1, s2]}, [mm])
+
+    got_max = np.asarray(_max_weight(plain, store))
+    want_max = (w2v[0][:, :, None] * w1v[0][None, :, :]).max(axis=1)
+    np.testing.assert_allclose(got_max[0], want_max, rtol=1e-6)
+
+    got_parse = np.asarray(_parse_weight(plain, store))
+    want_parse = (w2v[0][:, :, None] * w1v[0][None, :, :]).reshape(o, j * i)
+    np.testing.assert_allclose(got_parse[0], want_parse, rtol=1e-6)
+
+    sm = JaxSoftmaxParameter((o, i), axis=-1)
+    guarded = JaxParameter(
+        [s1, s2, mm, sm], {mm: [s1, s2], sm: [mm]}, [sm]
+    )
+    with pytest.raises(NotImplementedError, match="MatMul feeds"):
+        _max_weight(guarded, store)
+    with pytest.raises(NotImplementedError, match="MatMul feeds"):
+        _parse_weight(guarded, store)

@@ -194,6 +194,28 @@ def test_fingerprint_mismatch_raises(bundle_dir, tmp_path):
         load_bundle(clone)
 
 
+def test_package_version_mismatch_raises(bundle_dir, tmp_path):
+    """Executables bake in cirkit-tpu routing semantics (the 0.1.1
+    sum-collapsed MAP fix): a bundle saved by a different package version —
+    or by one predating the version field — must be rejected so stale
+    programs never serve a fixed package."""
+    path, *_ = bundle_dir
+    for stale in ("0.0.9", None):
+        clone = tmp_path / f"pkg-{stale}"
+        clone.mkdir()
+        for f in Path(path).iterdir():
+            (clone / f.name).write_bytes(f.read_bytes())
+        m = json.loads((clone / "manifest.json").read_text())
+        assert "cirkit_tpu" in m  # the save path records it
+        if stale is None:
+            del m["cirkit_tpu"]  # pre-0.1.1 bundle: no field at all
+        else:
+            m["cirkit_tpu"] = stale
+        (clone / "manifest.json").write_text(json.dumps(m))
+        with pytest.raises(WarmStartError, match="cirkit_tpu mismatch"):
+            load_bundle(clone)
+
+
 def test_const_slots_ship_in_npz(tmp_path):
     """Frozen (constant-initialized) slots ride the npz, not the init
     program, and reload bit-exact. A logic WMC circuit's indicator weights

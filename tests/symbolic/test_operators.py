@@ -495,3 +495,96 @@ def test_multiply_partial_overlap_chains_compose():
     np.testing.assert_allclose(eval_circuit(abc, worlds)[:, 0, 0], want, rtol=1e-10)
     z = eval_circuit(SF.integrate(abc), np.zeros((1, 0)))[0, 0, 0]
     np.testing.assert_allclose(z, want.sum(), rtol=1e-10)
+
+
+def _mixing_pc_over(v1, v2, num_units, seed, mix_out=2):
+    """p(v1, v2) whose root feeds from a MIXING (arity-2) sum over two
+    parallel Hadamard decompositions of the same partition."""
+    rng = np.random.default_rng(seed)
+    layers, leaves, hads = [], [], []
+    for _ in range(2):
+        pair = []
+        for v in (v1, v2):
+            raw = rng.uniform(0.1, 1.0, size=(num_units, 3))
+            pair.append(
+                CategoricalLayer(
+                    Scope([v]), num_units, num_categories=3,
+                    probs=const_param(raw / raw.sum(axis=1, keepdims=True)),
+                )
+            )
+        leaves.extend(pair)
+        hads.append(HadamardLayer(num_units, arity=2))
+    mix = SumLayer(
+        num_units, mix_out, arity=2,
+        weight=const_param(rng.uniform(0.1, 1.0, (mix_out, 2 * num_units))),
+    )
+    root = SumLayer(
+        mix_out, 1, weight=const_param(rng.uniform(0.1, 1.0, (1, mix_out)))
+    )
+    in_layers = {h: leaves[2 * i : 2 * i + 2] for i, h in enumerate(hads)}
+    in_layers[mix] = hads
+    in_layers[root] = [mix]
+    return Circuit(leaves + hads + [mix, root], in_layers, [root])
+
+
+def _wide_product_pc(seed, num_units=2):
+    """p(x0, x1, x2) whose root feeds from a WIDE Hadamard whose second
+    child covers {1, 2} as one (coarser) unit — paired against a circuit
+    over {1, 2} this Hadamard meets that circuit's sum directly."""
+    rng = np.random.default_rng(seed)
+
+    def leaf(v):
+        raw = rng.uniform(0.1, 1.0, size=(num_units, 3))
+        return CategoricalLayer(
+            Scope([v]), num_units, num_categories=3,
+            probs=const_param(raw / raw.sum(axis=1, keepdims=True)),
+        )
+
+    l0, l1, l2 = leaf(0), leaf(1), leaf(2)
+    g12 = HadamardLayer(num_units, arity=2)
+    hp = HadamardLayer(num_units, arity=2)
+    root = SumLayer(
+        num_units, 1, weight=const_param(rng.uniform(0.1, 1.0, (1, num_units)))
+    )
+    return Circuit(
+        [l0, l1, l2, g12, hp, root],
+        {g12: [l1, l2], hp: [l0, g12], root: [hp]},
+        [root],
+    )
+
+
+def test_multiply_partial_overlap_right_mixing_sum_permutation():
+    """A multi-unit product (w1 = 2) meeting a MIXING sum (arity 2) on the
+    q side fires the right-distribution builder's kron(I, W2) column
+    permutation (``w1 > 1 and a2 > 1`` in ``multiply``): kron columns run
+    (i1, a, i2) while the children concatenate (a, i1, i2). No other
+    committed test draws that branch — a wrong permutation here would be a
+    silently wrong product."""
+    p = _wide_product_pc(seed=31)
+    q = _mixing_pc_over(1, 2, num_units=3, seed=32)
+    psc = SF.multiply(p, q)
+    assert psc.scope == Scope([0, 1, 2])
+    assert psc.is_smooth and psc.is_decomposable
+    worlds = enumerate_worlds(3, 3)
+    want = eval_circuit(p, worlds)[:, 0, 0] * eval_circuit(q, worlds)[:, 0, 0]
+    np.testing.assert_allclose(eval_circuit(psc, worlds)[:, 0, 0], want, rtol=1e-10)
+    z = eval_circuit(SF.integrate(psc), np.zeros((1, 0)))[0, 0, 0]
+    np.testing.assert_allclose(z, want.sum(), rtol=1e-10)
+
+
+def test_multiply_partial_overlap_left_mixing_sum_distribution():
+    """The mirror pairing — a MIXING sum (arity 2) on the p side meeting a
+    multi-unit product — runs the left-distribution builder's
+    kron(W1, I) weight (columns already (a, i1, i2), no permutation); the
+    recursion then pairs p's parallel Hadamards against q's coarser {1,2}
+    child through the virtual-group matcher."""
+    p = _mixing_pc_over(1, 2, num_units=2, seed=33, mix_out=3)
+    q = _wide_product_pc(seed=34, num_units=3)
+    psc = SF.multiply(p, q)
+    assert psc.scope == Scope([0, 1, 2])
+    assert psc.is_smooth and psc.is_decomposable
+    worlds = enumerate_worlds(3, 3)
+    want = eval_circuit(p, worlds)[:, 0, 0] * eval_circuit(q, worlds)[:, 0, 0]
+    np.testing.assert_allclose(eval_circuit(psc, worlds)[:, 0, 0], want, rtol=1e-10)
+    z = eval_circuit(SF.integrate(psc), np.zeros((1, 0)))[0, 0, 0]
+    np.testing.assert_allclose(z, want.sum(), rtol=1e-10)
