@@ -186,6 +186,34 @@ def test_symbolic_circuit_roundtrip_learned_structures(tmp_path):
         load_circuit(tmp_path / "x.npz")
 
 
+def test_symbolic_circuit_roundtrip_partial_overlap_product(tmp_path):
+    """save_circuit/load_circuit persist an operator-derived partial-overlap
+    product: the one-hot broadcast selection sums and distribute layers the
+    multiply introduces reload and compile to the same distribution."""
+    import itertools
+
+    import cirkit_tpu.symbolic.functional as SF
+    from cirkit_tpu.utils.checkpoint import load_circuit, save_circuit
+    from tests.reference_eval import eval_circuit
+    from tests.test_fuzz_circuits import _restrict_tree, _tree_pc
+
+    tree = ((0, 1), (2, (3, 4)))
+    sc1 = _tree_pc(_restrict_tree(tree, {0, 1, 2, 3}), 2, 31, 41)
+    sc2 = _tree_pc(_restrict_tree(tree, {2, 3, 4}), 3, 51, 61)
+    psc = SF.multiply(sc1, sc2)
+    worlds = np.array(list(itertools.product(range(2), repeat=5)), dtype=np.int64)
+    want = eval_circuit(psc, worlds)[:, 0, 0]
+
+    save_circuit(tmp_path / "prod.ckt", psc)
+    re = load_circuit(tmp_path / "prod.ckt")
+    got = eval_circuit(re, worlds)[:, 0, 0]
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    ctx = PipelineContext(semiring="lse-sum", fold=True, optimize=True)
+    cc = ctx.compile(re)
+    got2 = np.exp(np.asarray(cc(ctx.parameters, worlds))[:, 0, 0])
+    np.testing.assert_allclose(got2, want, rtol=1e-9)
+
+
 def test_full_persistence_flow_template_circuit(tmp_path):
     """The circuit + trained-store persistence flow: slot allocation is
     deterministic per compile order, so a reloaded circuit compiled FIRST
